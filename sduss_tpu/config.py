@@ -1,0 +1,190 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters configuration over four dataclasses
+(/root/reference/sduss/config.py:12-175), argparse
+(sduss/engine/arg_utils.py:13-276), a JSON hyper-parameter file
+(sduss/worker/scheduler/configs/esymred.json) and ~10 environment variables
+(``SLO``, ``ESYMRED_*``, ``SDUSS_COLLECT_DATA``...).  Here everything lives in
+one place, as plain dataclasses that serialize to/from dicts, so engine,
+scheduler, dispatcher and kernels share a single source of truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+def _positive(name: str, value: int) -> None:
+    if value < 1:
+        raise ValueError(f"{name} must be >= 1, got {value}")
+
+
+@dataclass
+class ModelConfig:
+    """Which model family to serve and how to realize it on device.
+
+    Mirrors the reference ``PipelineConfig`` (sduss/config.py:12-55) minus the
+    HF-pipeline plumbing: ``model`` is either a registered family name
+    ("sd15", "sdxl", "sd3") for random/tiny instantiation, or a path to a
+    HuggingFace snapshot directory containing ``model_index.json``.
+    """
+
+    model: str = "sd15"
+    # Path to a HF snapshot dir; None => randomly initialized weights.
+    model_path: Optional[str] = None
+    # Compute dtype for the denoiser/encoders ("bfloat16" | "float32").
+    dtype: str = "bfloat16"
+    seed: int = 0
+    # Use the ESyMReD mixed-resolution patch pipeline (vs plain per-res batch).
+    use_patched: bool = True
+    # Tiny-model override for tests: scale factor applied to channel widths.
+    test_tiny: bool = False
+    # Resolutions this deployment accepts; default filled per family.
+    resolutions: Tuple[int, ...] = ()
+
+    def __post_init__(self) -> None:
+        if not self.resolutions:
+            defaults = {
+                "sd15": (256, 512, 768),
+                "sdxl": (512, 768, 1024),
+                "sd3": (512, 768, 1024),
+            }
+            fam = self.family
+            self.resolutions = tuple(defaults.get(fam, (256, 512)))
+
+    @property
+    def family(self) -> str:
+        """Model family key: sd15 | sdxl | sd3."""
+        m = self.model.lower()
+        for fam in ("sd15", "sdxl", "sd3"):
+            if fam in m.replace("-", "").replace("_", "").replace(".", ""):
+                return fam
+        if os.path.isdir(self.model) or (self.model_path and os.path.isdir(self.model_path)):
+            # Inspect model_index.json for the pipeline class.
+            root = self.model_path or self.model
+            idx = os.path.join(root, "model_index.json")
+            if os.path.exists(idx):
+                with open(idx) as f:
+                    cls = json.load(f).get("_class_name", "")
+                if "3" in cls:
+                    return "sd3"
+                if "XL" in cls:
+                    return "sdxl"
+                return "sd15"
+        raise ValueError(f"Cannot infer model family from {self.model!r}")
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh layout.
+
+    The reference exposes pp/tp/dp sizes but only DP works
+    (sduss/config.py:86-108 raises for tp>1/pp>1).  Here all axes are
+    first-class: ``dp`` replicas x ``tp`` tensor-parallel shards x ``sp``
+    spatial(patch)-parallel shards, laid out on a ``jax.sharding.Mesh``.
+    """
+
+    dp: int = 1
+    tp: int = 1
+    sp: int = 1  # spatial / displaced-patch parallel degree
+    # Explicit device list (indices into jax.devices()); None => first world_size.
+    devices: Optional[List[int]] = None
+
+    def __post_init__(self) -> None:
+        _positive("dp", self.dp)
+        _positive("tp", self.tp)
+        _positive("sp", self.sp)
+
+    @property
+    def world_size(self) -> int:
+        return self.dp * self.tp * self.sp
+
+
+@dataclass
+class SchedulerConfig:
+    """Worker-side iteration scheduler knobs.
+
+    Mirrors sduss/config.py:125-142 plus the ESyMReD hyper-parameters that the
+    reference keeps in esymred.json and env vars.
+    """
+
+    policy: str = "fcfs_mixed"  # fcfs_single|fcfs_mixed|orca_resbyres|orca_round_robin|esymred
+    max_batch_size: int = 12
+    # Mixed-resolution patch batching (reference "mixed precision").
+    use_mixed_resolution: bool = True
+    patch_size: int = 256  # pixels; /8 => 32x32 latent patches
+    # ESyMReD knobs (reference esymred.json:1-48).
+    slo_scale: float = 5.0
+    discard_slack_ms: float = 500.0
+    postprocessing_ratio: float = 0.9
+    # Path to a trained latency predictor (npz); None => analytic fallback.
+    predictor_path: Optional[str] = None
+    # Per-(family,resolution) standalone stage latencies in ms used for DDLs,
+    # populated by profiling (sduss_tpu/scheduler/profiles.py has defaults).
+    stage_latency_overrides: Dict[str, Any] = field(default_factory=dict)
+    # Batch-size buckets used to bound XLA recompilation.
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 12, 16, 24, 32)
+    # Patch-count buckets for the mixed-resolution patch batch.
+    patch_buckets: Tuple[int, ...] = (4, 8, 16, 32, 64, 96, 128, 192, 256)
+
+
+@dataclass
+class CacheConfig:
+    """Learned per-block output cache (reference cache_manager.py:22-199)."""
+
+    enabled: bool = False
+    # Force recompute after this many consecutive cache hits.
+    max_consecutive_hits_unet: int = 4
+    max_consecutive_hits_mmdit: int = 2
+    # Paths to trained classifiers (npz); None => MSE-threshold fallback.
+    classifier_paths: Dict[str, str] = field(default_factory=dict)
+    mse_threshold: float = 0.01
+
+
+@dataclass
+class EngineConfig:
+    """Front-end engine + dispatcher settings (reference config.py:145-175)."""
+
+    dispatcher_policy: str = "greedy"
+    # Seconds between background engine-loop polls when idle.
+    poll_interval_s: float = 0.01
+    log_requests: bool = True
+    collect_data: bool = False
+    collect_dir: str = "outputs"
+
+
+@dataclass
+class Config:
+    """Top-level bundle passed around the system."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        return cls(
+            model=ModelConfig(**d.get("model", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+            scheduler=SchedulerConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+                                         for k, v in d.get("scheduler", {}).items()}),
+            cache=CacheConfig(**d.get("cache", {})),
+            engine=EngineConfig(**d.get("engine", {})),
+        )
+
+
+def bucket_for(value: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= value; the largest bucket if value exceeds all."""
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
