@@ -1,0 +1,125 @@
+"""Core serving engine: single-controller loop over DP replica workers.
+
+Replaces the reference's Engine + MpExecutor + queue-RPC machinery
+(sduss/engine/engine.py:42-372, executor/mp_executor.py:21-164) with direct
+method calls: each DP replica is a device owned by a Worker in THIS process;
+``step()`` dispatches newly waiting requests and runs one iteration on every
+replica.  No serialization, no process tree — XLA async dispatch provides the
+only concurrency that matters (host scheduling overlapped with device work).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+from sduss_tpu.config import Config
+from sduss_tpu.dispatcher import get_dispatch_policy
+from sduss_tpu.engine.worker import Worker
+from sduss_tpu.logger import init_logger
+from sduss_tpu.metrics import EngineStats
+from sduss_tpu.pipelines import build_pipeline
+from sduss_tpu.request import Request, RequestOutput, SamplingParams, Stage
+
+logger = init_logger(__name__)
+
+
+class Engine:
+    def __init__(self, config: Config, devices: Optional[list] = None):
+        import jax
+
+        self.config = config
+        if devices is None:
+            all_devs = jax.devices()
+            sel = config.parallel.devices
+            if sel is not None:
+                all_devs = [all_devs[i] for i in sel]
+            devices = all_devs[: config.parallel.dp]
+        if len(devices) < config.parallel.dp:
+            raise ValueError(
+                f"need {config.parallel.dp} devices for dp={config.parallel.dp}, "
+                f"have {len(devices)}")
+
+        # One bundle (host weights) shared; per-replica pipelines place params
+        # on their own device lazily.
+        first = build_pipeline(config, device=devices[0])
+        self.workers: List[Worker] = [Worker(0, first, config)]
+        for rank in range(1, config.parallel.dp):
+            pipe = build_pipeline(config, device=devices[rank], bundle=first.bundle)
+            self.workers.append(Worker(rank, pipe, config))
+
+        self.dispatch_policy = get_dispatch_policy(config.engine.dispatcher_policy)
+        self._waiting: List[Request] = []
+        self._known: Dict[str, int] = {}  # request_id -> dp_rank (or -1 waiting)
+        self.stats = EngineStats()
+
+    # -- request API ---------------------------------------------------------
+
+    def add_requests(self, reqs: Sequence[Request]) -> None:
+        for req in reqs:
+            if req.request_id in self._known:
+                raise ValueError(f"duplicate request id {req.request_id}")
+            self._known[req.request_id] = -1
+            self._waiting.append(req)
+            self.stats.on_arrival(req)
+
+    def add_request(self, request_id: str, params: SamplingParams,
+                    deadline: Optional[float] = None) -> Request:
+        req = Request(request_id, params, deadline=deadline)
+        self.add_requests([req])
+        return req
+
+    def abort_requests(self, request_ids: Sequence[str]) -> List[RequestOutput]:
+        outs: List[RequestOutput] = []
+        ids = set(request_ids)
+        still_waiting = []
+        for req in self._waiting:
+            if req.request_id in ids:
+                req.stage = Stage.ABORTED
+                req.finish_time = time.time()
+                self._known.pop(req.request_id, None)
+                outs.append(RequestOutput.from_request(req))
+                ids.discard(req.request_id)
+            else:
+                still_waiting.append(req)
+        self._waiting = still_waiting
+        for worker in self.workers:
+            for req in worker.abort_requests(list(ids)):
+                self._known.pop(req.request_id, None)
+                outs.append(RequestOutput.from_request(req))
+                ids.discard(req.request_id)
+        return outs
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self._waiting) or any(w.has_unfinished() for w in self.workers)
+
+    # -- main loop -----------------------------------------------------------
+
+    def step(self) -> List[RequestOutput]:
+        """Dispatch waiting requests, run one iteration per replica, collect
+        finished outputs (reference Engine.step, engine/engine.py:170-225)."""
+        if self._waiting:
+            loads = [w.pending_pixels() for w in self.workers]
+            ranks = self.dispatch_policy.assign(self._waiting, loads)
+            per_rank: Dict[int, List[Request]] = {}
+            for req, rank in zip(self._waiting, ranks):
+                per_rank.setdefault(rank, []).append(req)
+                self._known[req.request_id] = rank
+            for rank, reqs in per_rank.items():
+                self.workers[rank].add_requests(reqs)
+            self._waiting = []
+
+        outputs: List[RequestOutput] = []
+        for worker in self.workers:
+            for req in worker.step():
+                self._known.pop(req.request_id, None)
+                out = RequestOutput.from_request(req)
+                self.stats.on_finish(out)
+                outputs.append(out)
+        return outputs
+
+    # -- convenience ---------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, config: Config) -> "Engine":
+        return cls(config)

@@ -1,0 +1,33 @@
+"""Minimal HTTP client (reference examples/api_client.py)."""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+
+
+async def generate(url: str, prompt: str, resolution: int, steps: int) -> dict:
+    import aiohttp
+
+    async with aiohttp.ClientSession() as session:
+        async with session.post(f"{url}/generate", json={
+            "prompt": prompt, "resolution": resolution,
+            "num_inference_steps": steps, "return_image": False,
+        }) as resp:
+            return await resp.json()
+
+
+def main() -> None:  # pragma: no cover
+    p = argparse.ArgumentParser("sduss_tpu client")
+    p.add_argument("--url", default="http://localhost:8000")
+    p.add_argument("--prompt", default="a photograph of an astronaut riding a horse")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--steps", type=int, default=50)
+    args = p.parse_args()
+    out = asyncio.run(generate(args.url, args.prompt, args.resolution, args.steps))
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,303 @@
+"""SD3 MMDiT (SD3Transformer2DModel) in pure functional JAX.
+
+Rebuild of the denoiser the reference wraps with PatchSD3Transformer2DModel
+(sduss/model_executor/modules/SD3Transformer.py:25-262): joint latent+text
+attention blocks with AdaLayerNorm-Zero modulation, 2x2 patch embedding with
+cropped 2D sin-cos position grid, optional per-head qk RMS-norm and dual
+self-attention layers (SD-3.5-medium).
+
+The sequence design is patch-batching-friendly: the latent token sequence is
+produced per image after position embedding, so the mixed-resolution path
+(sduss_tpu/ops) can slice token runs into fixed-size groups exactly like the
+reference's split_sample_sd3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sduss_tpu.models import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: int = 2
+    num_layers: int = 24
+    num_heads: int = 24
+    head_dim: int = 64
+    joint_attention_dim: int = 4096  # T5 feature width
+    pooled_projection_dim: int = 2048  # CLIP-L + CLIP-G pooled concat
+    pos_embed_max_size: int = 384
+    qk_norm: bool = True
+    dual_attention_layers: Tuple[int, ...] = tuple(range(13))
+    sample_size: int = 128
+    pos_embed_base_size: int = 64
+
+    @property
+    def dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+
+SD35_MEDIUM = MMDiTConfig()
+TINY_MMDIT = MMDiTConfig(
+    in_channels=4, out_channels=4, num_layers=2, num_heads=2, head_dim=16,
+    joint_attention_dim=32, pooled_projection_dim=32, pos_embed_max_size=32,
+    dual_attention_layers=(0,), sample_size=8, pos_embed_base_size=8,
+)
+
+
+def sincos_2d_pos_embed(dim: int, grid_size: int, base_size: int) -> np.ndarray:
+    """2D sin-cos position embedding, (grid_size*grid_size, dim), float32.
+
+    Matches diffusers.get_2d_sincos_pos_embed with interpolation_scale=1:
+    grid coords are scaled by base_size/grid_size.
+    """
+    pos = np.arange(grid_size, dtype=np.float64) / (grid_size / base_size)
+    grid = np.meshgrid(pos, pos)  # [x(w), y(h)] each (H, W)
+
+    def _1d(d, p):
+        omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", p.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = _1d(dim // 2, grid[1])
+    emb_w = _1d(dim // 2, grid[0])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+class SD3Transformer2DModel:
+    def __init__(self, cfg: MMDiTConfig):
+        self.cfg = cfg
+        # Full max-size grid; cropped per resolution at call time.
+        self._pos_embed_full = sincos_2d_pos_embed(
+            cfg.dim, cfg.pos_embed_max_size, cfg.pos_embed_base_size
+        ).reshape(cfg.pos_embed_max_size, cfg.pos_embed_max_size, cfg.dim)
+
+    # -- init ---------------------------------------------------------------
+
+    def _attn_init(self, k, joint: bool, last_block: bool = False):
+        cfg = self.cfg
+        d = cfg.dim
+        keys = iter(jax.random.split(k, 8))
+        p = {
+            "to_q": L.linear_init(next(keys), d, d),
+            "to_k": L.linear_init(next(keys), d, d),
+            "to_v": L.linear_init(next(keys), d, d),
+            "to_out": L.linear_init(next(keys), d, d),
+        }
+        if cfg.qk_norm:
+            p["norm_q"] = L.rms_norm_init(cfg.head_dim)
+            p["norm_k"] = L.rms_norm_init(cfg.head_dim)
+        if joint:
+            p["add_q_proj"] = L.linear_init(next(keys), d, d)
+            p["add_k_proj"] = L.linear_init(next(keys), d, d)
+            p["add_v_proj"] = L.linear_init(next(keys), d, d)
+            if cfg.qk_norm:
+                p["norm_added_q"] = L.rms_norm_init(cfg.head_dim)
+                p["norm_added_k"] = L.rms_norm_init(cfg.head_dim)
+            if not last_block:
+                p["to_add_out"] = L.linear_init(next(keys), d, d)
+        return p
+
+    def init(self, rng) -> dict:
+        cfg = self.cfg
+        d = cfg.dim
+        keys = iter(jax.random.split(rng, 16 + 8 * cfg.num_layers))
+        p: dict = {
+            "patch_embed": L.conv_init(next(keys), cfg.in_channels, d, cfg.patch_size),
+            "timestep_embedder": {
+                "linear_1": L.linear_init(next(keys), 256, d),
+                "linear_2": L.linear_init(next(keys), d, d),
+            },
+            "text_embedder": {
+                "linear_1": L.linear_init(next(keys), cfg.pooled_projection_dim, d),
+                "linear_2": L.linear_init(next(keys), d, d),
+            },
+            "context_embedder": L.linear_init(next(keys), cfg.joint_attention_dim, d),
+            "blocks": [],
+            "norm_out_proj": L.linear_init(next(keys), d, 2 * d),
+            "proj_out": L.linear_init(next(keys), d, cfg.patch_size**2 * cfg.out_channels),
+        }
+        for i in range(cfg.num_layers):
+            last = i == cfg.num_layers - 1
+            dual = i in cfg.dual_attention_layers
+            blk = {
+                "norm1_proj": L.linear_init(next(keys), d, (9 if dual else 6) * d),
+                "norm1_context_proj": L.linear_init(next(keys), d, 2 * d if last else 6 * d),
+                "attn": self._attn_init(next(keys), joint=True, last_block=last),
+                "ff1": L.linear_init(next(keys), d, 4 * d),
+                "ff2": L.linear_init(next(keys), 4 * d, d),
+            }
+            if not last:
+                blk["ff_context1"] = L.linear_init(next(keys), d, 4 * d)
+                blk["ff_context2"] = L.linear_init(next(keys), 4 * d, d)
+            if dual:
+                blk["attn2"] = self._attn_init(next(keys), joint=False)
+            p["blocks"].append(blk)
+        return p
+
+    # -- forward helpers ----------------------------------------------------
+
+    def pos_embed(self, h_patches: int, w_patches: int) -> jnp.ndarray:
+        """Center-cropped position grid (h*w, dim) for a given latent size."""
+        m = self.cfg.pos_embed_max_size
+        top = (m - h_patches) // 2
+        left = (m - w_patches) // 2
+        crop = self._pos_embed_full[top : top + h_patches, left : left + w_patches]
+        return jnp.asarray(crop.reshape(h_patches * w_patches, self.cfg.dim))
+
+    def embed_latents(self, params, latents):
+        """(B,H,W,C) latents -> (B, h*w, dim) tokens with position added."""
+        cfg = self.cfg
+        x = L.conv2d(params["patch_embed"], latents, stride=cfg.patch_size, padding="VALID")
+        b, hp, wp, d = x.shape
+        x = x.reshape(b, hp * wp, d)
+        return x + self.pos_embed(hp, wp).astype(x.dtype)[None]
+
+    def time_text_embed(self, params, timesteps, pooled, dtype):
+        te = L.timestep_embedding(timesteps, 256).astype(dtype)
+        emb = L.linear(params["timestep_embedder"]["linear_2"],
+                       jax.nn.silu(L.linear(params["timestep_embedder"]["linear_1"], te)
+                                   .astype(jnp.float32)).astype(dtype))
+        pe = L.linear(params["text_embedder"]["linear_2"],
+                      jax.nn.silu(L.linear(params["text_embedder"]["linear_1"], pooled.astype(dtype))
+                                  .astype(jnp.float32)).astype(dtype))
+        return emb + pe
+
+    def _heads(self, x):
+        b, s, d = x.shape
+        return x.reshape(b, s, self.cfg.num_heads, self.cfg.head_dim)
+
+    def _qk_norm(self, p, q, k, prefix=""):
+        if not self.cfg.qk_norm:
+            return q, k
+        q = L.rms_norm(p[f"norm_{prefix}q"], q)
+        k = L.rms_norm(p[f"norm_{prefix}k"], k)
+        return q, k
+
+    def _attention_seq(self, q, k, v, ctx=None, lvl: int = 0):
+        """(B,S,H,D) heads attention; segment-grouped when ctx is given."""
+        cfg = self.cfg
+        b, s, nh, hd = q.shape
+        if ctx is not None:
+            return ctx.mmdit_attention(q, k, v)
+        out = L.attention(
+            q.reshape(b, s, nh * hd), k.reshape(b, k.shape[1], nh * hd),
+            v.reshape(b, v.shape[1], nh * hd), cfg.num_heads)
+        return out
+
+    def _joint_block(self, p, x, c, temb, last: bool, dual: bool, ctx=None):
+        cfg = self.cfg
+        silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype)
+        mods = L.linear(p["norm1_proj"], silu_t)
+        n_mod = 9 if dual else 6
+        mods = jnp.split(mods, n_mod, axis=-1)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods[:6]
+
+        xn = L.layer_norm(None, x, 1e-6)
+        x_mod = xn * (1 + scale_msa[:, None]) + shift_msa[:, None]
+
+        cmods = L.linear(p["norm1_context_proj"], silu_t)
+        if last:
+            # AdaLayerNormContinuous: [scale, shift] chunks.
+            c_scale, c_shift = jnp.split(cmods, 2, axis=-1)
+            cn = L.layer_norm(None, c, 1e-6)
+            c_mod = cn * (1 + c_scale[:, None]) + c_shift[:, None]
+            c_gate = None
+        else:
+            (c_shift_msa, c_scale_msa, c_gate_msa,
+             c_shift_mlp, c_scale_mlp, c_gate_mlp) = jnp.split(cmods, 6, axis=-1)
+            cn = L.layer_norm(None, c, 1e-6)
+            c_mod = cn * (1 + c_scale_msa[:, None]) + c_shift_msa[:, None]
+            c_gate = c_gate_msa
+
+        ap = p["attn"]
+        q = self._heads(L.linear(ap["to_q"], x_mod))
+        k = self._heads(L.linear(ap["to_k"], x_mod))
+        v = self._heads(L.linear(ap["to_v"], x_mod))
+        q, k = self._qk_norm(ap, q, k)
+        cq = self._heads(L.linear(ap["add_q_proj"], c_mod))
+        ck = self._heads(L.linear(ap["add_k_proj"], c_mod))
+        cv = self._heads(L.linear(ap["add_v_proj"], c_mod))
+        cq, ck = self._qk_norm(ap, cq, ck, "added_")
+
+        s_lat = q.shape[1]
+        qj = jnp.concatenate([q, cq], axis=1)
+        kj = jnp.concatenate([k, ck], axis=1)
+        vj = jnp.concatenate([v, cv], axis=1)
+        attn_out = self._attention_seq(qj, kj, vj, ctx=ctx)
+        x_attn, c_attn = attn_out[:, :s_lat], attn_out[:, s_lat:]
+
+        x = x + gate_msa[:, None] * L.linear(ap["to_out"], x_attn)
+
+        if dual:
+            shift2, scale2, gate2 = mods[6:]
+            x2 = xn * (1 + scale2[:, None]) + shift2[:, None]
+            a2 = p["attn2"]
+            q2 = self._heads(L.linear(a2["to_q"], x2))
+            k2 = self._heads(L.linear(a2["to_k"], x2))
+            v2 = self._heads(L.linear(a2["to_v"], x2))
+            q2, k2 = self._qk_norm(a2, q2, k2)
+            out2 = self._attention_seq(q2, k2, v2, ctx=ctx)
+            x = x + gate2[:, None] * L.linear(a2["to_out"], out2)
+
+        xn2 = L.layer_norm(None, x, 1e-6)
+        x_ff = xn2 * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        ff = L.linear(p["ff2"], jax.nn.gelu(
+            L.linear(p["ff1"], x_ff).astype(jnp.float32), approximate=True).astype(x.dtype))
+        x = x + gate_mlp[:, None] * ff
+
+        if last:
+            return x, None
+        c = c + c_gate[:, None] * L.linear(ap["to_add_out"], c_attn)
+        cn2 = L.layer_norm(None, c, 1e-6)
+        c_ff = cn2 * (1 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
+        cff = L.linear(p["ff_context2"], jax.nn.gelu(
+            L.linear(p["ff_context1"], c_ff).astype(jnp.float32), approximate=True).astype(c.dtype))
+        c = c + c_gate_mlp[:, None] * cff
+        return x, c
+
+    # -- forward ------------------------------------------------------------
+
+    def apply(self, params, latents, timesteps, encoder_hidden_states, pooled_projections,
+              ctx=None):
+        """Denoise forward.
+
+        latents: (B, H, W, C); timesteps: (B,); encoder_hidden_states:
+        (B, L, joint_attention_dim) T5+CLIP token features; pooled_projections:
+        (B, pooled_projection_dim).
+        Returns velocity prediction (B, H, W, C).
+        """
+        cfg = self.cfg
+        b, hh, ww, _ = latents.shape
+        hp, wp = hh // cfg.patch_size, ww // cfg.patch_size
+
+        x = self.embed_latents(params, latents)
+        temb = self.time_text_embed(params, timesteps, pooled_projections, latents.dtype)
+        c = L.linear(params["context_embedder"], encoder_hidden_states.astype(latents.dtype))
+
+        for i, blk in enumerate(params["blocks"]):
+            last = i == cfg.num_layers - 1
+            dual = i in cfg.dual_attention_layers
+            x, c = self._joint_block(blk, x, c, temb, last, dual, ctx=ctx)
+
+        silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype)
+        mods = L.linear(params["norm_out_proj"], silu_t)
+        scale, shift = jnp.split(mods, 2, axis=-1)
+        x = L.layer_norm(None, x, 1e-6) * (1 + scale[:, None]) + shift[:, None]
+        x = L.linear(params["proj_out"], x)
+
+        # unpatchify: (B, hp*wp, ps*ps*C) -> (B, H, W, C)
+        ps = cfg.patch_size
+        x = x.reshape(b, hp, wp, ps, ps, cfg.out_channels)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, hp * ps, wp * ps, cfg.out_channels)

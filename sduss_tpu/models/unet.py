@@ -1,0 +1,397 @@
+"""UNet2DConditionModel (SD-1.5 / SDXL) in pure functional JAX, NHWC.
+
+Config-driven rebuild of the denoiser the reference wraps with PatchUNet
+(sduss/model_executor/modules/unet.py:27-530).  The same ``apply`` serves both
+the dense per-resolution path and the mixed-resolution patch path: every
+spatial helper takes an optional PatchContext (sduss_tpu/ops/patching.py) and
+switches between dense NHWC ops and patch-batch ops (per-image group norm with
+halo exchange, segment-grouped attention).
+
+Weight layout mirrors diffusers' UNet2DConditionModel module tree so loading
+from HF safetensors is a mechanical rename (sduss_tpu/models/convert.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sduss_tpu.models import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    # True at index i => down block i has cross-attention transformers.
+    down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    layers_per_block: int = 2
+    # Transformer depth per level (SDXL: (1, 2, 10) on its 3 levels).
+    transformer_layers: Tuple[int, ...] = (1, 1, 1, 0)
+    num_heads: Tuple[int, ...] = (8, 8, 8, 8)
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    # SDXL text_time conditioning: (addition_time_embed_dim, pooled_dim, num_time_ids)
+    addition_embed: Optional[Tuple[int, int, int]] = None
+    use_linear_projection: bool = False
+    sample_size: int = 64
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+SD15_UNET = UNetConfig()
+SDXL_UNET = UNetConfig(
+    block_out_channels=(320, 640, 1280),
+    down_block_has_attn=(False, True, True),
+    transformer_layers=(0, 2, 10),
+    num_heads=(5, 10, 20),
+    cross_attention_dim=2048,
+    addition_embed=(256, 1280, 6),
+    use_linear_projection=True,
+    sample_size=128,
+)
+TINY_UNET = UNetConfig(
+    block_out_channels=(32, 64),
+    down_block_has_attn=(True, False),
+    layers_per_block=1,
+    transformer_layers=(1, 0),
+    num_heads=(2, 2),
+    cross_attention_dim=32,
+    norm_num_groups=8,
+    sample_size=16,
+)
+TINY_SDXL_UNET = UNetConfig(
+    block_out_channels=(32, 64),
+    down_block_has_attn=(False, True),
+    layers_per_block=1,
+    transformer_layers=(0, 1),
+    num_heads=(2, 2),
+    cross_attention_dim=32,
+    norm_num_groups=8,
+    addition_embed=(32, 48, 6),
+    use_linear_projection=True,
+    sample_size=16,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sub-module init/apply helpers.  `ctx` is a PatchContext (or None for dense);
+# `lvl` the resolution level (0 = full latent res), used by patch ops to pick
+# the right halo/segment index tables.
+# ---------------------------------------------------------------------------
+
+def _resnet_init(rng, in_ch, out_ch, temb_dim, groups):
+    k = iter(jax.random.split(rng, 4))
+    p = {
+        "norm1": L.group_norm_init(in_ch),
+        "conv1": L.conv_init(next(k), in_ch, out_ch, 3),
+        "time_emb_proj": L.linear_init(next(k), temb_dim, out_ch),
+        "norm2": L.group_norm_init(out_ch),
+        "conv2": L.conv_init(next(k), out_ch, out_ch, 3),
+    }
+    if in_ch != out_ch:
+        p["conv_shortcut"] = L.conv_init(next(k), in_ch, out_ch, 1)
+    return p
+
+
+def _resnet_apply(p, x, temb, groups, ctx, lvl):
+    h = _gn(p["norm1"], x, groups, 1e-5, "silu", ctx, lvl)
+    h = _conv(p["conv1"], h, ctx, lvl)
+    t = L.linear(p["time_emb_proj"], jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
+    h = h + t[:, None, None, :].astype(h.dtype)
+    h = _gn(p["norm2"], h, groups, 1e-5, "silu", ctx, lvl)
+    h = _conv(p["conv2"], h, ctx, lvl)
+    if "conv_shortcut" in p:
+        x = _conv1x1(p["conv_shortcut"], x)
+    return x + h
+
+
+def _attn_init(rng, query_dim, context_dim, heads):
+    k = iter(jax.random.split(rng, 4))
+    inner = query_dim
+    return {
+        "to_q": L.linear_init(next(k), query_dim, inner, bias=False),
+        "to_k": L.linear_init(next(k), context_dim, inner, bias=False),
+        "to_v": L.linear_init(next(k), context_dim, inner, bias=False),
+        "to_out": L.linear_init(next(k), inner, query_dim),
+    }
+
+
+def _tblock_init(rng, dim, context_dim, heads):
+    k = iter(jax.random.split(rng, 4))
+    return {
+        "norm1": L.layer_norm_init(dim),
+        "attn1": _attn_init(next(k), dim, dim, heads),
+        "norm2": L.layer_norm_init(dim),
+        "attn2": _attn_init(next(k), dim, context_dim, heads),
+        "norm3": L.layer_norm_init(dim),
+        "ff_geglu": L.linear_init(next(k), dim, dim * 8),
+        "ff_out": L.linear_init(next(k), dim * 4, dim),
+    }
+
+
+def _transformer_init(rng, channels, context_dim, heads, depth, use_linear):
+    k = iter(jax.random.split(rng, depth + 2))
+    p = {
+        "norm": L.group_norm_init(channels),
+        "blocks": [_tblock_init(next(k), channels, context_dim, heads) for _ in range(depth)],
+    }
+    if use_linear:
+        p["proj_in"] = L.linear_init(next(k), channels, channels)
+        p["proj_out"] = L.linear_init(next(k), channels, channels)
+    else:
+        p["proj_in"] = L.conv_init(next(k), channels, channels, 1)
+        p["proj_out"] = L.conv_init(next(k), channels, channels, 1)
+    return p
+
+
+def _transformer_apply(p, x, ehs, heads, groups, use_linear, ctx, lvl):
+    """Spatial transformer: x (B,H,W,C) dense or (P,ph,pw,C) patched."""
+    residual = x
+    h = _gn(p["norm"], x, groups, 1e-6, None, ctx, lvl)
+    if not use_linear:
+        h = _conv1x1(p["proj_in"], h)
+    n, hh, ww, c = h.shape
+    h = h.reshape(n, hh * ww, c)
+    if use_linear:
+        h = L.linear(p["proj_in"], h)
+    for blk in p["blocks"]:
+        h = _tblock_apply(blk, h, ehs, heads, ctx, lvl)
+    if use_linear:
+        h = L.linear(p["proj_out"], h)
+    h = h.reshape(n, hh, ww, c)
+    if not use_linear:
+        h = _conv1x1(p["proj_out"], h)
+    return h + residual
+
+
+def _tblock_apply(p, h, ehs, heads, ctx, lvl):
+    """h: (N, S, C) token sequences; ehs: (B_img, L, D) text context."""
+    attn_in = L.layer_norm(p["norm1"], h)
+    h = h + _self_attention(p["attn1"], attn_in, heads, ctx, lvl)
+    attn_in = L.layer_norm(p["norm2"], h)
+    h = h + _cross_attention(p["attn2"], attn_in, ehs, heads, ctx, lvl)
+    ff_in = L.layer_norm(p["norm3"], h)
+    h = h + L.linear(p["ff_out"], L.geglu(p["ff_geglu"], ff_in))
+    return h
+
+
+def _downsample_init(rng, ch):
+    return L.conv_init(rng, ch, ch, 3)
+
+
+def _upsample_init(rng, ch, out_ch):
+    return L.conv_init(rng, ch, out_ch, 3)
+
+
+# --- dense/patch dispatch seam ---------------------------------------------
+
+def _gn(p, x, groups, eps, act, ctx, lvl):
+    if ctx is None:
+        return L.group_norm(p, x, groups, eps, act)
+    return ctx.group_norm(p, x, groups, eps, act, lvl)
+
+
+def _conv(p, x, ctx, lvl, stride: int = 1):
+    if ctx is None:
+        return L.conv2d(p, x, stride=stride)
+    return ctx.conv(p, x, lvl, stride=stride)
+
+
+def _conv1x1(p, x):
+    if p["kernel"].ndim == 4:
+        return L.conv2d(p, x, stride=1)
+    return L.linear(p, x)
+
+
+def _self_attention(p, h, heads, ctx, lvl):
+    if ctx is None:
+        out = L.attention(L.linear(p["to_q"], h), L.linear(p["to_k"], h),
+                          L.linear(p["to_v"], h), heads)
+    else:
+        out = ctx.self_attention(p, h, heads, lvl)
+    return L.linear(p["to_out"], out)
+
+
+def _cross_attention(p, h, ehs, heads, ctx, lvl):
+    if ctx is None:
+        k = L.linear(p["to_k"], ehs)
+        v = L.linear(p["to_v"], ehs)
+        out = L.attention(L.linear(p["to_q"], h), k, v, heads)
+    else:
+        out = ctx.cross_attention(p, h, ehs, heads, lvl)
+    return L.linear(p["to_out"], out)
+
+
+def _upsample_2x(x, ctx, lvl):
+    if ctx is None:
+        return L.nearest_upsample_2x(x)
+    return ctx.upsample_2x(x, lvl)
+
+
+# ---------------------------------------------------------------------------
+
+
+class UNet2DConditionModel:
+    """Pure-function UNet; all state lives in the params pytree."""
+
+    def __init__(self, cfg: UNetConfig):
+        self.cfg = cfg
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, rng) -> dict:
+        cfg = self.cfg
+        n_levels = len(cfg.block_out_channels)
+        keys = iter(jax.random.split(rng, 64))
+        p: dict = {
+            "conv_in": L.conv_init(next(keys), cfg.in_channels, cfg.block_out_channels[0], 3),
+            "time_embedding": {
+                "linear_1": L.linear_init(next(keys), cfg.block_out_channels[0], cfg.time_embed_dim),
+                "linear_2": L.linear_init(next(keys), cfg.time_embed_dim, cfg.time_embed_dim),
+            },
+            "down_blocks": [],
+            "up_blocks": [],
+            "conv_norm_out": L.group_norm_init(cfg.block_out_channels[0]),
+            "conv_out": L.conv_init(next(keys), cfg.block_out_channels[0], cfg.out_channels, 3),
+        }
+        if cfg.addition_embed is not None:
+            add_dim, pooled_dim, num_ids = cfg.addition_embed
+            in_dim = pooled_dim + add_dim * num_ids
+            p["add_embedding"] = {
+                "linear_1": L.linear_init(next(keys), in_dim, cfg.time_embed_dim),
+                "linear_2": L.linear_init(next(keys), cfg.time_embed_dim, cfg.time_embed_dim),
+            }
+
+        out_ch = cfg.block_out_channels[0]
+        for i in range(n_levels):
+            in_ch, out_ch = out_ch, cfg.block_out_channels[i]
+            blk = {"resnets": [], "attentions": []}
+            for j in range(cfg.layers_per_block):
+                blk["resnets"].append(_resnet_init(
+                    next(keys), in_ch if j == 0 else out_ch, out_ch, cfg.time_embed_dim,
+                    cfg.norm_num_groups))
+                if cfg.down_block_has_attn[i]:
+                    blk["attentions"].append(_transformer_init(
+                        next(keys), out_ch, cfg.cross_attention_dim, cfg.num_heads[i],
+                        cfg.transformer_layers[i], cfg.use_linear_projection))
+            if i < n_levels - 1:
+                blk["downsample"] = _downsample_init(next(keys), out_ch)
+            p["down_blocks"].append(blk)
+
+        mid_ch = cfg.block_out_channels[-1]
+        p["mid_block"] = {
+            "resnets": [
+                _resnet_init(next(keys), mid_ch, mid_ch, cfg.time_embed_dim, cfg.norm_num_groups),
+                _resnet_init(next(keys), mid_ch, mid_ch, cfg.time_embed_dim, cfg.norm_num_groups),
+            ],
+            "attentions": [_transformer_init(
+                next(keys), mid_ch, cfg.cross_attention_dim, cfg.num_heads[-1],
+                max(cfg.transformer_layers[-1], 1), cfg.use_linear_projection)],
+        }
+
+        rev_out = list(reversed(cfg.block_out_channels))
+        for i in range(n_levels):
+            lvl = n_levels - 1 - i  # resolution level of this up block
+            prev_out = mid_ch if i == 0 else rev_out[i - 1]
+            out_ch = rev_out[i]
+            skip_out = rev_out[i]
+            blk = {"resnets": [], "attentions": []}
+            for j in range(cfg.layers_per_block + 1):
+                res_in = prev_out if j == 0 else out_ch
+                # Skip connections pop in reverse: the last one at each level
+                # comes from one level up.
+                skip_ch = cfg.block_out_channels[max(lvl - 1, 0)] \
+                    if j == cfg.layers_per_block else cfg.block_out_channels[lvl]
+                blk["resnets"].append(_resnet_init(
+                    next(keys), res_in + skip_ch, out_ch, cfg.time_embed_dim, cfg.norm_num_groups))
+                if cfg.down_block_has_attn[lvl]:
+                    blk["attentions"].append(_transformer_init(
+                        next(keys), out_ch, cfg.cross_attention_dim, cfg.num_heads[lvl],
+                        cfg.transformer_layers[lvl], cfg.use_linear_projection))
+            if i < n_levels - 1:
+                blk["upsample"] = _upsample_init(next(keys), out_ch, out_ch)
+            p["up_blocks"].append(blk)
+        return p
+
+    # -- forward ------------------------------------------------------------
+
+    def time_embed(self, params, timesteps, added_cond=None, dtype=jnp.float32):
+        """(B,) timesteps (+ SDXL added conditioning) -> (B, time_embed_dim)."""
+        cfg = self.cfg
+        te = L.timestep_embedding(timesteps, cfg.block_out_channels[0]).astype(dtype)
+        emb = L.linear(params["time_embedding"]["linear_2"],
+                       jax.nn.silu(L.linear(params["time_embedding"]["linear_1"], te)
+                                   .astype(jnp.float32)).astype(dtype))
+        if cfg.addition_embed is not None:
+            add_dim, _, _ = cfg.addition_embed
+            text_embeds = added_cond["text_embeds"]  # (B, pooled_dim)
+            time_ids = added_cond["time_ids"]  # (B, num_ids)
+            b = time_ids.shape[0]
+            tid_emb = L.timestep_embedding(time_ids.reshape(-1), add_dim)
+            tid_emb = tid_emb.reshape(b, -1).astype(dtype)
+            add_in = jnp.concatenate([text_embeds.astype(dtype), tid_emb], axis=-1)
+            aemb = L.linear(params["add_embedding"]["linear_2"],
+                            jax.nn.silu(L.linear(params["add_embedding"]["linear_1"], add_in)
+                                        .astype(jnp.float32)).astype(dtype))
+            emb = emb + aemb
+        return emb
+
+    def apply(self, params, sample, timesteps, encoder_hidden_states,
+              added_cond=None, ctx: Any = None):
+        """Denoise forward.
+
+        sample: (B, H, W, C) dense latents, or (P, ph, pw, C) patches with ctx.
+        timesteps: (B,) — with ctx, per-IMAGE (ctx broadcasts to patches).
+        encoder_hidden_states: (B_img, L, D).
+        """
+        cfg = self.cfg
+        n_levels = len(cfg.block_out_channels)
+        temb = self.time_embed(params, timesteps, added_cond, dtype=sample.dtype)
+        if ctx is not None:
+            temb = ctx.broadcast_to_patches(temb)
+
+        h = _conv(params["conv_in"], sample, ctx, 0)
+        skips = [h]
+        for i, blk in enumerate(params["down_blocks"]):
+            for j, res in enumerate(blk["resnets"]):
+                h = _resnet_apply(res, h, temb, cfg.norm_num_groups, ctx, i)
+                if blk["attentions"]:
+                    h = _transformer_apply(blk["attentions"][j], h, encoder_hidden_states,
+                                           cfg.num_heads[i], cfg.norm_num_groups,
+                                           cfg.use_linear_projection, ctx, i)
+                skips.append(h)
+            if "downsample" in blk:
+                h = _conv(blk["downsample"], h, ctx, i, stride=2)
+                skips.append(h)
+
+        mid = params["mid_block"]
+        h = _resnet_apply(mid["resnets"][0], h, temb, cfg.norm_num_groups, ctx, n_levels - 1)
+        h = _transformer_apply(mid["attentions"][0], h, encoder_hidden_states,
+                               cfg.num_heads[-1], cfg.norm_num_groups,
+                               cfg.use_linear_projection, ctx, n_levels - 1)
+        h = _resnet_apply(mid["resnets"][1], h, temb, cfg.norm_num_groups, ctx, n_levels - 1)
+
+        for i, blk in enumerate(params["up_blocks"]):
+            lvl = n_levels - 1 - i
+            for j, res in enumerate(blk["resnets"]):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = _resnet_apply(res, h, temb, cfg.norm_num_groups, ctx, lvl)
+                if blk["attentions"]:
+                    h = _transformer_apply(blk["attentions"][j], h, encoder_hidden_states,
+                                           cfg.num_heads[lvl], cfg.norm_num_groups,
+                                           cfg.use_linear_projection, ctx, lvl)
+            if "upsample" in blk:
+                h = _upsample_2x(h, ctx, lvl)
+                h = _conv(blk["upsample"], h, ctx, lvl - 1)
+
+        h = _gn(params["conv_norm_out"], h, cfg.norm_num_groups, 1e-5, "silu", ctx, 0)
+        h = _conv(params["conv_out"], h, ctx, 0)
+        return h

@@ -1,0 +1,194 @@
+"""AutoencoderKL (SD VAE) in pure functional JAX, NHWC.
+
+Decoder is the serving hot path (POSTPROCESSING stage); encoder included for
+img2img parity.  Mirrors diffusers' AutoencoderKL module tree for mechanical
+weight conversion.  SD-1.5/SDXL: 4 latent channels; SD-3.5: 16 channels with
+shift factor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sduss_tpu.models import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+    shift_factor: float = 0.0
+    # SDXL VAE needs float32 decode to avoid overflow (reference handles this
+    # at pipelines/stable_diffusion_xl/*.py:48-54); we upcast when set.
+    force_upcast: bool = False
+
+
+SD15_VAE = VAEConfig()
+SDXL_VAE = VAEConfig(scaling_factor=0.13025, force_upcast=True)
+SD3_VAE = VAEConfig(latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609)
+TINY_VAE = VAEConfig(block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8)
+
+
+def _resnet_init(rng, in_ch, out_ch):
+    k = iter(jax.random.split(rng, 3))
+    p = {
+        "norm1": L.group_norm_init(in_ch),
+        "conv1": L.conv_init(next(k), in_ch, out_ch, 3),
+        "norm2": L.group_norm_init(out_ch),
+        "conv2": L.conv_init(next(k), out_ch, out_ch, 3),
+    }
+    if in_ch != out_ch:
+        p["conv_shortcut"] = L.conv_init(next(k), in_ch, out_ch, 1)
+    return p
+
+
+def _resnet_apply(p, x, groups):
+    h = L.group_norm(p["norm1"], x, groups, 1e-6, "silu")
+    h = L.conv2d(p["conv1"], h)
+    h = L.group_norm(p["norm2"], h, groups, 1e-6, "silu")
+    h = L.conv2d(p["conv2"], h)
+    if "conv_shortcut" in p:
+        x = L.conv2d(p["conv_shortcut"], x)
+    return x + h
+
+
+def _attn_init(rng, ch):
+    k = iter(jax.random.split(rng, 4))
+    return {
+        "group_norm": L.group_norm_init(ch),
+        "to_q": L.linear_init(next(k), ch, ch),
+        "to_k": L.linear_init(next(k), ch, ch),
+        "to_v": L.linear_init(next(k), ch, ch),
+        "to_out": L.linear_init(next(k), ch, ch),
+    }
+
+
+def _attn_apply(p, x, groups):
+    b, h, w, c = x.shape
+    res = x
+    y = L.group_norm(p["group_norm"], x, groups, 1e-6)
+    y = y.reshape(b, h * w, c)
+    y = L.attention(L.linear(p["to_q"], y), L.linear(p["to_k"], y), L.linear(p["to_v"], y),
+                    num_heads=1)
+    y = L.linear(p["to_out"], y).reshape(b, h, w, c)
+    return res + y
+
+
+def _mid_init(rng, ch):
+    k = iter(jax.random.split(rng, 3))
+    return {
+        "resnets": [_resnet_init(next(k), ch, ch), _resnet_init(next(k), ch, ch)],
+        "attentions": [_attn_init(next(k), ch)],
+    }
+
+
+def _mid_apply(p, x, groups):
+    x = _resnet_apply(p["resnets"][0], x, groups)
+    x = _attn_apply(p["attentions"][0], x, groups)
+    return _resnet_apply(p["resnets"][1], x, groups)
+
+
+class AutoencoderKL:
+    def __init__(self, cfg: VAEConfig):
+        self.cfg = cfg
+
+    def init(self, rng) -> dict:
+        cfg = self.cfg
+        keys = iter(jax.random.split(rng, 64))
+        chs = cfg.block_out_channels
+        n = len(chs)
+
+        enc = {
+            "conv_in": L.conv_init(next(keys), cfg.in_channels, chs[0], 3),
+            "down_blocks": [],
+            "mid_block": _mid_init(next(keys), chs[-1]),
+            "conv_norm_out": L.group_norm_init(chs[-1]),
+            "conv_out": L.conv_init(next(keys), chs[-1], 2 * cfg.latent_channels, 3),
+        }
+        out_ch = chs[0]
+        for i in range(n):
+            in_ch, out_ch = out_ch, chs[i]
+            blk = {"resnets": [_resnet_init(next(keys), in_ch if j == 0 else out_ch, out_ch)
+                               for j in range(cfg.layers_per_block)]}
+            if i < n - 1:
+                blk["downsample"] = L.conv_init(next(keys), out_ch, out_ch, 3)
+            enc["down_blocks"].append(blk)
+
+        dec = {
+            "conv_in": L.conv_init(next(keys), cfg.latent_channels, chs[-1], 3),
+            "mid_block": _mid_init(next(keys), chs[-1]),
+            "up_blocks": [],
+            "conv_norm_out": L.group_norm_init(chs[0]),
+            "conv_out": L.conv_init(next(keys), chs[0], cfg.out_channels, 3),
+        }
+        rev = list(reversed(chs))
+        out_ch = rev[0]
+        for i in range(n):
+            in_ch, out_ch = out_ch, rev[i]
+            blk = {"resnets": [_resnet_init(next(keys), in_ch if j == 0 else out_ch, out_ch)
+                               for j in range(cfg.layers_per_block + 1)]}
+            if i < n - 1:
+                blk["upsample"] = L.conv_init(next(keys), out_ch, out_ch, 3)
+            dec["up_blocks"].append(blk)
+
+        return {
+            "encoder": enc,
+            "decoder": dec,
+            "quant_conv": L.conv_init(next(keys), 2 * cfg.latent_channels, 2 * cfg.latent_channels, 1),
+            "post_quant_conv": L.conv_init(next(keys), cfg.latent_channels, cfg.latent_channels, 1),
+        }
+
+    def encode(self, params, images, sample_rng=None):
+        """images (B,H,W,3) in [-1,1] -> latent (B,H/8,W/8,latent_ch), scaled."""
+        cfg = self.cfg
+        g = cfg.norm_num_groups
+        x = images
+        if cfg.force_upcast:
+            x = x.astype(jnp.float32)
+        enc = params["encoder"]
+        h = L.conv2d(enc["conv_in"], x)
+        for blk in enc["down_blocks"]:
+            for r in blk["resnets"]:
+                h = _resnet_apply(r, h, g)
+            if "downsample" in blk:
+                # diffusers VAE encoder downsample pads (0,1) bottom/right only.
+                h = jnp.pad(h, [(0, 0), (0, 1), (0, 1), (0, 0)])
+                h = L.conv2d(blk["downsample"], h, stride=2, padding="VALID")
+        h = _mid_apply(enc["mid_block"], h, g)
+        h = L.group_norm(enc["conv_norm_out"], h, g, 1e-6, "silu")
+        h = L.conv2d(enc["conv_out"], h)
+        moments = L.conv2d(params["quant_conv"], h)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        if sample_rng is not None:
+            std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+            mean = mean + std * jax.random.normal(sample_rng, mean.shape, mean.dtype)
+        return (mean - cfg.shift_factor) * cfg.scaling_factor
+
+    def decode(self, params, latents):
+        """Scaled latents (B,h,w,latent_ch) -> images (B,8h,8w,3) in [-1,1]."""
+        cfg = self.cfg
+        g = cfg.norm_num_groups
+        z = latents / cfg.scaling_factor + cfg.shift_factor
+        if cfg.force_upcast:
+            z = z.astype(jnp.float32)
+        z = L.conv2d(params["post_quant_conv"], z)
+        dec = params["decoder"]
+        h = L.conv2d(dec["conv_in"], z)
+        h = _mid_apply(dec["mid_block"], h, g)
+        for blk in dec["up_blocks"]:
+            for r in blk["resnets"]:
+                h = _resnet_apply(r, h, g)
+            if "upsample" in blk:
+                h = L.nearest_upsample_2x(h)
+                h = L.conv2d(blk["upsample"], h)
+        h = L.group_norm(dec["conv_norm_out"], h, g, 1e-6, "silu")
+        return L.conv2d(dec["conv_out"], h)

@@ -1,0 +1,86 @@
+"""Attention backends for the patch pipeline.
+
+* ``masked_attention`` — batched MHA with an optional key-validity mask,
+  replacing the reference's per-image xformers regrouping
+  (sduss/model_executor/modules/attention.py:112-232).
+* On TPU with long sequences it dispatches to the Pallas flash-attention
+  kernel (jax.experimental.pallas.ops.tpu.flash_attention) using segment IDs
+  to express the padded-slot mask; elsewhere (CPU tests, short sequences) it
+  runs the plain XLA einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Sequence length above which the flash kernel pays off (and dense logits
+# would start to dominate HBM).
+_FLASH_MIN_SEQ = 1024
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention  # noqa: F401
+
+        return True
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _dense_masked(q, k, v, num_heads: int, kv_token_mask, scale: float):
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    hd = d // num_heads
+    qh = q.reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) * scale
+    if kv_token_mask is not None:
+        logits = jnp.where(kv_token_mask[:, None, None, :], logits,
+                           jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, d)
+
+
+def _flash_masked(q, k, v, num_heads: int, kv_token_mask, scale: float):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    hd = d // num_heads
+    qh = q.reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+    segment_ids = None
+    if kv_token_mask is not None:
+        # Real tokens segment 1, padded slots segment 0 on the kv side; all
+        # queries segment 1 => padded keys are excluded everywhere.
+        kv_seg = kv_token_mask.astype(jnp.int32)
+        q_seg = jnp.ones((b, lq), jnp.int32)
+        segment_ids = SegmentIds(q=q_seg, kv=kv_seg)
+    out = flash_attention(qh, kh, vh, segment_ids=segment_ids, sm_scale=scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, d)
+
+
+def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
+                     scale: Optional[float] = None):
+    """MHA over (B, L, D) with optional (B, Lk) boolean key mask."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1] // num_heads)
+    if _flash_available() and q.shape[1] >= _FLASH_MIN_SEQ \
+            and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0:
+        return _flash_masked(q, k, v, num_heads, kv_token_mask, scale)
+    return _dense_masked(q, k, v, num_heads, kv_token_mask, scale)

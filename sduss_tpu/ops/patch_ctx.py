@@ -1,0 +1,127 @@
+"""PatchContext: the patch-batch implementations of the UNet's spatial ops.
+
+Plugs into UNet2DConditionModel.apply via the ctx seam (models/unet.py):
+every conv/group-norm/attention/upsample call dispatches here when the batch
+is a mixed-resolution patch batch.  Functional equivalents of the reference's
+Patch* module wrappers:
+
+  conv            <- PatchConv / PatchDown/Upsample2D (modules/resnet.py:249-378)
+  group_norm      <- PatchGroupNorm + fused CUDA kernel (modules/groupnorm.py,
+                     kernels/norm_silu_concat.cu) — here: per-image segment
+                     statistics, exact across each image's patches
+  self_attention  <- PatchSelfAttention regrouping (modules/attention.py:112-232)
+                     — here: gather patches into per-image padded groups, one
+                     masked batched attention, scatter back
+  cross_attention <- PatchCrossAttention (modules/attention.py:52-110) — here:
+                     per-image KV gathered to patches, exact
+
+All shapes are static; correctness is patched == dense per image to float
+tolerance (tests/test_patching.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sduss_tpu.models import layers as L
+from sduss_tpu.ops.attention import masked_attention
+from sduss_tpu.ops.patching import PatchMeta, haloed
+
+
+class PatchContext:
+    """Bound to one PatchMeta; arrays live on device, passed through jit."""
+
+    def __init__(self, meta: PatchMeta):
+        self.meta = meta
+        self.image_id = jnp.asarray(meta.image_id)
+        self.neighbors = jnp.asarray(meta.neighbors)
+        self.group_gather = jnp.asarray(meta.group_gather)
+        self.patch_pos = jnp.asarray(meta.patch_pos)
+        self.kv_mask = jnp.asarray(meta.kv_mask)
+
+    # -- time embedding -----------------------------------------------------
+
+    def broadcast_to_patches(self, temb_img: jnp.ndarray) -> jnp.ndarray:
+        """(I_pad, D) per-image rows -> (P_pad, D) per-patch rows."""
+        return temb_img[self.image_id]
+
+    def per_patch(self, img_values: jnp.ndarray) -> jnp.ndarray:
+        return img_values[self.image_id]
+
+    # -- convs --------------------------------------------------------------
+
+    def conv(self, p, x, lvl: int, stride: int = 1) -> jnp.ndarray:
+        k = p["kernel"].shape[0]
+        if k == 1:
+            return L.conv2d(p, x, stride=stride)
+        if k != 3:  # pragma: no cover
+            raise NotImplementedError(f"patch conv kernel {k}")
+        xh = haloed(x, self.neighbors)
+        return L.conv2d(p, xh, stride=stride, padding="VALID")
+
+    def upsample_2x(self, x, lvl: int) -> jnp.ndarray:
+        return L.nearest_upsample_2x(x)
+
+    # -- group norm ---------------------------------------------------------
+
+    def group_norm(self, p, x, groups: int, eps: float, act, lvl: int) -> jnp.ndarray:
+        """Per-IMAGE statistics across that image's patches (exact)."""
+        pp, s, _, c = x.shape
+        g = groups
+        xf = x.astype(jnp.float32).reshape(pp, s * s, g, c // g)
+        psum = xf.sum(axis=(1, 3))          # (P, G)
+        psq = (xf * xf).sum(axis=(1, 3))    # (P, G)
+        n_img = self.meta.i_pad
+        sums = jax.ops.segment_sum(psum, self.image_id, num_segments=n_img)
+        sqs = jax.ops.segment_sum(psq, self.image_id, num_segments=n_img)
+        cnt = jax.ops.segment_sum(
+            jnp.full((pp,), float(s * s * (c // g)), jnp.float32),
+            self.image_id, num_segments=n_img)
+        cnt = jnp.maximum(cnt, 1.0)[:, None]
+        mean = sums / cnt
+        var = sqs / cnt - mean * mean
+        m = mean[self.image_id][:, None, :, None]
+        v = var[self.image_id][:, None, :, None]
+        y = (xf - m) * jax.lax.rsqrt(v + eps)
+        y = y.reshape(pp, s, s, c) * p["scale"].astype(jnp.float32) \
+            + p["bias"].astype(jnp.float32)
+        if act == "silu":
+            y = jax.nn.silu(y)
+        return y.astype(x.dtype)
+
+    # -- attention ----------------------------------------------------------
+
+    def self_attention(self, p, h, heads: int, lvl: int) -> jnp.ndarray:
+        """h: (P, s^2, C) patch token runs -> full-image attention.
+
+        Gather patches into (I_pad, max_pp*s^2, C) padded per-image groups,
+        run one masked batched attention, scatter token runs back.
+        """
+        q = L.linear(p["to_q"], h)
+        k = L.linear(p["to_k"], h)
+        v = L.linear(p["to_v"], h)
+        pp, s2, c = q.shape
+        m = self.meta
+
+        def group(x):
+            rows = x[jnp.clip(self.group_gather, 0)]          # (I*max_pp, s2, C)
+            return rows.reshape(m.i_pad, m.max_pp * s2, c)
+
+        gq, gk, gv = group(q), group(k), group(v)
+        kv_token_mask = jnp.repeat(self.kv_mask, s2, axis=1)   # (I, max_pp*s2)
+        out = masked_attention(gq, gk, gv, heads, kv_token_mask)
+        out = out.reshape(m.i_pad * m.max_pp, s2, c)
+        return out[self.patch_pos]                              # (P, s2, C)
+
+    def cross_attention(self, p, h, ehs, heads: int, lvl: int) -> jnp.ndarray:
+        """h: (P, s^2, C); ehs: (I_pad, L, D) per-image text context."""
+        k = L.linear(p["to_k"], ehs)
+        v = L.linear(p["to_v"], ehs)
+        q = L.linear(p["to_q"], h)
+        k = k[self.image_id]  # (P, L, C)
+        v = v[self.image_id]
+        return masked_attention(q, k, v, heads)

@@ -1,0 +1,195 @@
+"""Mixed-resolution patch batching: static layouts + index metadata.
+
+The reference slices latents of different resolutions into fixed 32x32-cell
+patches with a 1-px halo and concatenates them on the batch axis so one UNet
+forward serves a 512/768/1024 mixture (sduss/model_executor/modules/unet.py:
+104-202 split_sample/concat_sample, padding_idx/patch_map index tensors).
+
+TPU rebuild: all metadata is precomputed host-side per batch COMPOSITION
+(multiset of per-image patch grids) and cached; the device sees only
+static-shaped arrays:
+
+  image_id     (P,)    patch -> image index
+  neighbors    (P, 8)  patch -> [up, down, left, right, ul, ur, dl, dr], -1 = edge
+  group_gather (I*max_pp,)  group row -> patch index (-1 = padded slot)
+  patch_pos    (P,)    patch -> flat group row (image_id * max_pp + position)
+  kv_mask      (I, max_pp)  which group slots hold real patches
+
+P is padded to a patch-count bucket and I to an image-count bucket, so the
+XLA compile cache is keyed by (P_bucket, I_bucket, max_pp) — independent of
+the exact resolution mixture (SURVEY.md section 7, hard part 3).
+
+Halo exchange includes the 4 diagonal neighbors (the reference's CUDA kernel
+tracks only 4 — corners here are exact, not approximated).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchMeta:
+    """Device-ready metadata for one (padded) patch batch composition."""
+
+    patch_cells: int            # latent cells per patch side (256px / 8 = 32)
+    grids: Tuple[int, ...]      # per real image: patches per side
+    n_patches: int              # real patches
+    n_images: int               # real images
+    p_pad: int                  # padded patch count
+    i_pad: int                  # padded image count
+    max_pp: int                 # max patches per image (padded slot width)
+
+    image_id: np.ndarray        # (p_pad,) int32
+    neighbors: np.ndarray       # (p_pad, 8) int32
+    group_gather: np.ndarray    # (i_pad * max_pp,) int32
+    patch_pos: np.ndarray       # (p_pad,) int32
+    kv_mask: np.ndarray         # (i_pad, max_pp) bool
+
+    @property
+    def compile_key(self) -> Tuple[int, int, int, int]:
+        return (self.patch_cells, self.p_pad, self.i_pad, self.max_pp)
+
+
+def _bucket(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    raise ValueError(f"{value} exceeds largest bucket {buckets[-1]}")
+
+
+@functools.lru_cache(maxsize=256)
+def build_meta(grids: Tuple[int, ...], patch_cells: int,
+               patch_buckets: Tuple[int, ...],
+               image_buckets: Tuple[int, ...]) -> PatchMeta:
+    """Build metadata for a composition given as per-image patch-grid sides."""
+    n_images = len(grids)
+    n_patches = int(sum(g * g for g in grids))
+    p_pad = _bucket(n_patches, patch_buckets)
+    # Reserve a dummy image slot when patch padding exists so padded patches
+    # never pollute a real image's statistics.
+    need_dummy = p_pad > n_patches
+    i_pad = _bucket(n_images + (1 if need_dummy else 0), image_buckets)
+    max_pp = max(g * g for g in grids)
+
+    image_id = np.full((p_pad,), i_pad - 1, np.int32)
+    neighbors = np.full((p_pad, 8), -1, np.int32)
+    patch_pos = np.zeros((p_pad,), np.int32)
+    group_gather = np.full((i_pad * max_pp,), -1, np.int32)
+    kv_mask = np.zeros((i_pad, max_pp), bool)
+
+    base = 0
+    for img, g in enumerate(grids):
+        for i in range(g):
+            for j in range(g):
+                p = base + i * g + j
+                image_id[p] = img
+                pos = i * g + j
+                patch_pos[p] = img * max_pp + pos
+                group_gather[img * max_pp + pos] = p
+                kv_mask[img, pos] = True
+
+                def nb(di, dj):
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < g and 0 <= jj < g:
+                        return base + ii * g + jj
+                    return -1
+
+                neighbors[p] = [nb(-1, 0), nb(1, 0), nb(0, -1), nb(0, 1),
+                                nb(-1, -1), nb(-1, 1), nb(1, -1), nb(1, 1)]
+        base += g * g
+
+    # Padded patches point at the dummy image's first group slot (their
+    # attention output is garbage but isolated).
+    if need_dummy:
+        patch_pos[n_patches:] = (i_pad - 1) * max_pp
+
+    return PatchMeta(
+        patch_cells=patch_cells, grids=grids, n_patches=n_patches,
+        n_images=n_images, p_pad=p_pad, i_pad=i_pad, max_pp=max_pp,
+        image_id=image_id, neighbors=neighbors, group_gather=group_gather,
+        patch_pos=patch_pos, kv_mask=kv_mask)
+
+
+@functools.lru_cache(maxsize=256)
+def double_meta(grids: Tuple[int, ...], patch_cells: int,
+                patch_buckets: Tuple[int, ...],
+                image_buckets: Tuple[int, ...]) -> PatchMeta:
+    """Metadata for the CFG-doubled batch: [uncond block | cond block].
+
+    The doubled arrays are derived so patch p and p + p_pad belong to image
+    slots i and i + i_pad respectively.
+    """
+    m = build_meta(grids, patch_cells, patch_buckets, image_buckets)
+    off_p, off_i = m.p_pad, m.i_pad
+    image_id = np.concatenate([m.image_id, m.image_id + off_i])
+    neighbors = np.concatenate([
+        m.neighbors,
+        np.where(m.neighbors >= 0, m.neighbors + off_p, -1)])
+    patch_pos = np.concatenate([m.patch_pos, m.patch_pos + off_i * m.max_pp])
+    group_gather = np.concatenate([
+        m.group_gather,
+        np.where(m.group_gather >= 0, m.group_gather + off_p, -1)])
+    kv_mask = np.concatenate([m.kv_mask, m.kv_mask])
+    return PatchMeta(
+        patch_cells=m.patch_cells, grids=m.grids, n_patches=2 * m.n_patches,
+        n_images=2 * m.n_images, p_pad=2 * m.p_pad, i_pad=2 * m.i_pad,
+        max_pp=m.max_pp, image_id=image_id, neighbors=neighbors,
+        group_gather=group_gather, patch_pos=patch_pos, kv_mask=kv_mask)
+
+
+# ---------------------------------------------------------------------------
+# Latent <-> patch-batch reshapes (pure jnp; cheap, per-request).
+# ---------------------------------------------------------------------------
+
+
+def split_latent(lat: jnp.ndarray, patch_cells: int) -> jnp.ndarray:
+    """(1, h, h, C) -> (g*g, s, s, C) raster-ordered patches."""
+    _, h, w, c = lat.shape
+    s = patch_cells
+    g = h // s
+    x = lat.reshape(g, s, g, s, c) if lat.shape[0] == 1 else None
+    x = lat[0].reshape(g, s, g, s, c)
+    return x.transpose(0, 2, 1, 3, 4).reshape(g * g, s, s, c)
+
+
+def merge_patches(patches: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """(g*g, s, s, C) -> (1, g*s, g*s, C)."""
+    n, s, _, c = patches.shape
+    x = patches.reshape(grid, grid, s, s, c).transpose(0, 2, 1, 3, 4)
+    return x.reshape(1, grid * s, grid * s, c)
+
+
+def haloed(x: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.ndarray:
+    """Add a 1-cell halo from the 8 neighbor patches: (P,s,s,C)->(P,s+2,s+2,C).
+
+    Exact replacement for the reference's halo machinery (padding_idx +
+    NormSiluConcat CUDA kernel, norm_silu_concat.cu:87-246) as pure gathers —
+    XLA fuses the slice into the gather so only edge rows/cols move.
+    """
+
+    def take(idx, sl):
+        rows = x[jnp.clip(idx, 0)][sl]
+        valid = (idx >= 0).reshape((-1,) + (1,) * (rows.ndim - 1))
+        return jnp.where(valid, rows, 0)
+
+    s = x.shape[1]
+    up = take(neighbors[:, 0], np.s_[:, s - 1 : s, :, :])
+    down = take(neighbors[:, 1], np.s_[:, 0:1, :, :])
+    left = take(neighbors[:, 2], np.s_[:, :, s - 1 : s, :])
+    right = take(neighbors[:, 3], np.s_[:, :, 0:1, :])
+    ul = take(neighbors[:, 4], np.s_[:, s - 1 : s, s - 1 : s, :])
+    ur = take(neighbors[:, 5], np.s_[:, s - 1 : s, 0:1, :])
+    dl = take(neighbors[:, 6], np.s_[:, 0:1, s - 1 : s, :])
+    dr = take(neighbors[:, 7], np.s_[:, 0:1, 0:1, :])
+
+    top = jnp.concatenate([ul, up, ur], axis=2)        # (P, 1, s+2, C)
+    mid = jnp.concatenate([left, x, right], axis=2)    # (P, s, s+2, C)
+    bot = jnp.concatenate([dl, down, dr], axis=2)      # (P, 1, s+2, C)
+    return jnp.concatenate([top, mid, bot], axis=1)

@@ -1,0 +1,310 @@
+"""Staged diffusion pipelines: prepare -> denoising step -> postprocess.
+
+Rebuilds the reference pipeline contract (prepare_inference / denoising_step /
+post_inference, e.g. sduss/model_executor/diffusers/pipelines/stable_diffusion/
+pipeline_stable_diffusion_esymred.py:51,206,307) as host-side orchestration of
+pre-compiled jitted stage functions:
+
+* ``prepare``    — tokenize (host) + text-encode (jit, bucketed batch) +
+                   per-request latent init + sampler table creation.
+* ``denoise_step`` — ONE scheduled denoiser step for a batch of requests
+                   grouped by resolution; CFG pairing, input scaling, model
+                   forward and sampler update fused into a single jitted call
+                   per (resolution, batch-bucket).
+* ``postprocess``  — VAE decode (jit, per resolution) to uint8 images.
+
+Batch shapes are padded to configured buckets so the XLA compile cache stays
+bounded (reference recompilation concern; SURVEY.md section 7 hard part 3).
+Every stage function is pure; requests at different timesteps batch via the
+sampler coefficient rows (sduss_tpu/samplers/base.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sduss_tpu.config import Config, bucket_for
+from sduss_tpu.logger import init_logger
+from sduss_tpu.models.registry import ModelBundle
+from sduss_tpu.request import Request
+from sduss_tpu.samplers import gather_coeffs, gather_timesteps, get_sampler
+
+logger = init_logger(__name__)
+
+
+def _pad_batch(arr: np.ndarray, target: int) -> np.ndarray:
+    """Pad the leading axis to ``target`` by repeating the last row."""
+    b = arr.shape[0]
+    if b == target:
+        return arr
+    reps = np.repeat(arr[-1:], target - b, axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+class BasePipeline:
+    """Family-agnostic staged pipeline over a ModelBundle."""
+
+    def __init__(self, bundle: ModelBundle, config: Config, device=None):
+        self.bundle = bundle
+        self.config = config
+        self.spec = bundle.spec
+        self.device = device
+        self.sampler = get_sampler(self.spec.default_sampler, **self.spec.sampler_kwargs)
+        self.vae_scale = self.spec.vae_scale
+        self._params_device: Optional[dict] = None
+        # jit caches are keyed by (name, *static shape info)
+        self._fns: Dict[Any, Callable] = {}
+
+    # -- device placement ----------------------------------------------------
+
+    @property
+    def params(self) -> dict:
+        if self._params_device is None:
+            p = self.bundle.params
+            if self.device is not None:
+                p = jax.device_put(p, self.device)
+            self._params_device = p
+        return self._params_device
+
+    def _jit(self, name: str, fn: Callable) -> Callable:
+        if name not in self._fns:
+            # Computation follows the arguments' device (params are placed on
+            # this pipeline's replica device), so no explicit device pinning.
+            self._fns[name] = jax.jit(fn)
+        return self._fns[name]
+
+    # -- family hooks --------------------------------------------------------
+
+    def encode_conditioning(self, prompts: List[str], negatives: List[str],
+                            resolutions: List[int]) -> List[Dict[str, np.ndarray]]:
+        """Run text encoders; return one conditioning dict per request."""
+        raise NotImplementedError
+
+    def denoiser_forward(self, params, latents_in, t, cond, ctx=None):
+        """Model forward on a CFG-paired batch.
+
+        Dense: latents_in (2B,h,w,C), cond arrays (B,...) CFG-concatenated by
+        the implementation.  Patched: latents_in is the doubled patch batch,
+        t/cond are per-image (already CFG-doubled), ctx is a PatchContext.
+        """
+        raise NotImplementedError
+
+    # -- stage 1: prepare ----------------------------------------------------
+
+    def prepare(self, requests: Sequence[Request]) -> None:
+        prompts = [r.params.prompt for r in requests]
+        negatives = [r.params.negative_prompt for r in requests]
+        resolutions = [r.resolution for r in requests]
+        conds = self.encode_conditioning(prompts, negatives, resolutions)
+
+        for req, cond in zip(requests, conds):
+            req.conditioning = cond
+            req.sampler_table = self.sampler.make_table(req.params.num_inference_steps)
+            req.remain_steps = req.params.num_inference_steps
+            h = req.latent_hw(self.vae_scale)
+            seed = req.params.seed if req.params.seed is not None else abs(hash(req.request_id)) % (2**31)
+            noise = np.random.default_rng(seed).standard_normal(
+                (1, h, h, self.bundle.latent_channels), dtype=np.float32)
+            lat = noise * req.sampler_table.init_noise_sigma
+            req.latents = jnp.asarray(lat, self._latent_dtype())
+            if self.device is not None:
+                req.latents = jax.device_put(req.latents, self.device)
+
+    def _latent_dtype(self):
+        if self.config.model.dtype == "bfloat16":
+            return jnp.bfloat16
+        return jnp.float32
+
+    # -- stage 2: one denoising step ----------------------------------------
+
+    def denoise_step(self, reqs_by_res: Dict[int, List[Request]]) -> None:
+        """Run ONE denoiser step for every request in the groups (dense path:
+        one jitted call per resolution group)."""
+        for res in sorted(reqs_by_res):
+            reqs = reqs_by_res[res]
+            if not reqs:
+                continue
+            self._denoise_group(res, reqs)
+
+    def _denoise_group(self, res: int, reqs: List[Request]) -> None:
+        b = len(reqs)
+        bb = bucket_for(b, self.config.scheduler.batch_buckets)
+        tables = [r.sampler_table for r in reqs]
+
+        latents = jnp.concatenate([r.latents for r in reqs], axis=0)
+        if bb != b:
+            latents = jnp.concatenate(
+                [latents, jnp.repeat(latents[-1:], bb - b, axis=0)], axis=0)
+        t = _pad_batch(gather_timesteps(tables), bb)
+        coeffs = _pad_batch(gather_coeffs(tables), bb)
+        guidance = _pad_batch(np.asarray(
+            [r.params.guidance_scale if r.params.guidance_scale is not None
+             else self.spec.default_guidance for r in reqs], np.float32), bb)
+
+        cond = self._stack_cond([r.conditioning for r in reqs], bb)
+
+        fn = self._jit(("denoise", res, bb), self._denoise_fn)
+        new_latents = fn(self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
+                         jnp.asarray(guidance), cond)
+        for i, req in enumerate(reqs):
+            req.latents = new_latents[i : i + 1]
+            req.sampler_table.advance()
+            req.remain_steps -= 1
+
+    def _stack_cond(self, conds: List[Dict[str, np.ndarray]], bb: int) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for key in conds[0]:
+            arr = np.concatenate([c[key] for c in conds], axis=0)
+            out[key] = jnp.asarray(_pad_batch(arr, bb))
+        return out
+
+    def _denoise_fn(self, params, latents, t, coeffs, guidance, cond):
+        """Jitted: CFG duplicate -> scale -> model -> combine -> sampler step."""
+        lat_in = jnp.concatenate([latents, latents], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        c0, c1 = coeffs[:, 0], coeffs[:, 1]
+        lat_in = self.sampler.scale_model_input(lat_in, jnp.concatenate([c0, c0]))
+        model_out = self.denoiser_forward(params, lat_in, t2, cond)
+        uncond, text = jnp.split(model_out, 2, axis=0)
+        g = guidance.reshape(-1, *([1] * (latents.ndim - 1)))
+        noise_pred = uncond + g * (text - uncond)
+        return self.sampler.step(latents, noise_pred, c0, c1)
+
+    # -- stage 2b: mixed-resolution patch step -------------------------------
+
+    def denoise_step_mixed(self, reqs_by_res: Dict[int, List[Request]]) -> None:
+        """ONE denoiser step over a mixed-resolution patch batch.
+
+        All requests share a single jitted UNet forward: latents are sliced
+        into patch_size patches, concatenated patch-major (sorted by
+        resolution, reference FCFS_Mixed.py:59-70), and the patch context
+        provides halo convs / per-image group norm / grouped attention.
+        """
+        from sduss_tpu.ops import patching
+
+        ordered: List[Request] = []
+        for res in sorted(reqs_by_res):
+            ordered.extend(reqs_by_res[res])
+        cells = self.config.scheduler.patch_size // self.vae_scale
+        sc = self.config.scheduler
+        grids = []
+        for r in ordered:
+            hw = r.latent_hw(self.vae_scale)
+            if hw % cells != 0:
+                # Resolution not patchable at this patch size: dense fallback.
+                return self.denoise_step(reqs_by_res)
+            grids.append(hw // cells)
+        grids = tuple(grids)
+
+        meta = patching.build_meta(grids, cells, tuple(sc.patch_buckets),
+                                   tuple(sc.batch_buckets))
+        meta2 = patching.double_meta(grids, cells, tuple(sc.patch_buckets),
+                                     tuple(sc.batch_buckets))
+
+        # patch batch (device)
+        parts = [patching.split_latent(r.latents, cells) for r in ordered]
+        x = jnp.concatenate(parts, axis=0)
+        if x.shape[0] < meta.p_pad:
+            pad = jnp.zeros((meta.p_pad - x.shape[0],) + x.shape[1:], x.dtype)
+            x = jnp.concatenate([x, pad], axis=0)
+
+        # per-image arrays padded to i_pad
+        tables = [r.sampler_table for r in ordered]
+        i_pad = meta.i_pad
+
+        def pad_i(arr, fill=0.0):
+            out = np.full((i_pad,) + arr.shape[1:], fill, arr.dtype)
+            out[: arr.shape[0]] = arr
+            return out
+
+        t = pad_i(gather_timesteps(tables))
+        coeffs = pad_i(gather_coeffs(tables), fill=1.0)
+        guidance = pad_i(np.asarray(
+            [r.params.guidance_scale if r.params.guidance_scale is not None
+             else self.spec.default_guidance for r in ordered], np.float32))
+        cond = {}
+        for key in ordered[0].conditioning:
+            arr = np.concatenate([r.conditioning[key] for r in ordered], axis=0)
+            cond[key] = jnp.asarray(pad_i(arr))
+
+        fn = self._jit(("denoise_mixed",) + meta.compile_key,
+                       self._make_mixed_fn(meta, meta2))
+        new_x = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
+                   jnp.asarray(guidance), cond)
+
+        # unpack per request
+        off = 0
+        for r, g in zip(ordered, grids):
+            n = g * g
+            r.latents = patching.merge_patches(new_x[off : off + n], g)
+            off += n
+            r.sampler_table.advance()
+            r.remain_steps -= 1
+
+    def _make_mixed_fn(self, meta, meta2):
+        from sduss_tpu.ops.patch_ctx import PatchContext
+
+        ctx1 = PatchContext(meta)
+        ctx2 = PatchContext(meta2)
+
+        def fn(params, x, t, coeffs, guidance, cond):
+            c0, c1 = coeffs[:, 0], coeffs[:, 1]  # per image (i_pad,)
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            c0_patch2 = jnp.concatenate([c0, c0])[ctx2.image_id]
+            x2 = self.sampler.scale_model_input(x2, c0_patch2)
+            model_out = self.denoiser_forward(params, x2, t2, cond, ctx=ctx2)
+            uncond, text = jnp.split(model_out, 2, axis=0)
+            g = guidance[ctx1.image_id].reshape(-1, 1, 1, 1)
+            noise_pred = uncond + g * (text - uncond)
+            c0p = c0[ctx1.image_id]
+            c1p = c1[ctx1.image_id]
+            return self.sampler.step(x, noise_pred, c0p, c1p)
+
+        return fn
+
+    # -- stage 3: postprocess ------------------------------------------------
+
+    def postprocess(self, reqs_by_res: Dict[int, List[Request]]) -> None:
+        for res in sorted(reqs_by_res):
+            reqs = reqs_by_res[res]
+            if not reqs:
+                continue
+            b = len(reqs)
+            bb = bucket_for(b, self.config.scheduler.batch_buckets)
+            latents = jnp.concatenate([r.latents for r in reqs], axis=0)
+            if bb != b:
+                latents = jnp.concatenate(
+                    [latents, jnp.repeat(latents[-1:], bb - b, axis=0)], axis=0)
+            fn = self._jit(("decode", res, bb), self._decode_fn)
+            images = np.asarray(fn(self.params, latents))
+            for i, req in enumerate(reqs):
+                req.output = images[i]
+
+    def _decode_fn(self, params, latents):
+        img = self.bundle.models["vae"].decode(params["vae"], latents.astype(jnp.float32))
+        img = jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        return jnp.round(img * 255.0).astype(jnp.uint8)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _encode_clip(self, role: str, ids: np.ndarray, *, penultimate: bool,
+                     need_pooled: bool):
+        """Jitted CLIP encode returning (features, pooled_or_None)."""
+        model = self.bundle.models[role]
+        bb = bucket_for(ids.shape[0], self.config.scheduler.batch_buckets)
+        ids = _pad_batch(ids, bb)
+
+        def fn(params, ids):
+            out = model.apply(params[role], ids, output_hidden_states=penultimate)
+            feats = out["hidden_states"][-2] if penultimate else out["last_hidden_state"]
+            return feats, out["pooled"]
+
+        feats, pooled = self._jit(("clip", role, bb, penultimate), fn)(self.params, jnp.asarray(ids))
+        return np.asarray(feats), (np.asarray(pooled) if need_pooled else None)

@@ -1,0 +1,181 @@
+"""ESyMReD: SLO-slack-driven admission/abort scheduling.
+
+Rebuild of the reference's core policy
+(sduss/worker/scheduler/policy/ESyMReD.py:69-456 + slack math in
+worker/wrappers.py:108-155).  Decision flow preserved:
+
+1. POSTPROCESSING first (complete requests ASAP); admission into the decode
+   batch is limited so the batched decode still fits the most urgent
+   request's remaining time budget (postprocessing_ratio, :187-208).
+2. PREPARE next (text encode is cheap; emptying it feeds the denoiser).
+3. DENOISING: requests already denoising always continue (an in-flight
+   compiled step cannot drop members without a recompile anyway).  New
+   admissions iterate in slack order; each candidate admission is evaluated
+   with the latency predictor against ALL running requests' slacks — if any
+   would go negative, stop admitting; when the most urgent candidate has
+   ample slack, admit the smallest-resolution candidate instead (throughput
+   mode, :325-436).  Candidates whose own slack is already negative are
+   aborted (:323-327, 405-412).
+
+Slack(t) = DDL(resolution) - elapsed(t) - predicted_remaining, with
+DDL = standalone latency x SLO scale (esymred_utils.py:14-44).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+from sduss_tpu.config import SchedulerConfig
+from sduss_tpu.logger import init_logger
+from sduss_tpu.request import Request, Stage
+from sduss_tpu.scheduler.policies import Policy, ScheduledBatch
+from sduss_tpu.scheduler.predictor import LatencyPredictor
+from sduss_tpu.scheduler.profiles import get_profile
+from sduss_tpu.scheduler.request_pool import RequestPool
+
+logger = init_logger(__name__)
+
+# Admission guard: stop admitting when a running request's projected slack
+# falls under this (reference hardcodes 0.2 s, ESyMReD.py:305).
+MIN_RUNNING_SLACK_S = 0.2
+# Throughput mode kicks in when the urgent candidate's slack exceeds this
+# multiple of its own remaining denoise time (reference :330).
+THROUGHPUT_SLACK_RATIO = 2.0
+
+
+class ESyMReDPolicy(Policy):
+    supports_mixed_resolution = True
+
+    def __init__(self, config: SchedulerConfig, family: str = "sdxl"):
+        super().__init__(config, family)
+        self.profile = get_profile(family, slo_scale=config.slo_scale,
+                                   overrides=config.stage_latency_overrides or None)
+        if config.predictor_path:
+            self.predictor = LatencyPredictor.load(config.predictor_path, self.profile)
+        else:
+            self.predictor = LatencyPredictor([], self.profile)
+        self._resolutions: List[int] = []
+
+    def _ensure_resolutions(self, pool: RequestPool) -> None:
+        res = sorted(set(self._resolutions)
+                     | {r.resolution for r in pool.in_stage(Stage.DENOISING)})
+        if res != self._resolutions:
+            self._resolutions = res
+            self.predictor.resolutions = res
+
+    # -- slack --------------------------------------------------------------
+
+    def _denoise_slack(self, req: Request, now: float, predicted_remaining_s: float) -> float:
+        ddl = self.profile.denoising_ddl_s(req.resolution)
+        return ddl - (now - req.arrival_time) - predicted_remaining_s
+
+    def _post_slack_budget(self, req: Request, now: float) -> float:
+        """Remaining e2e budget for a request awaiting decode."""
+        return self.profile.e2e_ddl_s(req.resolution) - (now - req.arrival_time)
+
+    # -- schedule ------------------------------------------------------------
+
+    def schedule(self, pool: RequestPool) -> Optional[ScheduledBatch]:
+        now = time.time()
+        self._ensure_resolutions(pool)
+
+        post = pool.in_stage(Stage.POSTPROCESSING)
+        if post:
+            return self._schedule_post(post, now)
+
+        prep = pool.in_stage(Stage.PREPARE)
+        if prep:
+            return ScheduledBatch(Stage.PREPARE, prep[: self.config.max_batch_size])
+
+        return self._schedule_denoising(pool, now)
+
+    def _schedule_post(self, post: List[Request], now: float) -> ScheduledBatch:
+        # Most urgent first; single resolution per decode batch.
+        post = sorted(post, key=lambda r: self._post_slack_budget(r, now))
+        target = post[0]
+        res = target.resolution
+        budget = max(self._post_slack_budget(target, now), 1e-3)
+        batch = [target]
+        for r in post[1:]:
+            if r.resolution != res:
+                continue
+            if len(batch) >= self.config.max_batch_size:
+                break
+            # Admit while the bigger decode batch still fits the target budget.
+            if self.profile.post_latency_s(res, len(batch) + 1) / budget \
+                    < self.config.postprocessing_ratio:
+                batch.append(r)
+            else:
+                break
+        return ScheduledBatch(Stage.POSTPROCESSING, batch)
+
+    def _schedule_denoising(self, pool: RequestPool, now: float) -> Optional[ScheduledBatch]:
+        den = pool.in_stage(Stage.DENOISING)
+        if not den:
+            return None
+
+        running = [r for r in den if r.start_denoising_time is not None]
+        waiting = [r for r in den if r.start_denoising_time is None]
+        aborts: List[Request] = []
+
+        counts: Dict[int, int] = {res: 0 for res in self._resolutions}
+        for r in running:
+            counts[r.resolution] = counts.get(r.resolution, 0) + 1
+
+        def predict_step(extra_res: Optional[int] = None) -> float:
+            c = dict(counts)
+            if extra_res is not None:
+                c[extra_res] = c.get(extra_res, 0) + 1
+            return self.predictor.predict([c.get(res, 0) for res in self._resolutions])
+
+        batch = list(running)
+        budget = self.config.max_batch_size - len(batch)
+
+        # slack-ordered candidates
+        def cand_slack(r: Request) -> float:
+            rem = self.predictor.single_request_step_s(r.resolution) * r.remain_steps
+            return self._denoise_slack(r, now, rem)
+
+        waiting = sorted(waiting, key=cand_slack)
+
+        while budget > 0 and waiting:
+            target = waiting[0]
+            t_slack = cand_slack(target)
+            if t_slack < 0:
+                # Cannot meet SLO even alone: abort (reference :323-327).
+                waiting.pop(0)
+                aborts.append(target)
+                continue
+
+            # Throughput mode: urgent candidate has ample slack => admit the
+            # smallest-resolution candidate instead (reference :325-436).
+            rem_t = self.predictor.single_request_step_s(target.resolution) * target.remain_steps
+            if rem_t > 0 and t_slack / rem_t > THROUGHPUT_SLACK_RATIO:
+                target = min(waiting, key=lambda r: r.resolution)
+
+            # Would admitting `target` sink any running request?
+            step_after = predict_step(target.resolution)
+            ok = True
+            for r in batch:
+                rem = step_after * r.remain_steps
+                if self._denoise_slack(r, now, rem) < MIN_RUNNING_SLACK_S:
+                    ok = False
+                    break
+            if not ok:
+                break
+
+            waiting.remove(target)
+            target.start_denoising_time = now
+            target.predicted_step_ms = step_after * 1000.0
+            counts[target.resolution] = counts.get(target.resolution, 0) + 1
+            batch.append(target)
+            budget -= 1
+
+        if not batch and not aborts:
+            return None
+        step_s = predict_step()
+        for r in batch:
+            r.predicted_step_ms = step_s * 1000.0
+        mixed = len({r.resolution for r in batch}) > 1
+        return ScheduledBatch(Stage.DENOISING, batch, mixed=mixed, aborts=aborts)

@@ -1,0 +1,100 @@
+"""Stage-latency profiles used for SLO deadlines and admission decisions.
+
+Rebuilds the reference's esymred.json + sm_util_*.csv profile tables
+(sduss/worker/scheduler/configs/esymred.json:1-48, ESyMReD.py:105-119) as one
+typed structure.  Defaults below are H100 anchors from the reference config —
+run ``python -m sduss_tpu.scheduler.profiler`` on TPU to regenerate
+machine-true numbers (written to a JSON the SchedulerConfig can point at).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional
+
+# Standalone single-request latencies in SECONDS at 50 denoising steps
+# (denoise) and for one VAE decode (post), per family per resolution.
+_DEFAULT_STANDALONE: Dict[str, Dict[str, Dict[str, float]]] = {
+    "sd15": {
+        "denoising": {"256": 1.0, "512": 1.6, "768": 2.4},
+        "postprocessing": {"256": 0.03, "512": 0.05, "768": 0.08},
+    },
+    "sdxl": {
+        "denoising": {"512": 3.2, "768": 3.4, "1024": 3.7},
+        "postprocessing": {"512": 0.07, "768": 0.1, "1024": 0.16},
+    },
+    "sd3": {
+        "denoising": {"512": 2.07, "768": 3.37, "1024": 5.92},
+        "postprocessing": {"512": 0.09, "768": 0.12, "1024": 0.17},
+    },
+}
+
+# Per-step single-request denoiser latency in seconds (reference
+# ESyMReD.py:30-42 hardcodes these per model).
+_DEFAULT_STEP_LATENCY: Dict[str, Dict[str, float]] = {
+    "sd15": {"256": 0.012, "512": 0.02, "768": 0.032},
+    "sdxl": {"512": 0.04, "768": 0.045, "1024": 0.054},
+    "sd3": {"512": 0.0414, "768": 0.0574, "1024": 0.065},
+}
+
+
+@dataclasses.dataclass
+class StageProfile:
+    family: str
+    slo_scale: float = 5.0
+    standalone: Dict[str, Dict[str, float]] = None  # type: ignore[assignment]
+    step_latency: Dict[str, float] = None  # type: ignore[assignment]
+    # post latency per batch size (index b-1 => batch of b); extrapolated
+    # linearly past the table end.
+    post_batch_latency: Optional[Dict[str, List[float]]] = None
+
+    def __post_init__(self) -> None:
+        if self.standalone is None:
+            self.standalone = _DEFAULT_STANDALONE[self.family]
+        if self.step_latency is None:
+            self.step_latency = _DEFAULT_STEP_LATENCY[self.family]
+        if self.post_batch_latency is None:
+            self.post_batch_latency = {
+                res: [t * (1 + 0.35 * b) for b in range(32)]
+                for res, t in self.standalone["postprocessing"].items()
+            }
+
+    # -- deadlines (reference esymred_utils.py:14-44) ------------------------
+
+    def denoising_ddl_s(self, resolution: int) -> float:
+        return self.standalone["denoising"][str(resolution)] * self.slo_scale
+
+    def e2e_ddl_s(self, resolution: int) -> float:
+        r = str(resolution)
+        return (self.standalone["denoising"][r]
+                + self.standalone["postprocessing"][r]) * self.slo_scale
+
+    def step_latency_s(self, resolution: int) -> float:
+        return self.step_latency[str(resolution)]
+
+    def post_latency_s(self, resolution: int, batch_size: int = 1) -> float:
+        tbl = self.post_batch_latency[str(resolution)]
+        if batch_size <= len(tbl):
+            return tbl[batch_size - 1]
+        return tbl[-1] * batch_size / len(tbl)
+
+    # -- persistence ---------------------------------------------------------
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def from_json(cls, path: str) -> "StageProfile":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(**d)
+
+
+def get_profile(family: str, slo_scale: float = 5.0,
+                overrides: Optional[dict] = None) -> StageProfile:
+    kw = dict(overrides or {})
+    kw.pop("family", None)
+    kw.pop("slo_scale", None)
+    return StageProfile(family=family, slo_scale=slo_scale, **kw)

@@ -8,10 +8,21 @@ never provided.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the ambient environment pins JAX_PLATFORMS=axon
+# (single real TPU via tunnel) — tests must never grab it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# sitecustomize (axon TPU relay) imports jax at interpreter start, so jax has
+# already captured JAX_PLATFORMS=axon from the ambient env — the env-var write
+# above is too late for the config default. Override via jax.config before any
+# backend initializes. XLA_FLAGS is read lazily at backend init, so the env
+# write above still takes effect for the 8-device virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,134 @@
+"""Engine/scheduler/dispatcher tests with tiny models on CPU."""
+
+import time
+
+import numpy as np
+import pytest
+
+from sduss_tpu.config import Config, ModelConfig, ParallelConfig, SchedulerConfig
+from sduss_tpu.engine.engine import Engine
+from sduss_tpu.entrypoints.offline import DiffusionPipeline
+from sduss_tpu.request import Request, SamplingParams, Stage
+from sduss_tpu.scheduler.policies import get_policy
+from sduss_tpu.scheduler.request_pool import RequestPool
+
+
+def _cfg(policy="fcfs_mixed", dp=1):
+    c = Config()
+    c.model = ModelConfig(model="sd15", dtype="float32", test_tiny=True)
+    c.parallel = ParallelConfig(dp=dp)
+    c.scheduler.policy = policy
+    c.scheduler.use_mixed_resolution = False  # dense path for engine tests
+    return c
+
+
+def _req(rid, res=128, steps=2, arrival=None):
+    r = Request(rid, SamplingParams(prompt=f"p {rid}", resolution=res,
+                                    num_inference_steps=steps))
+    if arrival is not None:
+        r.arrival_time = arrival
+    return r
+
+
+class TestRequestPool:
+    def test_stage_moves_and_counts(self):
+        pool = RequestPool()
+        a, b = _req("a"), _req("b", res=256)
+        a.stage = b.stage = Stage.PREPARE
+        pool.add(a)
+        pool.add(b)
+        assert pool.count(Stage.PREPARE) == 2
+        pool.move(a, Stage.DENOISING)
+        assert pool.count(Stage.PREPARE) == 1
+        assert pool.in_stage(Stage.DENOISING) == [a]
+        assert pool.pending_pixels() == 128 * 128 + 256 * 256
+        pool.remove("a")
+        assert pool.unfinished() == 1
+
+    def test_duplicate_rejected(self):
+        pool = RequestPool()
+        pool.add(_req("a"))
+        with pytest.raises(ValueError):
+            pool.add(_req("a"))
+
+
+class TestPolicies:
+    def _pool(self):
+        pool = RequestPool()
+        t0 = time.time()
+        for i, (res, stage) in enumerate([(128, Stage.DENOISING), (256, Stage.DENOISING),
+                                          (128, Stage.PREPARE)]):
+            r = _req(f"r{i}", res=res, arrival=t0 + i)
+            r.stage = stage
+            pool.add(r)
+        return pool
+
+    def test_fcfs_single_same_resolution_only(self):
+        pool = self._pool()
+        batch = get_policy("fcfs_single", SchedulerConfig()).schedule(pool)
+        assert batch.stage is Stage.DENOISING
+        assert all(r.resolution == 128 for r in batch.requests)
+
+    def test_fcfs_mixed_batches_across_resolutions(self):
+        pool = self._pool()
+        cfg = SchedulerConfig(use_mixed_resolution=True)
+        batch = get_policy("fcfs_mixed", cfg).schedule(pool)
+        assert batch.stage is Stage.DENOISING
+        assert {r.resolution for r in batch.requests} == {128, 256}
+        assert batch.mixed
+
+    def test_orca_res_by_res_drains_one_res(self):
+        pool = self._pool()
+        pol = get_policy("orca_resbyres", SchedulerConfig())
+        b1 = pol.schedule(pool)
+        assert len({r.resolution for r in b1.requests}) == 1
+
+    def test_max_batch_size_respected(self):
+        pool = RequestPool()
+        for i in range(20):
+            r = _req(f"r{i}")
+            r.stage = Stage.DENOISING
+            pool.add(r)
+        cfg = SchedulerConfig(max_batch_size=4)
+        batch = get_policy("fcfs_mixed", cfg).schedule(pool)
+        assert len(batch.requests) == 4
+
+
+class TestEngine:
+    def test_offline_pipeline_end_to_end(self):
+        pipe = DiffusionPipeline(config=_cfg())
+        outs = pipe.generate(["a cat", "a dog"], resolution=128, num_inference_steps=2)
+        assert len(outs) == 2
+        assert all(o.finished for o in outs)
+        assert all(o.image is not None for o in outs)
+
+    def test_engine_dp2_splits_load(self):
+        eng = Engine(_cfg(dp=2))
+        reqs = [_req(f"r{i}", res=128, steps=2) for i in range(4)]
+        eng.add_requests(reqs)
+        outs = []
+        while eng.has_unfinished_requests():
+            outs.extend(eng.step())
+        assert len(outs) == 4
+        ranks = {r.dp_rank for r in reqs}
+        assert ranks == {0, 1}
+
+    def test_abort_waiting_and_running(self):
+        eng = Engine(_cfg())
+        reqs = [_req("a", steps=5), _req("b", steps=5)]
+        eng.add_requests(reqs)
+        aborted = eng.abort_requests(["a"])
+        assert len(aborted) == 1 and aborted[0].aborted
+        eng.step()  # dispatch + prepare b
+        aborted = eng.abort_requests(["b"])
+        assert len(aborted) == 1 and aborted[0].aborted
+        assert not eng.has_unfinished_requests()
+
+    def test_stats_summary(self):
+        eng = Engine(_cfg())
+        eng.add_requests([_req("a", steps=2)])
+        while eng.has_unfinished_requests():
+            eng.step()
+        s = eng.stats.summary("sd15")
+        assert s["finished"] == 1
+        assert s["throughput_rps"] > 0

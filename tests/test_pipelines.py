@@ -1,0 +1,98 @@
+"""End-to-end staged pipeline tests with tiny random-weight models (CPU).
+
+Covers the reference's offline smoke tests (tests/pipelines/esymred_*_test1.py)
+but with assertions, no GPUs and no weights — the test architecture the
+reference lacks (SURVEY.md section 4).
+"""
+
+import numpy as np
+import pytest
+
+from sduss_tpu.config import Config, ModelConfig
+from sduss_tpu.pipelines import build_pipeline
+from sduss_tpu.request import Request, SamplingParams, Stage
+
+
+def _cfg(family: str) -> Config:
+    c = Config()
+    c.model = ModelConfig(model=family, dtype="float32", test_tiny=True)
+    return c
+
+
+def _run_requests(pipe, reqs):
+    pipe.prepare(reqs)
+    for r in reqs:
+        assert r.sampler_table is not None
+        assert r.latents.shape[0] == 1
+    while any(r.remain_steps > 0 for r in reqs):
+        active = [r for r in reqs if r.remain_steps > 0]
+        by_res = {}
+        for r in active:
+            by_res.setdefault(r.resolution, []).append(r)
+        pipe.denoise_step(by_res)
+    by_res = {}
+    for r in reqs:
+        by_res.setdefault(r.resolution, []).append(r)
+    pipe.postprocess(by_res)
+
+
+@pytest.mark.parametrize("family", ["sd15", "sdxl", "sd3"])
+def test_end_to_end_tiny(family):
+    pipe = build_pipeline(_cfg(family))
+    reqs = [
+        Request("r0", SamplingParams(prompt="a cat", resolution=128, num_inference_steps=3)),
+        Request("r1", SamplingParams(prompt="a dog", negative_prompt="blurry",
+                                     resolution=128, num_inference_steps=5)),
+    ]
+    _run_requests(pipe, reqs)
+    for r in reqs:
+        assert r.output is not None
+        assert r.output.dtype == np.uint8
+        # tiny VAE has 2 levels => 4x upscale from latent (res/8 * 4 = res/2).
+        assert r.output.shape[-1] == 3
+        assert r.remain_steps == 0
+
+
+def test_mixed_resolution_groups_sd15():
+    pipe = build_pipeline(_cfg("sd15"))
+    reqs = [
+        Request("a", SamplingParams(prompt="x", resolution=128, num_inference_steps=2)),
+        Request("b", SamplingParams(prompt="y", resolution=256, num_inference_steps=4)),
+    ]
+    _run_requests(pipe, reqs)
+    assert reqs[0].output.shape[0] != reqs[1].output.shape[0]
+
+
+def test_batched_equals_solo_sd15():
+    """Continuous-batching correctness: joining a batch must not change a
+    request's trajectory (same seed => same image)."""
+    pipe = build_pipeline(_cfg("sd15"))
+    solo = Request("s", SamplingParams(prompt="same prompt", resolution=128,
+                                       num_inference_steps=3, seed=42))
+    _run_requests(pipe, [solo])
+
+    pipe2 = build_pipeline(_cfg("sd15"), bundle=pipe.bundle)
+    a = Request("s", SamplingParams(prompt="same prompt", resolution=128,
+                                    num_inference_steps=3, seed=42))
+    b = Request("t", SamplingParams(prompt="other prompt", resolution=128,
+                                    num_inference_steps=5, seed=7))
+    pipe2.prepare([a, b])
+    # interleave: step both, then finish each at its own pace
+    pipe2.denoise_step({128: [a, b]})
+    pipe2.denoise_step({128: [b, a]})
+    pipe2.denoise_step({128: [a, b]})
+    pipe2.denoise_step({128: [b]})
+    pipe2.denoise_step({128: [b]})
+    assert a.remain_steps == 0 and b.remain_steps == 0
+    pipe2.postprocess({128: [a, b]})
+    np.testing.assert_array_equal(solo.output, a.output)
+
+
+def test_deterministic_given_seed():
+    pipe = build_pipeline(_cfg("sd15"))
+    mk = lambda: Request("r", SamplingParams(prompt="p", resolution=128,
+                                             num_inference_steps=2, seed=1))
+    r1, r2 = mk(), mk()
+    _run_requests(pipe, [r1])
+    _run_requests(pipe, [r2])
+    np.testing.assert_array_equal(r1.output, r2.output)
