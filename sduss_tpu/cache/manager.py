@@ -1,0 +1,133 @@
+"""Learned per-block output cache for the patched denoiser.
+
+Rebuild of the reference CacheManager (sduss/model_executor/modules/
+cache_manager.py:22-199 + block hooks in unet_2d_blocks.py:40-380): per patch,
+per UNet block, per timestep, decide whether to RECOMPUTE the block or REUSE
+its cached output, based on how much the block's input drifted since the
+cached step (MSE features into a trained classifier), with a forced recompute
+after ``max_hits`` consecutive cache hits.
+
+TPU-native design (SURVEY.md section 7 step 6):
+
+* Cache state is a **pure pytree** threaded through the jitted step function
+  (functional in/out, never module state), split per request between steps so
+  continuous-batching membership changes can never misalign rows.
+* The decision runs **in-graph** (no per-block device->host sync — the
+  reference pays a GPU sync per block per step to call joblib on CPU).
+  The classifier is a tiny per-block logistic over [mse, timestep, hits],
+  trained from TPU traces by ``sduss_tpu.cache.train`` (numpy, no joblib).
+* v1 executes as **masked recompute**: the block is computed for all patches
+  and the cached output is selected back for cache-hit rows.  This is
+  numerically exactly the reference's splice semantics
+  (cache_manager.update_and_return:84-99).  The compute saving comes later
+  via bucketed gather-compact-scatter (compact active patches to a padded
+  sub-batch; attention already supports masked queries); the state layout and
+  decision logic here are built for that and will not change.
+
+Gated by ``CacheConfig.enabled`` (reference env ESYMRED_USE_CACHE,
+cache_manager.py:47-51): cache off must stay a correct, fast system.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sduss_tpu.config import CacheConfig
+
+
+class BlockCache:
+    """Decision + splice logic for one deployment; state lives in pytrees.
+
+    State layout per gated block key::
+
+        {"inp":  (P, s, s, C)  block input at last recompute,
+         "out":  (P, s, s, C)  block output at last recompute,
+         "hits": (P,)          consecutive reuse count, int32}
+    """
+
+    def __init__(self, config: CacheConfig):
+        self.config = config
+        # block key -> (w_mse, w_t, w_hits, bias); decision = sigmoid(.) > 0.5
+        self.classifiers: Dict[str, np.ndarray] = {}
+        if config.classifier_path:
+            data = np.load(config.classifier_path)
+            for k in data.files:
+                self.classifiers[k] = data[k]
+
+    # -- state ----------------------------------------------------------------
+
+    def init_rows(self, key: str, n_patches: int, s: int, c_in: int,
+                  c_out: int, dtype=jnp.bfloat16) -> dict:
+        """Fresh cache rows for ``n_patches`` patches of one request."""
+        return {
+            "inp": jnp.zeros((n_patches, s, s, c_in), dtype),
+            "out": jnp.zeros((n_patches, s, s, c_out), dtype),
+            # start at max_hits so the first step always recomputes
+            "hits": jnp.full((n_patches,), self.config.max_hits, jnp.int32),
+        }
+
+    # -- decision (traced) ------------------------------------------------------
+
+    def _recompute_mask(self, key: str, x, state_k, t_norm):
+        """(P,) bool — True where the block must be recomputed."""
+        xf = x.astype(jnp.float32)
+        cf = state_k["inp"].astype(jnp.float32)
+        mse = jnp.mean((xf - cf) ** 2, axis=(1, 2, 3))
+        scale = jnp.mean(xf * xf, axis=(1, 2, 3)) + 1e-8
+        rel = mse / scale
+        clf = self.classifiers.get(key)
+        if clf is not None:
+            w_mse, w_t, w_hits, bias = [float(v) for v in clf]
+            logit = (w_mse * rel + w_t * t_norm
+                     + w_hits * state_k["hits"].astype(jnp.float32) + bias)
+            fresh = logit > 0.0
+        else:
+            fresh = rel > self.config.mse_threshold
+        return fresh | (state_k["hits"] >= self.config.max_hits), rel
+
+    # -- gate (traced) ----------------------------------------------------------
+
+    def gate(self, key: str, x, t_norm, state_k: Optional[dict],
+             compute_fn: Callable):
+        """Run ``compute_fn(x)`` under the cache decision.
+
+        Returns (y, new_state_k, stats).  With ``state_k`` None the block is
+        ungated (cache disabled or shallow level): plain compute.
+        """
+        if state_k is None:
+            return compute_fn(x), None, None
+        fresh, rel = self._recompute_mask(key, x, state_k, t_norm)
+        y_new = compute_fn(x)
+        sel = fresh.reshape(-1, 1, 1, 1)
+        y = jnp.where(sel, y_new, state_k["out"].astype(y_new.dtype))
+        new_state = {
+            "inp": jnp.where(sel, x, state_k["inp"].astype(x.dtype)),
+            "out": y,
+            "hits": jnp.where(fresh, 0, state_k["hits"] + 1),
+        }
+        stats = {"fresh": fresh, "rel_mse": rel}
+        return y, new_state, stats
+
+
+def split_state(state: dict, counts: List[int]) -> List[dict]:
+    """Split a batched cache state into per-request row slices (host side)."""
+    outs: List[dict] = [dict() for _ in counts]
+    for key, entry in state.items():
+        off = 0
+        for i, n in enumerate(counts):
+            outs[i][key] = jax.tree.map(lambda a: a[off : off + n], entry)
+            off += n
+    return outs
+
+
+def concat_state(per_req: List[dict], keys: List[str]) -> dict:
+    """Concatenate per-request rows back into one batched state."""
+    out = {}
+    for key in keys:
+        entries = [r[key] for r in per_req]
+        out[key] = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *entries)
+    return out

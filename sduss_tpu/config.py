@@ -38,6 +38,9 @@ class ModelConfig:
     model_path: Optional[str] = None
     # Compute dtype for the denoiser/encoders ("bfloat16" | "float32").
     dtype: str = "bfloat16"
+    # Sampler override ("euler" | "flow_match" | "ddim" | "pndm");
+    # None => family default.
+    sampler: Optional[str] = None
     seed: int = 0
     # Use the ESyMReD mixed-resolution patch pipeline (vs plain per-res batch).
     use_patched: bool = True
@@ -137,11 +140,15 @@ class CacheConfig:
     """Learned per-block output cache (reference cache_manager.py:22-199)."""
 
     enabled: bool = False
-    # Force recompute after this many consecutive cache hits.
-    max_consecutive_hits_unet: int = 4
-    max_consecutive_hits_mmdit: int = 2
-    # Paths to trained classifiers (npz); None => MSE-threshold fallback.
-    classifier_paths: Dict[str, str] = field(default_factory=dict)
+    # Force recompute after this many consecutive cache hits (reference uses
+    # 4 for UNet blocks, 2 for the SD3 MMDiT, cache_manager.py:101-191).
+    max_hits: int = 4
+    # Only gate blocks at resolution level >= this (0 = full latent res);
+    # shallow levels cost the most HBM for the least compute saving.
+    min_level: int = 1
+    # Path to trained per-block classifiers (one npz, sduss_tpu/cache/train.py);
+    # None => relative-MSE-threshold fallback.
+    classifier_path: Optional[str] = None
     mse_threshold: float = 0.01
 
 

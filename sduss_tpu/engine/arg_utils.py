@@ -19,6 +19,9 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="tiny random-weight model (tests/dev)")
     g.add_argument("--no-patched", action="store_true",
                    help="disable the mixed-resolution patch pipeline")
+    g.add_argument("--sampler", type=str, default=None,
+                   choices=["euler", "flow_match", "ddim", "pndm"],
+                   help="sampler override; default = family default")
 
     g = parser.add_argument_group("parallel")
     g.add_argument("--data-parallel-size", "--dp", type=int, default=1)
@@ -46,7 +49,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return Config(
         model=ModelConfig(
             model=args.model, model_path=args.model_path, dtype=args.dtype,
-            seed=args.seed, use_patched=not args.no_patched, test_tiny=args.test_tiny),
+            seed=args.seed, use_patched=not args.no_patched,
+            test_tiny=args.test_tiny, sampler=args.sampler),
         parallel=ParallelConfig(
             dp=args.data_parallel_size, tp=args.tensor_parallel_size,
             sp=args.spatial_parallel_size),

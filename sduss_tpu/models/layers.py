@@ -20,6 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Matmul/conv precision. None = backend default: bf16 inputs run single-pass
+# on the MXU (the fast path the whole stack is designed around — activations
+# and weights are bf16 in serving). Stages that need full float32 math (VAE
+# decode) wrap their calls in ``jax.default_matmul_precision("highest")``
+# instead of forcing every matmul in the network onto the slow multi-pass MXU
+# path.
+MATMUL_PRECISION: Optional[jax.lax.Precision] = None
+
 
 def linear_init(rng, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = True):
     k1, _ = jax.random.split(rng)
@@ -32,7 +40,7 @@ def linear_init(rng, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = 
 
 def linear(p, x):
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=MATMUL_PRECISION)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -51,20 +59,25 @@ def conv_init(rng, in_ch: int, out_ch: int, kernel: int, dtype=jnp.float32, bias
 def conv2d(p, x, stride: int = 1, padding="SAME"):
     """NHWC conv with HWIO kernel.
 
+    ``padding``: "SAME"/"VALID", an int (symmetric both spatial dims), or an
+    explicit [(ph_lo, ph_hi), (pw_lo, pw_hi)] list (used by the sharded
+    spatial path where H halos are exchanged manually).
     For stride > 1, "SAME" is replaced by explicit symmetric (k-1)//2 padding
     to match torch Conv2d(padding=1) window placement (XLA SAME would pad
     bottom/right only, shifting every window by one).
     """
     if padding == "SAME" and stride != 1:
         padding = (p["kernel"].shape[0] - 1) // 2
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * 2
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=(stride, stride),
-        padding=padding if isinstance(padding, str) else [(padding, padding)] * 2,
+        padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MATMUL_PRECISION,
     )
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
@@ -134,14 +147,14 @@ def attention(q, k, v, num_heads: int, mask=None, scale: Optional[float] = None,
     kh = k.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST) * scale
+                        precision=MATMUL_PRECISION) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
+                     precision=MATMUL_PRECISION).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, lq, d)
 
 

@@ -101,12 +101,10 @@ def _resnet_init(rng, in_ch, out_ch, temb_dim, groups):
 
 
 def _resnet_apply(p, x, temb, groups, ctx, lvl):
-    h = _gn(p["norm1"], x, groups, 1e-5, "silu", ctx, lvl)
-    h = _conv(p["conv1"], h, ctx, lvl)
+    h = _gn_silu_conv(p["norm1"], p["conv1"], x, groups, ctx, lvl)
     t = L.linear(p["time_emb_proj"], jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
     h = h + t[:, None, None, :].astype(h.dtype)
-    h = _gn(p["norm2"], h, groups, 1e-5, "silu", ctx, lvl)
-    h = _conv(p["conv2"], h, ctx, lvl)
+    h = _gn_silu_conv(p["norm2"], p["conv2"], h, groups, ctx, lvl)
     if "conv_shortcut" in p:
         x = _conv1x1(p["conv_shortcut"], x)
     return x + h
@@ -198,6 +196,17 @@ def _gn(p, x, groups, eps, act, ctx, lvl):
     return ctx.group_norm(p, x, groups, eps, act, lvl)
 
 
+def _gn_silu_conv(p_gn, p_conv, x, groups, ctx, lvl):
+    """GroupNorm+SiLU fused into the following 3x3 conv's halo layout.
+
+    Patch path uses the fused Pallas kernel (ops/gn_halo.py, the rebuild of
+    the reference's norm_silu_concat.cu); dense path relies on XLA fusion.
+    """
+    if ctx is None:
+        return L.conv2d(p_conv, L.group_norm(p_gn, x, groups, 1e-5, "silu"))
+    return ctx.gn_silu_conv(p_gn, p_conv, x, groups, 1e-5, lvl)
+
+
 def _conv(p, x, ctx, lvl, stride: int = 1):
     if ctx is None:
         return L.conv2d(p, x, stride=stride)
@@ -212,8 +221,12 @@ def _conv1x1(p, x):
 
 def _self_attention(p, h, heads, ctx, lvl):
     if ctx is None:
-        out = L.attention(L.linear(p["to_q"], h), L.linear(p["to_k"], h),
-                          L.linear(p["to_v"], h), heads)
+        from sduss_tpu.ops.attention import masked_attention
+
+        # Dispatches to the Pallas flash kernel on TPU for long sequences
+        # (4096 tokens at 1024px), plain einsum elsewhere.
+        out = masked_attention(L.linear(p["to_q"], h), L.linear(p["to_k"], h),
+                               L.linear(p["to_v"], h), heads)
     else:
         out = ctx.self_attention(p, h, heads, lvl)
     return L.linear(p["to_out"], out)
@@ -343,55 +356,124 @@ class UNet2DConditionModel:
             emb = emb + aemb
         return emb
 
+    def cache_layout(self, cells: int, min_level: int = 1):
+        """Gated-block layout for the block cache: key -> (s, c_in, c_out).
+
+        ``cells`` is the patch side in latent cells at level 0.  One gate per
+        (resnet, attention) pair plus the mid block — the TPU adaptation of
+        the reference's per-Down/Up/Transformer-block CacheManagers
+        (sduss/model_executor/modules/unet_2d_blocks.py:40-380) at a slightly
+        coarser granularity (fewer in-graph decisions per step).
+        """
+        cfg = self.cfg
+        n_levels = len(cfg.block_out_channels)
+        bo = cfg.block_out_channels
+        layout = {}
+        out_ch = bo[0]
+        for i in range(n_levels):
+            in_ch, out_ch = out_ch, bo[i]
+            if i < min_level:
+                continue
+            s = cells >> i
+            for j in range(cfg.layers_per_block):
+                layout[f"down{i}.{j}"] = (s, in_ch if j == 0 else out_ch, out_ch)
+        if n_levels - 1 >= min_level:
+            s = cells >> (n_levels - 1)
+            layout["mid"] = (s, bo[-1], bo[-1])
+        rev = list(reversed(bo))
+        for i in range(n_levels):
+            lvl = n_levels - 1 - i
+            if lvl < min_level:
+                continue
+            s = cells >> lvl
+            prev_out = bo[-1] if i == 0 else rev[i - 1]
+            for j in range(cfg.layers_per_block + 1):
+                res_in = prev_out if j == 0 else rev[i]
+                skip_ch = bo[max(lvl - 1, 0)] if j == cfg.layers_per_block else bo[lvl]
+                layout[f"up{i}.{j}"] = (s, res_in + skip_ch, rev[i])
+        return layout
+
     def apply(self, params, sample, timesteps, encoder_hidden_states,
-              added_cond=None, ctx: Any = None):
+              added_cond=None, ctx: Any = None, cache: Any = None,
+              cache_state: Any = None):
         """Denoise forward.
 
         sample: (B, H, W, C) dense latents, or (P, ph, pw, C) patches with ctx.
         timesteps: (B,) — with ctx, per-IMAGE (ctx broadcasts to patches).
         encoder_hidden_states: (B_img, L, D).
+        cache / cache_state: optional BlockCache + state pytree (patch path
+        only); when given, returns (out, new_cache_state).
         """
         cfg = self.cfg
         n_levels = len(cfg.block_out_channels)
         temb = self.time_embed(params, timesteps, added_cond, dtype=sample.dtype)
+        t_norm = None
         if ctx is not None:
             temb = ctx.broadcast_to_patches(temb)
+            t_norm = ctx.per_patch(timesteps.astype(jnp.float32)) / 1000.0
+        new_state: dict = {}
+
+        def gated(key, x, compute_fn):
+            if cache is None or cache_state is None:
+                return compute_fn(x)
+            y, ns, _ = cache.gate(key, x, t_norm, cache_state.get(key), compute_fn)
+            if ns is not None:
+                new_state[key] = ns
+            return y
 
         h = _conv(params["conv_in"], sample, ctx, 0)
         skips = [h]
         for i, blk in enumerate(params["down_blocks"]):
             for j, res in enumerate(blk["resnets"]):
-                h = _resnet_apply(res, h, temb, cfg.norm_num_groups, ctx, i)
-                if blk["attentions"]:
-                    h = _transformer_apply(blk["attentions"][j], h, encoder_hidden_states,
-                                           cfg.num_heads[i], cfg.norm_num_groups,
-                                           cfg.use_linear_projection, ctx, i)
+
+                def down_pair(x, res=res, blk=blk, i=i, j=j):
+                    y = _resnet_apply(res, x, temb, cfg.norm_num_groups, ctx, i)
+                    if blk["attentions"]:
+                        y = _transformer_apply(blk["attentions"][j], y,
+                                               encoder_hidden_states,
+                                               cfg.num_heads[i], cfg.norm_num_groups,
+                                               cfg.use_linear_projection, ctx, i)
+                    return y
+
+                h = gated(f"down{i}.{j}", h, down_pair)
                 skips.append(h)
             if "downsample" in blk:
                 h = _conv(blk["downsample"], h, ctx, i, stride=2)
                 skips.append(h)
 
         mid = params["mid_block"]
-        h = _resnet_apply(mid["resnets"][0], h, temb, cfg.norm_num_groups, ctx, n_levels - 1)
-        h = _transformer_apply(mid["attentions"][0], h, encoder_hidden_states,
-                               cfg.num_heads[-1], cfg.norm_num_groups,
-                               cfg.use_linear_projection, ctx, n_levels - 1)
-        h = _resnet_apply(mid["resnets"][1], h, temb, cfg.norm_num_groups, ctx, n_levels - 1)
+
+        def mid_fn(x):
+            y = _resnet_apply(mid["resnets"][0], x, temb, cfg.norm_num_groups, ctx, n_levels - 1)
+            y = _transformer_apply(mid["attentions"][0], y, encoder_hidden_states,
+                                   cfg.num_heads[-1], cfg.norm_num_groups,
+                                   cfg.use_linear_projection, ctx, n_levels - 1)
+            return _resnet_apply(mid["resnets"][1], y, temb, cfg.norm_num_groups, ctx, n_levels - 1)
+
+        h = gated("mid", h, mid_fn)
 
         for i, blk in enumerate(params["up_blocks"]):
             lvl = n_levels - 1 - i
             for j, res in enumerate(blk["resnets"]):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = _resnet_apply(res, h, temb, cfg.norm_num_groups, ctx, lvl)
-                if blk["attentions"]:
-                    h = _transformer_apply(blk["attentions"][j], h, encoder_hidden_states,
-                                           cfg.num_heads[lvl], cfg.norm_num_groups,
-                                           cfg.use_linear_projection, ctx, lvl)
+
+                def up_pair(x, res=res, blk=blk, i=i, j=j, lvl=lvl):
+                    y = _resnet_apply(res, x, temb, cfg.norm_num_groups, ctx, lvl)
+                    if blk["attentions"]:
+                        y = _transformer_apply(blk["attentions"][j], y,
+                                               encoder_hidden_states,
+                                               cfg.num_heads[lvl], cfg.norm_num_groups,
+                                               cfg.use_linear_projection, ctx, lvl)
+                    return y
+
+                h = gated(f"up{i}.{j}", h, up_pair)
             if "upsample" in blk:
                 h = _upsample_2x(h, ctx, lvl)
                 h = _conv(blk["upsample"], h, ctx, lvl - 1)
 
-        h = _gn(params["conv_norm_out"], h, cfg.norm_num_groups, 1e-5, "silu", ctx, 0)
-        h = _conv(params["conv_out"], h, ctx, 0)
+        h = _gn_silu_conv(params["conv_norm_out"], params["conv_out"], h,
+                          cfg.norm_num_groups, ctx, 0)
+        if cache is not None and cache_state is not None:
+            return h, new_state
         return h

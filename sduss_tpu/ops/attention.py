@@ -25,6 +25,10 @@ _FLASH_MIN_SEQ = 1024
 
 @functools.lru_cache(maxsize=1)
 def _flash_available() -> bool:
+    import os
+
+    if os.environ.get("SDUSS_DISABLE_FLASH") == "1":
+        return False
     if jax.default_backend() != "tpu":
         return False
     try:
@@ -44,13 +48,13 @@ def _dense_masked(q, k, v, num_heads: int, kv_token_mask, scale: float):
     vh = v.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST) * scale
+                        precision=None) * scale
     if kv_token_mask is not None:
         logits = jnp.where(kv_token_mask[:, None, None, :], logits,
                            jnp.finfo(jnp.float32).min)
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", w, vh, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
+                     precision=None).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, lq, d)
 
 

@@ -1,0 +1,190 @@
+"""Fused per-image GroupNorm + SiLU + halo write — the Pallas TPU rebuild of
+the reference's only native kernel (norm_silu_concat.cu:41-438: Welford
+moments + NormSiluConcatCUDAKernel normalize/SiLU/halo-fill).
+
+Two phases, mirroring the CUDA kernel's structure:
+
+1. **Moments** (XLA): per-image mean/rstd across that image's patches via
+   ``segment_sum`` over the patch->image map (exact, bandwidth-bound — XLA
+   already emits an efficient tree reduction; no kernel needed).
+2. **Normalize + SiLU + halo** (Pallas): one pass over the patch batch that
+   writes the conv-ready (P, s+2, s+2, C) buffer: center = normalized patch,
+   1-cell border = normalized edge rows/cols/corners of the 4+4 neighbor
+   patches (DMA'd straight from HBM — only edges move, ~(4s+4)/s^2 read
+   amplification instead of the 9x of gathering whole neighbor patches).
+   This fuses what the unfused path does in three materialized steps
+   (normalize+scale+act, neighbor gather, concat) into one VMEM-resident
+   pass, eliminating two full HBM round-trips of the activation tensor.
+
+Boundary patches (neighbor = -1) get zero halos, matching the reference's
+zero padding at image borders.
+
+Falls back to the pure-jnp composition (ops/patch_ctx.py group_norm +
+ops/patching.haloed) off-TPU; ``interpret=True`` testing on CPU keeps the
+kernel itself under test everywhere (tests/test_gn_halo.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _moments(x, image_id, n_images: int, groups: int):
+    """Per-image (mean, rstd) across patches: (I, G) float32 each."""
+    pp, s, _, c = x.shape
+    g = groups
+    xf = x.astype(jnp.float32).reshape(pp, s * s, g, c // g)
+    psum = xf.sum(axis=(1, 3))
+    psq = (xf * xf).sum(axis=(1, 3))
+    sums = jax.ops.segment_sum(psum, image_id, num_segments=n_images)
+    sqs = jax.ops.segment_sum(psq, image_id, num_segments=n_images)
+    cnt = jax.ops.segment_sum(
+        jnp.full((pp,), float(s * s * (c // g)), jnp.float32),
+        image_id, num_segments=n_images)
+    cnt = jnp.maximum(cnt, 1.0)[:, None]
+    mean = sums / cnt
+    var = jnp.maximum(sqs / cnt - mean * mean, 0.0)
+    return mean, var
+
+
+def _kernel(image_id_ref, neighbors_ref, x_ref, mean_ref, rstd_ref,
+            scale_ref, bias_ref, out_ref, buf, sems, *, s, c, groups, act):
+    p = pl.program_id(0)
+    img = image_id_ref[p]
+    cpg = c // groups
+    sl = slice(None)
+
+    # Center + 8 neighbor edge strips DMA'd into the (s+2, s+2, C) buffer.
+    # Starts and waits are UNCONDITIONAL (index clamped for missing
+    # neighbors) so every semaphore signal has a matching wait; border
+    # strips are zeroed after the wait.
+    strips = [
+        (1, neighbors_ref[p, 0], (slice(s - 1, s), sl, sl),
+         (slice(0, 1), slice(1, s + 1), sl)),                       # up
+        (2, neighbors_ref[p, 1], (slice(0, 1), sl, sl),
+         (slice(s + 1, s + 2), slice(1, s + 1), sl)),               # down
+        (3, neighbors_ref[p, 2], (sl, slice(s - 1, s), sl),
+         (slice(1, s + 1), slice(0, 1), sl)),                       # left
+        (4, neighbors_ref[p, 3], (sl, slice(0, 1), sl),
+         (slice(1, s + 1), slice(s + 1, s + 2), sl)),               # right
+        (5, neighbors_ref[p, 4], (slice(s - 1, s), slice(s - 1, s), sl),
+         (slice(0, 1), slice(0, 1), sl)),                           # ul
+        (6, neighbors_ref[p, 5], (slice(s - 1, s), slice(0, 1), sl),
+         (slice(0, 1), slice(s + 1, s + 2), sl)),                   # ur
+        (7, neighbors_ref[p, 6], (slice(0, 1), slice(s - 1, s), sl),
+         (slice(s + 1, s + 2), slice(0, 1), sl)),                   # dl
+        (8, neighbors_ref[p, 7], (slice(0, 1), slice(0, 1), sl),
+         (slice(s + 1, s + 2), slice(s + 1, s + 2), sl)),           # dr
+    ]
+
+    def center_dma():
+        return pltpu.make_async_copy(
+            x_ref.at[p], buf.at[slice(1, s + 1), slice(1, s + 1), sl], sems.at[0])
+
+    def strip_dma(slot, nb, src, dst):
+        return pltpu.make_async_copy(
+            x_ref.at[(jnp.maximum(nb, 0),) + src], buf.at[dst], sems.at[slot])
+
+    center_dma().start()
+    for slot, nb, src, dst in strips:
+        strip_dma(slot, nb, src, dst).start()
+    center_dma().wait()
+    for slot, nb, src, dst in strips:
+        strip_dma(slot, nb, src, dst).wait()
+
+    # -- normalize + affine + SiLU over the whole haloed buffer ----------------
+    v = buf[...].astype(jnp.float32).reshape((s + 2) * (s + 2), groups, cpg)
+    m = mean_ref[pl.ds(img, 1), :].reshape(1, groups, 1)
+    r = rstd_ref[pl.ds(img, 1), :].reshape(1, groups, 1)
+    y = (v - m) * r
+    y = y * scale_ref[0].reshape(1, groups, cpg) + bias_ref[0].reshape(1, groups, cpg)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    out_ref[0] = y.reshape(s + 2, s + 2, c).astype(out_ref.dtype)
+
+    # Image-border halos are zero AFTER normalization (matching the unfused
+    # composition: normalize, then gather with zero fill at -1 neighbors).
+    for _, nb, _, dst in strips:
+        @pl.when(nb < 0)
+        def _(dst=dst):
+            out_ref[(0,) + dst] = jnp.zeros_like(out_ref[(0,) + dst])
+
+
+def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
+                        act: Optional[str] = "silu", interpret: bool = False):
+    """x (P,s,s,C) + per-image stats -> normalized haloed (P,s+2,s+2,C)."""
+    pp, s, _, c = x.shape
+    groups = mean.shape[1]
+
+    kernel = functools.partial(_kernel, s=s, c=c, groups=groups, act=act)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(pp,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mean (I, G)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rstd (I, G)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (1, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, C)
+        ],
+        out_specs=pl.BlockSpec((1, s + 2, s + 2, c),
+                               lambda p, *_: (p, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((s + 2, s + 2, c), x.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pp, s + 2, s + 2, c), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(image_id), jnp.asarray(neighbors), x,
+      mean, rstd, scale.reshape(1, c), bias.reshape(1, c))
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_supported() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def gn_silu_haloed(p, x, image_id, neighbors, n_images: int, groups: int,
+                   eps: float, act: Optional[str] = "silu",
+                   force_pallas: Optional[bool] = None):
+    """Public fused op: moments (XLA) + normalize/act/halo (Pallas).
+
+    Off-TPU falls back to the identical-semantics jnp composition.
+    """
+    mean, var = _moments(x, image_id, n_images, groups)
+    rstd = jax.lax.rsqrt(var + eps)
+    use_pallas = pallas_supported() if force_pallas is None else force_pallas
+    scale = p["scale"].astype(jnp.float32)
+    bias = p["bias"].astype(jnp.float32)
+    if use_pallas:
+        return gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd,
+                                   scale, bias, act,
+                                   interpret=jax.default_backend() != "tpu")
+    # jnp fallback: normalize then gather halos (two passes)
+    from sduss_tpu.ops.patching import haloed
+
+    pp, s, _, c = x.shape
+    cpg = c // groups
+    xf = x.astype(jnp.float32).reshape(pp, s, s, groups, cpg)
+    m = mean[image_id].reshape(pp, 1, 1, groups, 1)
+    r = rstd[image_id].reshape(pp, 1, 1, groups, 1)
+    y = (xf - m) * r
+    y = y.reshape(pp, s, s, c) * scale + bias
+    if act == "silu":
+        y = jax.nn.silu(y)
+    y = y.astype(x.dtype)
+    return haloed(y, jnp.asarray(neighbors))

@@ -33,15 +33,23 @@ from sduss_tpu.ops.patching import PatchMeta, haloed
 
 
 class PatchContext:
-    """Bound to one PatchMeta; arrays live on device, passed through jit."""
+    """Bound to one PatchMeta; index arrays live on device.
 
-    def __init__(self, meta: PatchMeta):
+    Inside jit, construct with ``arrays=`` (traced tensors) so the compiled
+    function is keyed only by the meta's STATIC shape info
+    (meta.compile_key) and reused across different compositions that share a
+    bucket — the index values are runtime inputs, not baked constants.
+    """
+
+    def __init__(self, meta: PatchMeta, arrays: Dict[str, jnp.ndarray] = None):
         self.meta = meta
-        self.image_id = jnp.asarray(meta.image_id)
-        self.neighbors = jnp.asarray(meta.neighbors)
-        self.group_gather = jnp.asarray(meta.group_gather)
-        self.patch_pos = jnp.asarray(meta.patch_pos)
-        self.kv_mask = jnp.asarray(meta.kv_mask)
+        if arrays is None:
+            arrays = ctx_arrays(meta)
+        self.image_id = arrays["image_id"]
+        self.neighbors = arrays["neighbors"]
+        self.group_gather = arrays["group_gather"]
+        self.patch_pos = arrays["patch_pos"]
+        self.kv_mask = arrays["kv_mask"]
 
     # -- time embedding -----------------------------------------------------
 
@@ -65,6 +73,24 @@ class PatchContext:
 
     def upsample_2x(self, x, lvl: int) -> jnp.ndarray:
         return L.nearest_upsample_2x(x)
+
+    def gn_silu_conv(self, p_gn, p_conv, x, groups: int, eps: float,
+                     lvl: int) -> jnp.ndarray:
+        """GroupNorm+SiLU fused into the conv's haloed input buffer.
+
+        On TPU runs the fused Pallas kernel (ops/gn_halo.py — the rebuild of
+        the reference norm_silu_concat.cu); elsewhere the jnp composition
+        with identical semantics.
+        """
+        from sduss_tpu.ops.gn_halo import gn_silu_haloed
+
+        k = p_conv["kernel"].shape[0]
+        if k == 1:
+            y = self.group_norm(p_gn, x, groups, eps, "silu", lvl)
+            return L.conv2d(p_conv, y, stride=1)
+        xh = gn_silu_haloed(p_gn, x, self.image_id, self.neighbors,
+                            self.meta.i_pad, groups, eps, "silu")
+        return L.conv2d(p_conv, xh, stride=1, padding="VALID")
 
     # -- group norm ---------------------------------------------------------
 
@@ -125,3 +151,14 @@ class PatchContext:
         k = k[self.image_id]  # (P, L, C)
         v = v[self.image_id]
         return masked_attention(q, k, v, heads)
+
+
+def ctx_arrays(meta: PatchMeta) -> Dict[str, jnp.ndarray]:
+    """Device arrays for a PatchMeta, suitable as traced jit arguments."""
+    return {
+        "image_id": jnp.asarray(meta.image_id),
+        "neighbors": jnp.asarray(meta.neighbors),
+        "group_gather": jnp.asarray(meta.group_gather),
+        "patch_pos": jnp.asarray(meta.patch_pos),
+        "kv_mask": jnp.asarray(meta.kv_mask),
+    }

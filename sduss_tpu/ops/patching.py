@@ -78,6 +78,19 @@ def build_meta(grids: Tuple[int, ...], patch_cells: int,
     i_pad = _bucket(n_images + (1 if need_dummy else 0), image_buckets)
     max_pp = max(g * g for g in grids)
 
+    from sduss_tpu.native import build_patch_meta_native
+
+    native = build_patch_meta_native(np.asarray(grids, np.int32),
+                                     p_pad, i_pad, max_pp)
+    if native is not None:
+        image_id, neighbors, group_gather, patch_pos, kv_mask = native
+        return PatchMeta(
+            patch_cells=patch_cells, grids=grids, n_patches=n_patches,
+            n_images=n_images, p_pad=p_pad, i_pad=i_pad, max_pp=max_pp,
+            image_id=image_id, neighbors=neighbors, group_gather=group_gather,
+            patch_pos=patch_pos, kv_mask=kv_mask)
+
+    # pure-Python fallback (identical layout; tests/test_native.py)
     image_id = np.full((p_pad,), i_pad - 1, np.int32)
     neighbors = np.full((p_pad, 8), -1, np.int32)
     patch_pos = np.zeros((p_pad,), np.int32)

@@ -55,7 +55,11 @@ class BasePipeline:
         self.config = config
         self.spec = bundle.spec
         self.device = device
-        self.sampler = get_sampler(self.spec.default_sampler, **self.spec.sampler_kwargs)
+        if config.model.sampler:
+            self.sampler = get_sampler(config.model.sampler)
+        else:
+            self.sampler = get_sampler(self.spec.default_sampler,
+                                       **self.spec.sampler_kwargs)
         self.vae_scale = self.spec.vae_scale
         self._params_device: Optional[dict] = None
         # jit caches are keyed by (name, *static shape info)
@@ -86,12 +90,14 @@ class BasePipeline:
         """Run text encoders; return one conditioning dict per request."""
         raise NotImplementedError
 
-    def denoiser_forward(self, params, latents_in, t, cond, ctx=None):
+    def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
+                         cache=None, cache_state=None):
         """Model forward on a CFG-paired batch.
 
         Dense: latents_in (2B,h,w,C), cond arrays (B,...) CFG-concatenated by
         the implementation.  Patched: latents_in is the doubled patch batch,
         t/cond are per-image (already CFG-doubled), ctx is a PatchContext.
+        With cache/cache_state (block cache), returns (out, new_cache_state).
         """
         raise NotImplementedError
 
@@ -106,7 +112,9 @@ class BasePipeline:
         for req, cond in zip(requests, conds):
             req.conditioning = cond
             req.sampler_table = self.sampler.make_table(req.params.num_inference_steps)
-            req.remain_steps = req.params.num_inference_steps
+            # Stateful samplers may use more model evals than user steps
+            # (PNDM runs num_steps + 1, samplers/pndm.py).
+            req.remain_steps = req.sampler_table.num_steps
             h = req.latent_hw(self.vae_scale)
             seed = req.params.seed if req.params.seed is not None else abs(hash(req.request_id)) % (2**31)
             noise = np.random.default_rng(seed).standard_normal(
@@ -149,9 +157,24 @@ class BasePipeline:
 
         cond = self._stack_cond([r.conditioning for r in reqs], bb)
 
-        fn = self._jit(("denoise", res, bb), self._denoise_fn)
-        new_latents = fn(self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
-                         jnp.asarray(guidance), cond)
+        if self.sampler.needs_state:
+            for req in reqs:
+                if req.sampler_state is None:
+                    req.sampler_state = self.sampler.init_state(req.latents)
+            states = [r.sampler_state for r in reqs]
+            if bb != b:
+                states = states + [states[-1]] * (bb - b)
+            state = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *states)
+            fn = self._jit(("denoise_stateful", res, bb), self._denoise_fn_stateful)
+            new_latents, new_state = fn(self.params, latents, jnp.asarray(t),
+                                        jnp.asarray(coeffs), jnp.asarray(guidance),
+                                        cond, state)
+            for i, req in enumerate(reqs):
+                req.sampler_state = jax.tree.map(lambda a: a[i : i + 1], new_state)
+        else:
+            fn = self._jit(("denoise", res, bb), self._denoise_fn)
+            new_latents = fn(self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
+                             jnp.asarray(guidance), cond)
         for i, req in enumerate(reqs):
             req.latents = new_latents[i : i + 1]
             req.sampler_table.advance()
@@ -166,6 +189,16 @@ class BasePipeline:
 
     def _denoise_fn(self, params, latents, t, coeffs, guidance, cond):
         """Jitted: CFG duplicate -> scale -> model -> combine -> sampler step."""
+        noise_pred, c0, c1 = self._cfg_forward(params, latents, t, coeffs,
+                                               guidance, cond)
+        return self.sampler.step(latents, noise_pred, c0, c1)
+
+    def _denoise_fn_stateful(self, params, latents, t, coeffs, guidance, cond, state):
+        noise_pred, c0, c1 = self._cfg_forward(params, latents, t, coeffs,
+                                               guidance, cond)
+        return self.sampler.step_with_state(latents, noise_pred, c0, c1, state)
+
+    def _cfg_forward(self, params, latents, t, coeffs, guidance, cond):
         lat_in = jnp.concatenate([latents, latents], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         c0, c1 = coeffs[:, 0], coeffs[:, 1]
@@ -173,8 +206,7 @@ class BasePipeline:
         model_out = self.denoiser_forward(params, lat_in, t2, cond)
         uncond, text = jnp.split(model_out, 2, axis=0)
         g = guidance.reshape(-1, *([1] * (latents.ndim - 1)))
-        noise_pred = uncond + g * (text - uncond)
-        return self.sampler.step(latents, noise_pred, c0, c1)
+        return uncond + g * (text - uncond), c0, c1
 
     # -- stage 2b: mixed-resolution patch step -------------------------------
 
@@ -187,6 +219,11 @@ class BasePipeline:
         provides halo convs / per-image group norm / grouped attention.
         """
         from sduss_tpu.ops import patching
+
+        if self.sampler.needs_state:
+            # Multistep history is kept per dense latent; patch-slicing it is
+            # not supported yet — dense per-resolution groups instead.
+            return self.denoise_step(reqs_by_res)
 
         ordered: List[Request] = []
         for res in sorted(reqs_by_res):
@@ -233,10 +270,21 @@ class BasePipeline:
             arr = np.concatenate([r.conditioning[key] for r in ordered], axis=0)
             cond[key] = jnp.asarray(pad_i(arr))
 
-        fn = self._jit(("denoise_mixed",) + meta.compile_key,
-                       self._make_mixed_fn(meta, meta2))
-        new_x = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
-                   jnp.asarray(guidance), cond)
+        cache, cache_state = self._gather_cache_state(ordered, grids, meta, cells)
+
+        from sduss_tpu.ops.patch_ctx import ctx_arrays
+
+        a1, a2 = ctx_arrays(meta), ctx_arrays(meta2)
+        cache_tag = type(cache).__name__ if cache is not None else None
+        fn = self._jit(("denoise_mixed", cache_tag) + meta.compile_key,
+                       self._make_mixed_fn(meta, meta2, cache))
+        if cache is None:
+            new_x = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
+                       jnp.asarray(guidance), cond, a1, a2)
+        else:
+            new_x, new_state = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
+                                  jnp.asarray(guidance), cond, a1, a2, cache_state)
+            self._scatter_cache_state(ordered, grids, meta, new_state)
 
         # unpack per request
         off = 0
@@ -247,25 +295,97 @@ class BasePipeline:
             r.sampler_table.advance()
             r.remain_steps -= 1
 
-    def _make_mixed_fn(self, meta, meta2):
+    # -- block cache state plumbing -------------------------------------------
+
+    def _block_cache(self):
+        """Lazily build the BlockCache when enabled and the denoiser supports it."""
+        if not self.config.cache.enabled:
+            return None
+        if not hasattr(self.bundle.denoiser, "cache_layout"):
+            return None
+        if not hasattr(self, "_cache_obj"):
+            from sduss_tpu.cache.manager import BlockCache
+
+            self._cache_obj = BlockCache(self.config.cache)
+        return self._cache_obj
+
+    def _gather_cache_state(self, ordered, grids, meta, cells):
+        """Concatenate per-request cache rows into the CFG-doubled batch state.
+
+        Batch layout is [uncond patches | pad | cond patches | pad]; each
+        request keeps rows of leading dim 2*n (its uncond rows then its cond
+        rows), so membership changes between steps re-stitch exactly
+        (reference misalignment risk designed out; SURVEY.md section 7 step 6).
+        """
+        cache = self._block_cache()
+        if cache is None:
+            return None, None
+        layout = self.bundle.denoiser.cache_layout(cells, self.config.cache.min_level)
+        dtype = self._latent_dtype()
+        for r, g in zip(ordered, grids):
+            if r.cache_rows is None:
+                r.cache_rows = {
+                    key: cache.init_rows(key, 2 * g * g, s, c_in, c_out, dtype)
+                    for key, (s, c_in, c_out) in layout.items()}
+        state = {}
+        pad_rows = meta.p_pad - sum(g * g for g in grids)
+        for key, (s, c_in, c_out) in layout.items():
+            halves = {0: [], 1: []}
+            for r, g in zip(ordered, grids):
+                n = g * g
+                rows = r.cache_rows[key]
+                halves[0].append(jax.tree.map(lambda a: a[:n], rows))
+                halves[1].append(jax.tree.map(lambda a: a[n:], rows))
+            if pad_rows:
+                pad = cache.init_rows(key, pad_rows, s, c_in, c_out, dtype)
+                halves[0].append(pad)
+                halves[1].append(pad)
+            parts = halves[0] + halves[1]
+            state[key] = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        return cache, state
+
+    def _scatter_cache_state(self, ordered, grids, meta, new_state) -> None:
+        for key, entry in new_state.items():
+            off = 0
+            for r, g in zip(ordered, grids):
+                n = g * g
+                u = jax.tree.map(lambda a: a[off : off + n], entry)
+                c = jax.tree.map(
+                    lambda a: a[meta.p_pad + off : meta.p_pad + off + n], entry)
+                r.cache_rows[key] = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0), u, c)
+                off += n
+
+    def _make_mixed_fn(self, meta, meta2, cache=None):
         from sduss_tpu.ops.patch_ctx import PatchContext
 
-        ctx1 = PatchContext(meta)
-        ctx2 = PatchContext(meta2)
-
-        def fn(params, x, t, coeffs, guidance, cond):
+        def fn(params, x, t, coeffs, guidance, cond, ctx1_arrays, ctx2_arrays,
+               cache_state=None):
+            # Index tensors arrive as traced args: one compiled fn serves all
+            # compositions sharing this bucket key (meta.compile_key).
+            ctx1 = PatchContext(meta, arrays=ctx1_arrays)
+            ctx2 = PatchContext(meta2, arrays=ctx2_arrays)
             c0, c1 = coeffs[:, 0], coeffs[:, 1]  # per image (i_pad,)
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
             c0_patch2 = jnp.concatenate([c0, c0])[ctx2.image_id]
             x2 = self.sampler.scale_model_input(x2, c0_patch2)
-            model_out = self.denoiser_forward(params, x2, t2, cond, ctx=ctx2)
+            new_state = None
+            if cache is not None:
+                model_out, new_state = self.denoiser_forward(
+                    params, x2, t2, cond, ctx=ctx2, cache=cache,
+                    cache_state=cache_state)
+            else:
+                model_out = self.denoiser_forward(params, x2, t2, cond, ctx=ctx2)
             uncond, text = jnp.split(model_out, 2, axis=0)
             g = guidance[ctx1.image_id].reshape(-1, 1, 1, 1)
             noise_pred = uncond + g * (text - uncond)
             c0p = c0[ctx1.image_id]
             c1p = c1[ctx1.image_id]
-            return self.sampler.step(x, noise_pred, c0p, c1p)
+            stepped = self.sampler.step(x, noise_pred, c0p, c1p)
+            if cache is not None:
+                return stepped, new_state
+            return stepped
 
         return fn
 
@@ -288,7 +408,11 @@ class BasePipeline:
                 req.output = images[i]
 
     def _decode_fn(self, params, latents):
-        img = self.bundle.models["vae"].decode(params["vae"], latents.astype(jnp.float32))
+        # VAE decode stays in full float32 math (reference keeps the SDXL VAE
+        # fp32, pipeline_stable_diffusion_xl_esymred.py:48-54); the global
+        # matmul default is the fast bf16 MXU path.
+        with jax.default_matmul_precision("highest"):
+            img = self.bundle.models["vae"].decode(params["vae"], latents.astype(jnp.float32))
         img = jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
         return jnp.round(img * 255.0).astype(jnp.uint8)
 

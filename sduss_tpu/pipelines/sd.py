@@ -24,10 +24,12 @@ class StableDiffusionPipeline(BasePipeline):
         nemb, _ = self._encode_clip("text_encoder", nids, penultimate=False, need_pooled=False)
         return [{"embeds": emb[i : i + 1], "neg_embeds": nemb[i : i + 1]} for i in range(b)]
 
-    def denoiser_forward(self, params, latents_in, t, cond, ctx=None):
+    def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
+                         cache=None, cache_state=None):
         import jax.numpy as jnp
 
         # CFG order: [uncond, cond] (reference denoising_step :249-266).
         ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
         return self.bundle.models["unet"].apply(
-            params["unet"], latents_in, t, ehs.astype(latents_in.dtype), ctx=ctx)
+            params["unet"], latents_in, t, ehs.astype(latents_in.dtype), ctx=ctx,
+            cache=cache, cache_state=cache_state)

@@ -67,7 +67,8 @@ class StableDiffusion3Pipeline(BasePipeline):
                  "pooled": pooled[i : i + 1], "neg_pooled": npooled[i : i + 1]}
                 for i in range(b)]
 
-    def denoiser_forward(self, params, latents_in, t, cond):
+    def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
+                         cache=None, cache_state=None):
         import jax.numpy as jnp
 
         ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)

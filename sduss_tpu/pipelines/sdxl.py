@@ -50,7 +50,8 @@ class StableDiffusionXLPipeline(BasePipeline):
             })
         return conds
 
-    def denoiser_forward(self, params, latents_in, t, cond, ctx=None):
+    def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
+                         cache=None, cache_state=None):
         import jax.numpy as jnp
 
         ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
@@ -59,4 +60,4 @@ class StableDiffusionXLPipeline(BasePipeline):
         added = {"text_embeds": pooled.astype(latents_in.dtype), "time_ids": time_ids}
         return self.bundle.models["unet"].apply(
             params["unet"], latents_in, t, ehs.astype(latents_in.dtype),
-            added_cond=added, ctx=ctx)
+            added_cond=added, ctx=ctx, cache=cache, cache_state=cache_state)

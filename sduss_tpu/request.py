@@ -62,10 +62,14 @@ class Request:
     # Denoising progress.
     remain_steps: int = 0
     sampler_table: Any = None  # samplers.base.SamplerTable
+    sampler_state: Any = None  # device pytree for stateful samplers (PNDM)
 
     # Device-side state (host references to jax arrays).
     latents: Any = None            # (1, h, w, C)
     conditioning: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # Block-cache rows (sduss_tpu/cache/manager.py): key -> {inp,out,hits}
+    # with leading dim 2*n_patches (uncond rows then cond rows).
+    cache_rows: Optional[Dict[str, Any]] = None
 
     # Latency-predictor bookkeeping (ESyMReD, reference wrappers.py:108-155).
     predicted_step_ms: float = 0.0

@@ -13,11 +13,13 @@ from sduss_tpu.samplers.base import (  # noqa: F401
 from sduss_tpu.samplers.ddim import DDIMSampler
 from sduss_tpu.samplers.euler import EulerDiscreteSampler
 from sduss_tpu.samplers.flow_match import FlowMatchEulerSampler
+from sduss_tpu.samplers.pndm import PNDMSampler
 
 _REGISTRY = {
     "euler": EulerDiscreteSampler,
     "flow_match": FlowMatchEulerSampler,
     "ddim": DDIMSampler,
+    "pndm": PNDMSampler,
 }
 
 

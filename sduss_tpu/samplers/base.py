@@ -30,10 +30,12 @@ import numpy as np
 class SamplerTable:
     """Host-side schedule for one request.
 
-    ``coeffs`` has shape (num_steps + 1, C): row i holds the traced-math
-    coefficients at step i (for Euler/flow-match: sigma; for DDIM: alphabar).
-    ``timesteps`` has shape (num_steps,): the value fed to the model's time
-    embedding at each step.
+    ``coeffs`` has shape (num_steps, 2): row i holds the SELF-CONTAINED
+    traced-math coefficient pair [coeff_t, coeff_next] for step i (for
+    Euler/flow-match: sigma_t/sigma_next; for DDIM/PNDM: alphabar_t/
+    alphabar_prev — PNDM's corrector step makes "next row's coeff" the wrong
+    pairing, so every row carries its own transfer).  ``timesteps`` has shape
+    (num_steps,): the value fed to the model's time embedding at each step.
     """
 
     kind: str
@@ -58,8 +60,8 @@ class SamplerTable:
         return float(self.timesteps[self.step])
 
     def current_coeffs(self) -> np.ndarray:
-        """(2, C) rows: coefficients at the current and the next step."""
-        return self.coeffs[self.step : self.step + 2]
+        """(2,) row: [coeff_t, coeff_next] for the current step."""
+        return self.coeffs[self.step]
 
     def advance(self) -> None:
         if self.done:
@@ -76,9 +78,7 @@ def gather_coeffs(tables: Sequence[SamplerTable]) -> np.ndarray:
     """(B, 2) float32 [coeff_t, coeff_next] rows for a batch of requests."""
     out = np.empty((len(tables), 2), dtype=np.float32)
     for i, t in enumerate(tables):
-        c = t.current_coeffs()
-        out[i, 0] = c[0, 0]
-        out[i, 1] = c[1, 0]
+        out[i] = t.current_coeffs()[:2]
     return out
 
 
@@ -86,6 +86,9 @@ class Sampler:
     """Family interface. Subclasses provide host tables + traced math."""
 
     kind: str = "base"
+    # Stateful samplers (PNDM multistep history) carry a per-request device
+    # state pytree threaded through the jitted step like the latents.
+    needs_state: bool = False
 
     def make_table(self, num_steps: int) -> SamplerTable:
         raise NotImplementedError

@@ -40,13 +40,13 @@ class DDIMSampler(Sampler):
     def make_table(self, num_steps: int) -> SamplerTable:
         ts = leading_timesteps(num_steps, self.num_train_timesteps, self.steps_offset)
         ab = self.alphas_cumprod[ts.astype(np.int64)]
-        # Row i+1 holds alphabar of the *previous* (less noisy) timestep that
-        # step i transitions to; the last row is the final alphabar.
-        coeffs = np.concatenate([ab, [self.final_alpha_cumprod]]).astype(np.float32)
+        # Row i: [alphabar_t, alphabar_prev] — the full transfer for step i.
+        ab_prev = np.concatenate([ab[1:], [self.final_alpha_cumprod]])
+        coeffs = np.stack([ab, ab_prev], axis=1).astype(np.float32)
         return SamplerTable(
             kind=self.kind,
             timesteps=ts.astype(np.float32),
-            coeffs=coeffs[:, None],
+            coeffs=coeffs,
             init_noise_sigma=1.0,
         )
 

@@ -64,6 +64,7 @@ class EulerDiscreteSampler(Sampler):
             raise NotImplementedError(self.timestep_spacing)
         sigmas = np.interp(ts, np.arange(self.num_train_timesteps), self.train_sigmas)
         sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        coeffs = np.stack([sigmas[:-1], sigmas[1:]], axis=1)
         if self.timestep_spacing in ("linspace", "trailing"):
             init_noise_sigma = float(sigmas.max())
         else:
@@ -71,7 +72,7 @@ class EulerDiscreteSampler(Sampler):
         table = SamplerTable(
             kind=self.kind,
             timesteps=ts.astype(np.float32),
-            coeffs=sigmas[:, None],
+            coeffs=coeffs,
             init_noise_sigma=init_noise_sigma,
         )
         table.prediction_type = self.prediction_type  # type: ignore[attr-defined]

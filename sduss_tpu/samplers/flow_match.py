@@ -34,10 +34,11 @@ class FlowMatchEulerSampler(Sampler):
         sigmas = self._shift(t / n)
         timesteps = (sigmas * n).astype(np.float32)
         sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        coeffs = np.stack([sigmas[:-1], sigmas[1:]], axis=1)
         return SamplerTable(
             kind=self.kind,
             timesteps=timesteps,
-            coeffs=sigmas[:, None],
+            coeffs=coeffs,
             init_noise_sigma=1.0,
         )
 

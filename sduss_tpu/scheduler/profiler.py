@@ -1,0 +1,175 @@
+"""On-device profiler: regenerate stage latencies + the latency predictor.
+
+The reference ships H100-only profiles (exp/profile/*.csv, esymred.json) and
+an H100-trained joblib SVR (exp/schedule_predictor_*.pkl) that the ESyMReD
+policy loads at startup (reference ESyMReD.py:20-66, 105-119).  None of that
+transfers to TPU, so this module measures machine-true numbers natively:
+
+* per-step denoiser latency across resolution-count mixtures (the predictor's
+  training set);
+* standalone 50-step denoise + VAE decode latencies per resolution (the SLO
+  deadline anchors);
+* batched VAE decode latency per batch size (post-stage admission table).
+
+Run on the serving chip::
+
+    python -m sduss_tpu.scheduler.profiler --family sdxl --tiny \
+        --out-profile profile.json --out-predictor predictor.npz
+
+Writes a StageProfile JSON (SchedulerConfig.stage_latency_overrides) and a
+fitted LatencyPredictor npz (SchedulerConfig.predictor_path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import time
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def _sync(x) -> None:
+    np.asarray(jax_leaves(x)[0])
+
+
+def jax_leaves(x):
+    import jax
+
+    return [l for l in jax.tree.leaves(x) if hasattr(l, "shape")]
+
+
+class Profiler:
+    def __init__(self, family: str, tiny: bool = False, dtype: str = "bfloat16",
+                 resolutions: Sequence[int] = ()):
+        from sduss_tpu.config import Config, ModelConfig
+        from sduss_tpu.pipelines import build_pipeline
+
+        config = Config()
+        config.model = ModelConfig(model=family, test_tiny=tiny, dtype=dtype)
+        self.config = config
+        self.pipe = build_pipeline(config)
+        self.family = family
+        self.resolutions = list(resolutions) or list(config.model.resolutions)
+
+    # -- measurement ----------------------------------------------------------
+
+    def _make_reqs(self, counts: Dict[int, int], steps: int = 8):
+        from sduss_tpu.request import Request, SamplingParams, Stage
+
+        reqs = []
+        i = 0
+        for res, c in counts.items():
+            for _ in range(c):
+                r = Request(f"prof-{res}-{i}", SamplingParams(
+                    prompt="profile", resolution=res,
+                    num_inference_steps=steps, seed=i))
+                reqs.append(r)
+                i += 1
+        self.pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        return reqs
+
+    def step_latency(self, counts: Dict[int, int], iters: int = 5) -> float:
+        """Median per-step seconds for one denoiser step at this mix."""
+        reqs = self._make_reqs(counts, steps=iters + 3)
+        by_res: Dict[int, list] = {}
+        for r in reqs:
+            by_res.setdefault(r.resolution, []).append(r)
+        run = (self.pipe.denoise_step_mixed
+               if self.config.scheduler.use_mixed_resolution
+               else self.pipe.denoise_step)
+        run(by_res)  # compile
+        run(by_res)  # warm
+        _sync([r.latents for r in reqs])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run(by_res)
+            _sync([r.latents for r in reqs])
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    def post_latency(self, res: int, batch: int, iters: int = 3) -> float:
+        reqs = self._make_reqs({res: batch}, steps=2)
+        by_res = {res: reqs}
+        self.pipe.postprocess(by_res)  # compile (+ sync: postprocess is host-blocking)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            self.pipe.postprocess(by_res)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    # -- products ---------------------------------------------------------------
+
+    def build_profile(self, max_post_batch: int = 8) -> dict:
+        standalone_d, standalone_p, step_lat = {}, {}, {}
+        post_tbl = {}
+        for res in self.resolutions:
+            s = self.step_latency({res: 1})
+            step_lat[str(res)] = s
+            standalone_d[str(res)] = s * 50.0
+            tbl = [self.post_latency(res, b)
+                   for b in range(1, max_post_batch + 1)]
+            post_tbl[str(res)] = tbl
+            standalone_p[str(res)] = tbl[0]
+        return {
+            "family": self.family,
+            "standalone": {"denoising": standalone_d,
+                           "postprocessing": standalone_p},
+            "step_latency": step_lat,
+            "post_batch_latency": post_tbl,
+        }
+
+    def predictor_samples(self, max_per_res: int = 3
+                          ) -> Tuple[List[List[int]], List[float]]:
+        """Measure step latency over a grid of resolution-count mixtures."""
+        res = sorted(self.resolutions)
+        rows, ys = [], []
+        grid = itertools.product(*[range(max_per_res + 1)] * len(res))
+        for counts in grid:
+            if sum(counts) == 0 or sum(counts) > self.config.scheduler.max_batch_size:
+                continue
+            mix = {r: c for r, c in zip(res, counts) if c > 0}
+            y = self.step_latency(mix, iters=3)
+            rows.append(list(counts))
+            ys.append(y)
+        return rows, ys
+
+    def fit_predictor(self, out_path: str) -> None:
+        from sduss_tpu.scheduler.predictor import LatencyPredictor
+        from sduss_tpu.scheduler.profiles import get_profile
+
+        rows, ys = self.predictor_samples()
+        pred = LatencyPredictor(sorted(self.resolutions),
+                                get_profile(self.family))
+        pred.fit(rows, ys)
+        pred.save(out_path)
+
+
+def main() -> None:  # pragma: no cover
+    ap = argparse.ArgumentParser("sduss_tpu profiler")
+    ap.add_argument("--family", default="sdxl")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--out-profile", default="profile.json")
+    ap.add_argument("--out-predictor", default="predictor.npz")
+    ap.add_argument("--skip-predictor", action="store_true")
+    args = ap.parse_args()
+
+    prof = Profiler(args.family, tiny=args.tiny, dtype=args.dtype)
+    profile = prof.build_profile()
+    with open(args.out_profile, "w") as f:
+        json.dump(profile, f, indent=2)
+    print(f"wrote {args.out_profile}")
+    if not args.skip_predictor:
+        prof.fit_predictor(args.out_predictor)
+        print(f"wrote {args.out_predictor}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

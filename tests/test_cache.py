@@ -1,0 +1,134 @@
+"""Block-cache tests: splice semantics, hit counters, classifier training.
+
+The reference has no tests for its CacheManager (SURVEY.md section 4); these
+pin the TPU rebuild's contract: cache with an always-recompute decision is
+bit-identical to cache-off, reuse decisions splice cached outputs, and
+max_hits forces refresh.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sduss_tpu.config import Config, ModelConfig, SchedulerConfig
+from sduss_tpu.pipelines import build_pipeline
+from sduss_tpu.request import Request, SamplingParams, Stage
+
+
+def make_pipe(cache_enabled=False, mse_threshold=0.01, max_hits=4, min_level=0):
+    config = Config()
+    config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+    config.scheduler = SchedulerConfig(use_mixed_resolution=True, patch_size=256)
+    config.cache.enabled = cache_enabled
+    config.cache.mse_threshold = mse_threshold
+    config.cache.max_hits = max_hits
+    config.cache.min_level = min_level
+    return build_pipeline(config)
+
+
+def make_reqs(n=2, res=512, steps=4):
+    reqs = [
+        Request(f"r{i}", SamplingParams(prompt=f"p{i}", resolution=res,
+                                        num_inference_steps=steps, seed=i))
+        for i in range(n)
+    ]
+    return reqs
+
+
+def run_denoise(pipe, reqs, steps):
+    pipe.prepare(reqs)
+    for r in reqs:
+        r.stage = Stage.DENOISING
+    for _ in range(steps):
+        by_res = {}
+        for r in reqs:
+            by_res.setdefault(r.resolution, []).append(r)
+        pipe.denoise_step_mixed(by_res)
+    return [np.asarray(r.latents) for r in reqs]
+
+
+class TestBlockCache:
+    def test_always_recompute_matches_cache_off(self):
+        base = run_denoise(make_pipe(cache_enabled=False), make_reqs(), 3)
+        # negative threshold => every patch recomputes every step
+        cached = run_denoise(
+            make_pipe(cache_enabled=True, mse_threshold=-1.0), make_reqs(), 3)
+        for a, b in zip(base, cached):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_full_reuse_diverges_but_finite(self):
+        base = run_denoise(make_pipe(cache_enabled=False), make_reqs(), 3)
+        cached = run_denoise(
+            make_pipe(cache_enabled=True, mse_threshold=1e9, max_hits=100),
+            make_reqs(), 3)
+        assert all(np.isfinite(c).all() for c in cached)
+        # reusing stale block outputs must actually change the trajectory
+        assert any(np.abs(a - b).max() > 1e-6 for a, b in zip(base, cached))
+
+    def test_hits_counter_and_forced_recompute(self):
+        pipe = make_pipe(cache_enabled=True, mse_threshold=1e9, max_hits=2)
+        reqs = make_reqs(n=1, steps=6)
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        hits_seen = []
+        for _ in range(5):
+            pipe.denoise_step_mixed({reqs[0].resolution: reqs})
+            key = next(iter(reqs[0].cache_rows))
+            hits_seen.append(int(np.asarray(reqs[0].cache_rows[key]["hits"]).max()))
+        # hits: step1 fresh(0), then 1, 2, forced fresh(0), 1
+        assert hits_seen[0] == 0
+        assert max(hits_seen) == 2
+        assert 0 in hits_seen[3:]
+
+    def test_state_rows_follow_membership_changes(self):
+        pipe = make_pipe(cache_enabled=True, mse_threshold=0.5)
+        reqs = make_reqs(n=3, steps=6)
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        all_by_res = {reqs[0].resolution: reqs}
+        pipe.denoise_step_mixed(all_by_res)
+        # drop request 1 from the batch; remaining rows must still line up
+        sub = {reqs[0].resolution: [reqs[0], reqs[2]]}
+        pipe.denoise_step_mixed(sub)
+        for r in (reqs[0], reqs[2]):
+            for entry in r.cache_rows.values():
+                assert np.isfinite(np.asarray(entry["out"], np.float32)).all()
+
+
+class TestClassifierTraining:
+    def test_fit_logistic_separable(self):
+        from sduss_tpu.cache.train import fit_logistic
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(400, 2))
+        y = (x[:, 0] > 0.3).astype(np.float64)
+        w = fit_logistic(x, y)
+        pred = (x @ w[:-1] + w[-1]) > 0
+        assert (pred == y.astype(bool)).mean() > 0.95
+
+    def test_collect_and_fit(self, tmp_path):
+        from sduss_tpu.cache.train import collect_traces, fit_classifiers
+
+        pipe = make_pipe(cache_enabled=True)
+        reqs = make_reqs(n=2, steps=4)
+        data = collect_traces(pipe, reqs, steps=4)
+        assert data, "no trace rows collected"
+        out = fit_classifiers(data, reuse_threshold=0.01,
+                              out_path=str(tmp_path / "clf.npz"))
+        assert set(out) == set(data)
+        loaded = np.load(tmp_path / "clf.npz")
+        for k in out:
+            assert loaded[k].shape == (4,)
+
+    def test_trained_classifier_loads_into_cache(self, tmp_path):
+        from sduss_tpu.cache.manager import BlockCache
+
+        path = str(tmp_path / "clf.npz")
+        np.savez(path, **{"mid": np.asarray([10.0, 0.0, 0.0, -0.05])})
+        cfg = make_pipe().config.cache
+        cfg.classifier_path = path
+        bc = BlockCache(cfg)
+        assert "mid" in bc.classifiers

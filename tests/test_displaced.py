@@ -1,0 +1,130 @@
+"""Displaced patch parallelism tests on the virtual 8-device CPU mesh.
+
+Checks the reference DistriFuser rebuild (sduss_tpu/parallel/displaced.py):
+sync mode is EXACT vs the unsharded forward; stale (displaced) mode stays
+close after warmup (activation drift per diffusion step is small — the
+property the reference exploits, distrifuser pp/attn.py:110-200).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sduss_tpu.models.unet import TINY_UNET, UNet2DConditionModel
+from sduss_tpu.parallel.displaced import DisplacedPatchRunner, ShardContext
+from sduss_tpu.parallel.mesh import make_mesh
+from sduss_tpu.samplers import get_sampler
+
+
+@pytest.fixture(scope="module")
+def setup():
+    unet = UNet2DConditionModel(TINY_UNET)
+    params = unet.init(jax.random.key(0))
+    b, h = 1, 32
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal((b, h, h, 4)), jnp.float32)
+    ehs = jnp.asarray(rng.standard_normal((2 * b, 7, 32)), jnp.float32)
+
+    def model_fn(params, x_in, t2, ctx):
+        return unet.apply(params, x_in, t2, ehs, ctx=ctx)
+
+    return unet, params, latents, model_fn
+
+
+class TestDisplaced:
+    def test_sync_mode_matches_dense(self, setup):
+        unet, params, latents, model_fn = setup
+        mesh = make_mesh(sp=8)
+        sampler = get_sampler("euler")
+        runner = DisplacedPatchRunner(model_fn, mesh, sampler, warmup_steps=10**9)
+        table = sampler.make_table(3)
+        out_sharded = np.asarray(
+            runner.denoise(params, latents, table, guidance=5.0), np.float32)
+
+        # dense reference trajectory
+        table2 = sampler.make_table(3)
+        lat = latents
+        for _ in range(3):
+            c0 = jnp.full((1,), float(table2.coeffs[table2.step, 0]))
+            c1 = jnp.full((1,), float(table2.coeffs[table2.step, 1]))
+            t2 = jnp.full((2,), table2.current_timestep(), jnp.float32)
+            x_in = sampler.scale_model_input(
+                jnp.concatenate([lat, lat]), jnp.concatenate([c0, c0]))
+            out = model_fn(params, x_in, t2, None)
+            u, c = jnp.split(out, 2)
+            eps = u + 5.0 * (c - u)
+            lat = sampler.step(lat, eps, c0, c1)
+            table2.advance()
+        np.testing.assert_allclose(out_sharded, np.asarray(lat, np.float32),
+                                   atol=2e-4, rtol=2e-3)
+
+    def test_displaced_mode_close_after_warmup(self, setup):
+        unet, params, latents, model_fn = setup
+        mesh = make_mesh(sp=4)
+        sampler = get_sampler("euler")
+
+        table_sync = sampler.make_table(6)
+        sync_runner = DisplacedPatchRunner(model_fn, mesh, sampler,
+                                           warmup_steps=10**9)
+        ref = np.asarray(sync_runner.denoise(params, latents, table_sync, 5.0),
+                         np.float32)
+
+        table = sampler.make_table(6)
+        runner = DisplacedPatchRunner(model_fn, mesh, sampler, warmup_steps=2)
+        out = np.asarray(runner.denoise(params, latents, table, 5.0), np.float32)
+
+        assert np.isfinite(out).all()
+        # displaced result tracks the exact trajectory (loose tolerance: the
+        # staleness error is bounded by per-step activation drift)
+        err = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-6)
+        assert err < 0.35, f"relative drift too large: {err}"
+
+    def test_group_norm_exact_across_shards(self):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from sduss_tpu.models import layers as L
+
+        mesh = make_mesh(sp=8)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 16, 8, 8)), jnp.float32)
+        p = {"scale": jnp.asarray(rng.standard_normal(8), jnp.float32),
+             "bias": jnp.asarray(rng.standard_normal(8), jnp.float32)}
+
+        def local(p, x):
+            ctx = ShardContext()
+            return ctx.group_norm(p, x, groups=4, eps=1e-5, act="silu", lvl=0)
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(None, "sp", None, None)),
+                       out_specs=P(None, "sp", None, None))
+        got = np.asarray(fn(p, x))
+        want = np.asarray(L.group_norm(p, x, num_groups=4, eps=1e-5, act="silu"))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_conv_halo_exact(self):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from sduss_tpu.models import layers as L
+
+        mesh = make_mesh(sp=8)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 32, 8, 4)), jnp.float32)
+        p = {"kernel": jnp.asarray(rng.standard_normal((3, 3, 4, 6)) * 0.1,
+                                   jnp.float32),
+             "bias": jnp.zeros((6,), jnp.float32)}
+
+        for stride in (1, 2):
+            def local(p, x, stride=stride):
+                return ShardContext().conv(p, x, lvl=0, stride=stride)
+
+            fn = shard_map(local, mesh=mesh,
+                           in_specs=(P(), P(None, "sp", None, None)),
+                           out_specs=P(None, "sp", None, None))
+            got = np.asarray(fn(p, x))
+            want = np.asarray(L.conv2d(p, x, stride=stride))
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"stride={stride}")

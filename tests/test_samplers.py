@@ -26,8 +26,10 @@ class TestEulerTable:
         sig = _manual_sd_sigmas()
         ts = (np.arange(50) * (1000 // 50)).round()[::-1] + 1
         expected = np.interp(ts, np.arange(1000), sig)
-        np.testing.assert_allclose(t.coeffs[:-1, 0], expected, rtol=1e-5)
-        assert t.coeffs[-1, 0] == 0.0
+        np.testing.assert_allclose(t.coeffs[:, 0], expected, rtol=1e-5)
+        assert t.coeffs[-1, 1] == 0.0
+        # rows are self-contained [sigma_t, sigma_next] pairs
+        np.testing.assert_allclose(t.coeffs[1:, 0], t.coeffs[:-1, 1], rtol=0)
         assert t.num_steps == 50
         np.testing.assert_allclose(t.timesteps, ts, rtol=0)
         # leading spacing => init_noise_sigma = sqrt(max^2+1)
@@ -45,18 +47,18 @@ class TestFlowMatchTable:
         t = s.make_table(28)
         # first sigma: shift(1.0) = 1.0; appended terminal 0
         np.testing.assert_allclose(t.coeffs[0, 0], 1.0, rtol=1e-6)
-        assert t.coeffs[-1, 0] == 0.0
+        assert t.coeffs[-1, 1] == 0.0
         assert np.all(np.diff(t.coeffs[:, 0]) < 0)
         assert t.init_noise_sigma == 1.0
         # timesteps are sigma*1000
-        np.testing.assert_allclose(t.timesteps, t.coeffs[:-1, 0] * 1000, rtol=1e-6)
+        np.testing.assert_allclose(t.timesteps, t.coeffs[:, 0] * 1000, rtol=1e-6)
 
     def test_shift_formula(self):
         s = FlowMatchEulerSampler(shift=3.0)
         t = s.make_table(10)
         base = np.linspace(1000, 100, 10) / 1000
         expected = 3 * base / (1 + 2 * base)
-        np.testing.assert_allclose(t.coeffs[:-1, 0], expected, rtol=1e-5)
+        np.testing.assert_allclose(t.coeffs[:, 0], expected, rtol=1e-5)
 
 
 class TestDDIMTable:
@@ -66,8 +68,8 @@ class TestDDIMTable:
         betas = np.linspace(0.00085**0.5, 0.012**0.5, 1000) ** 2
         ab = np.cumprod(1 - betas)
         ts = (np.arange(10) * 100)[::-1] + 1
-        np.testing.assert_allclose(t.coeffs[:-1, 0], ab[ts], rtol=1e-5)
-        np.testing.assert_allclose(t.coeffs[-1, 0], ab[0], rtol=1e-5)
+        np.testing.assert_allclose(t.coeffs[:, 0], ab[ts], rtol=1e-5)
+        np.testing.assert_allclose(t.coeffs[-1, 1], ab[0], rtol=1e-5)
 
 
 def _fake_model(x):
@@ -140,6 +142,126 @@ def test_ddim_full_denoise_reaches_x0():
         c = gather_coeffs([t])
         x = s.step(x, epsj, jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1]))
         t.advance()
-    got_x0 = np.asarray(x) - np.sqrt(1 - t.coeffs[-1, 0]) * eps
-    got_x0 /= np.sqrt(t.coeffs[-1, 0])
+    got_x0 = np.asarray(x) - np.sqrt(1 - t.coeffs[-1, 1]) * eps
+    got_x0 /= np.sqrt(t.coeffs[-1, 1])
     np.testing.assert_allclose(got_x0, x0, rtol=1e-3, atol=1e-4)
+
+
+def _plms_reference(x0, eps_fn, table):
+    """Independent numpy PLMS simulator following the diffusers algorithm
+    shape (ets list, counter-1 corrector, Adams-Bashforth ladder)."""
+    x = x0.copy()
+    ets = []
+    cur = None
+    for i in range(table.num_steps):
+        t = float(table.timesteps[i])
+        abar_t = float(table.coeffs[i, 0])
+        abar_prev = float(table.coeffs[i, 1])
+        e = eps_fn(x, t)
+        if i != 1:
+            ets.append(e)
+        if i == 0:
+            eps = e
+            base = x
+            cur = x.copy()
+        elif i == 1:
+            eps = (e + ets[-1]) / 2.0
+            base = cur
+        elif len(ets) == 2:
+            eps = (3 * ets[-1] - ets[-2]) / 2.0
+            base = x
+        elif len(ets) == 3:
+            eps = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12.0
+            base = x
+        else:
+            eps = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24.0
+            base = x
+        x0_pred = (base - np.sqrt(1 - abar_t) * eps) / np.sqrt(abar_t)
+        x = np.sqrt(abar_prev) * x0_pred + np.sqrt(1 - abar_prev) * eps
+    return x
+
+
+class TestPNDM:
+    def test_table_structure(self):
+        from sduss_tpu.samplers import PNDMSampler
+
+        s = PNDMSampler()
+        t = s.make_table(10)
+        assert t.num_steps == 11  # corrector duplicates the second timestep
+        assert t.timesteps[1] == t.timesteps[2]
+        # evals 0 and 1 share the (t0 -> t1) alphabar transfer
+        np.testing.assert_allclose(t.coeffs[0, :], t.coeffs[1, :])
+        assert np.all(t.coeffs[:, 0] > 0)
+        assert t.init_noise_sigma == 1.0
+
+    def test_matches_reference_plms_simulator(self):
+        from sduss_tpu.samplers import PNDMSampler
+
+        s = PNDMSampler()
+        table = s.make_table(8)
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+
+        def eps_fn(x, t):
+            return 0.1 * x + 0.001 * t
+
+        want = _plms_reference(x0, eps_fn, s.make_table(8))
+
+        x = jnp.asarray(x0)
+        state = PNDMSampler.init_state(x)
+        for i in range(table.num_steps):
+            t = float(table.timesteps[i])
+            c0 = jnp.asarray([table.coeffs[i, 0]])
+            c1 = jnp.asarray([table.coeffs[i, 1]])
+            e = 0.1 * x + 0.001 * t
+            x, state = PNDMSampler.step_with_state(x, e, c0, c1, state)
+            table.advance()
+        np.testing.assert_allclose(np.asarray(x), want, rtol=1e-4, atol=1e-5)
+
+    def test_batch_mixing_property(self):
+        """Two requests at different schedule positions step identically
+        batched vs alone (the core batching property, as for Euler)."""
+        from sduss_tpu.samplers import PNDMSampler
+
+        s = PNDMSampler()
+        rng = np.random.default_rng(1)
+
+        def run(xs, tables, states, n):
+            xs = [jnp.asarray(x) for x in xs]
+            for _ in range(n):
+                for k in range(len(xs)):
+                    t = tables[k]
+                    e = 0.2 * xs[k]
+                    c0 = jnp.asarray([t.coeffs[t.step, 0]])
+                    c1 = jnp.asarray([t.coeffs[t.step, 1]])
+                    xs[k], states[k] = PNDMSampler.step_with_state(
+                        xs[k], e, c0, c1, states[k])
+                    t.advance()
+            return xs, states
+
+        x_a = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+        x_b = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+
+        # solo trajectories
+        ta, tb = s.make_table(6), s.make_table(9)
+        sa = PNDMSampler.init_state(jnp.asarray(x_a))
+        sb = PNDMSampler.init_state(jnp.asarray(x_b))
+        xs, _ = run([x_a], [ta], [sa], 4)
+        solo_a = np.asarray(xs[0])
+        xs, _ = run([x_b], [tb], [sb], 4)
+        solo_b = np.asarray(xs[0])
+
+        # batched: concat along batch, shared step call
+        ta2, tb2 = s.make_table(6), s.make_table(9)
+        x = jnp.asarray(np.concatenate([x_a, x_b]))
+        state = PNDMSampler.init_state(x)
+        for _ in range(4):
+            e = 0.2 * x
+            c0 = jnp.asarray([ta2.coeffs[ta2.step, 0], tb2.coeffs[tb2.step, 0]])
+            c1 = jnp.asarray([ta2.coeffs[ta2.step, 1], tb2.coeffs[tb2.step, 1]])
+            x, state = PNDMSampler.step_with_state(x, e, c0, c1, state)
+            ta2.advance()
+            tb2.advance()
+        got = np.asarray(x)
+        np.testing.assert_allclose(got[0:1], solo_a, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got[1:2], solo_b, rtol=1e-5, atol=1e-6)
