@@ -79,6 +79,8 @@ class AsyncEngine:
                 pass
             self._loop_task = None
         self._executor.shutdown(wait=False)
+        if self.config.engine.collect_data:
+            self.engine.dump_data()
 
     @property
     def is_running(self) -> bool:

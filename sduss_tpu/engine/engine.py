@@ -118,6 +118,27 @@ class Engine:
                 outputs.append(out)
         return outputs
 
+    # -- data collection (reference SDUSS_COLLECT_DATA CSVs,
+    #    engine/engine.py:327-373) ---------------------------------------------
+
+    def dump_data(self, out_dir: Optional[str] = None) -> None:
+        """Write request_data.csv + per-rank schedule CSVs to collect_dir."""
+        import csv
+        import os
+
+        out_dir = out_dir or self.config.engine.collect_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.stats.dump_csv(os.path.join(out_dir, "request_data.csv"))
+        for worker in self.workers:
+            if not worker.schedule_log:
+                continue
+            path = os.path.join(out_dir, f"schedule_rank{worker.rank}.csv")
+            with open(path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(worker.schedule_log[0]))
+                w.writeheader()
+                w.writerows(worker.schedule_log)
+        logger.info("collected data written to %s", out_dir)
+
     # -- convenience ---------------------------------------------------------
 
     @classmethod

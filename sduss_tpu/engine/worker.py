@@ -32,6 +32,9 @@ class Worker:
         self.config = config
         self.scheduler = WorkerScheduler(config.scheduler, pipeline.bundle.family)
         self.iteration = 0
+        # Per-step schedule log (reference schedule.csv, engine/engine.py:
+        # 327-373), populated when engine.collect_data is on.
+        self.schedule_log: List[Dict] = []
 
     # -- request management --------------------------------------------------
 
@@ -70,6 +73,17 @@ class Worker:
 
         if batch.requests:
             self._execute(batch)
+        if self.config.engine.collect_data:
+            res_counts: Dict[int, int] = {}
+            for r in batch.requests:
+                res_counts[r.resolution] = res_counts.get(r.resolution, 0) + 1
+            self.schedule_log.append({
+                "time": now, "iteration": self.iteration,
+                "stage": batch.stage.value, "batch_size": len(batch.requests),
+                "resolutions": ";".join(f"{k}x{v}" for k, v in sorted(res_counts.items())),
+                "predicted_step_ms": batch.requests[0].predicted_step_ms
+                if batch.requests else 0.0,
+            })
         finished = self.scheduler.advance(batch)
         for req in finished:
             req.finish_time = time.time()

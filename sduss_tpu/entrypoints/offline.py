@@ -53,4 +53,6 @@ class DiffusionPipeline:
         while self.engine.has_unfinished_requests():
             outputs.extend(self.engine.step())
         outputs.sort(key=lambda o: o.request_id)
+        if self.config.engine.collect_data:
+            self.engine.dump_data()
         return outputs

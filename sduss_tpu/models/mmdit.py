@@ -268,6 +268,29 @@ class SD3Transformer2DModel:
 
     # -- forward ------------------------------------------------------------
 
+    def _trunk(self, params, x, c, temb, ctx=None):
+        """Joint blocks + final modulation/projection over token sequences."""
+        cfg = self.cfg
+        for i, blk in enumerate(params["blocks"]):
+            last = i == cfg.num_layers - 1
+            dual = i in cfg.dual_attention_layers
+            x, c = self._joint_block(blk, x, c, temb, last, dual, ctx=ctx)
+
+        silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype)
+        mods = L.linear(params["norm_out_proj"], silu_t)
+        scale, shift = jnp.split(mods, 2, axis=-1)
+        x = L.layer_norm(None, x, 1e-6) * (1 + scale[:, None]) + shift[:, None]
+        return L.linear(params["proj_out"], x)
+
+    def unpatchify(self, x, hp: int, wp: int):
+        """(B, hp*wp, ps*ps*C) -> (B, H, W, C)."""
+        cfg = self.cfg
+        ps = cfg.patch_size
+        b = x.shape[0]
+        x = x[:, : hp * wp].reshape(b, hp, wp, ps, ps, cfg.out_channels)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, hp * ps, wp * ps, cfg.out_channels)
+
     def apply(self, params, latents, timesteps, encoder_hidden_states, pooled_projections,
               ctx=None):
         """Denoise forward.
@@ -284,20 +307,54 @@ class SD3Transformer2DModel:
         x = self.embed_latents(params, latents)
         temb = self.time_text_embed(params, timesteps, pooled_projections, latents.dtype)
         c = L.linear(params["context_embedder"], encoder_hidden_states.astype(latents.dtype))
+        x = self._trunk(params, x, c, temb, ctx=ctx)
+        return self.unpatchify(x, hp, wp)
 
-        for i, blk in enumerate(params["blocks"]):
-            last = i == cfg.num_layers - 1
-            dual = i in cfg.dual_attention_layers
-            x, c = self._joint_block(blk, x, c, temb, last, dual, ctx=ctx)
+    def apply_tokens(self, params, tokens, token_mask, timesteps,
+                     encoder_hidden_states, pooled_projections):
+        """Mixed-resolution forward over PADDED token sequences.
 
-        silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype)
-        mods = L.linear(params["norm_out_proj"], silu_t)
-        scale, shift = jnp.split(mods, 2, axis=-1)
-        x = L.layer_norm(None, x, 1e-6) * (1 + scale[:, None]) + shift[:, None]
-        x = L.linear(params["proj_out"], x)
+        tokens: (B, S_pad, dim) patch-embedded + position-embedded latent
+        tokens, right-padded per sample; token_mask: (B, S_pad) bool, True at
+        real tokens.  Attention masks padded latent keys so requests of
+        different resolutions share one compiled trunk — the transformer
+        analog of the UNet patch batch (reference split_sample_sd3,
+        modules/SD3Transformer.py:25-262).
+        Returns (B, S_pad, ps*ps*C) output tokens (slice + unpatchify per
+        request on the caller side).
+        """
+        temb = self.time_text_embed(params, timesteps, pooled_projections,
+                                    tokens.dtype)
+        c = L.linear(params["context_embedder"],
+                     encoder_hidden_states.astype(tokens.dtype))
+        ctx = MMDiTMaskCtx(token_mask, c.shape[1])
+        return self._trunk(params, tokens, c, temb, ctx=ctx)
 
-        # unpatchify: (B, hp*wp, ps*ps*C) -> (B, H, W, C)
-        ps = cfg.patch_size
-        x = x.reshape(b, hp, wp, ps, ps, cfg.out_channels)
-        x = x.transpose(0, 1, 3, 2, 4, 5)
-        return x.reshape(b, hp * ps, wp * ps, cfg.out_channels)
+
+class MMDiTMaskCtx:
+    """Masked-attention context for padded mixed-resolution token batches.
+
+    Joint attention (latent+text keys) masks padded latent keys; dual/self
+    attention (latent keys only) masks the same rows.  Padded QUERY rows
+    produce garbage that never flows into real tokens (masked as keys) and is
+    sliced away before unpatchify.
+    """
+
+    def __init__(self, token_mask, ctx_len: int):
+        self.token_mask = token_mask
+        self.ctx_len = ctx_len
+
+    def mmdit_attention(self, q, k, v):
+        from sduss_tpu.ops.attention import masked_attention
+
+        b, s, nh, hd = q.shape
+        s_lat = self.token_mask.shape[1]
+        if k.shape[1] == s_lat + self.ctx_len:
+            kv_mask = jnp.concatenate(
+                [self.token_mask,
+                 jnp.ones((b, self.ctx_len), self.token_mask.dtype)], axis=1)
+        else:
+            kv_mask = self.token_mask
+        return masked_attention(
+            q.reshape(b, s, nh * hd), k.reshape(b, k.shape[1], nh * hd),
+            v.reshape(b, v.shape[1], nh * hd), nh, kv_token_mask=kv_mask)

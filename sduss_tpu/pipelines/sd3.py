@@ -78,7 +78,124 @@ class StableDiffusion3Pipeline(BasePipeline):
             pooled.astype(latents_in.dtype))
 
     def denoise_step_mixed(self, reqs_by_res):
-        """MMDiT mixed-resolution batching pads token sequences instead of
-        slicing patches (no convs in the transformer); until the padded-seq
-        path lands, group per resolution (still one step per call)."""
-        return self.denoise_step(reqs_by_res)
+        """ONE MMDiT step over a mixed-resolution PADDED-TOKEN batch.
+
+        The transformer analog of the UNet patch batch (reference
+        split_sample_sd3, modules/SD3Transformer.py:25-262): per-request
+        latent token runs are right-padded to a shared sequence bucket and
+        masked in attention, so the 24-block trunk compiles once per
+        (seq bucket, batch bucket) and serves any resolution mixture.
+        """
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sduss_tpu.config import bucket_for
+        from sduss_tpu.samplers import gather_coeffs, gather_timesteps
+
+        ordered = [r for res in sorted(reqs_by_res) for r in reqs_by_res[res]]
+        if not ordered:
+            return
+        if len({r.resolution for r in ordered}) <= 1:
+            # single resolution: the dense path is strictly cheaper (no pad)
+            return self.denoise_step(reqs_by_res)
+
+        tr = self.bundle.models["transformer"]
+        ps = tr.cfg.patch_size
+        lens = [(r.latent_hw(self.vae_scale) // ps) ** 2 for r in ordered]
+        seq_buckets = sorted({(res // self.vae_scale // ps) ** 2
+                              for res in self.config.model.resolutions})
+        s_pad = bucket_for(max(lens), seq_buckets)
+        b = len(ordered)
+        bb = bucket_for(b, self.config.scheduler.batch_buckets)
+
+        # -- embed per resolution group (scale_model_input + patch+pos embed)
+        tables = [r.sampler_table for r in ordered]
+        coeffs = gather_coeffs(tables)
+        tok_rows = []
+        i = 0
+        while i < b:
+            res = ordered[i].resolution
+            j = i
+            while j < b and ordered[j].resolution == res:
+                j += 1
+            group = ordered[i:j]
+            lat = jnp.concatenate([r.latents for r in group], axis=0)
+            c0 = jnp.asarray(coeffs[i:j, 0])
+            fn = self._jit(("sd3_embed", res, j - i), self._embed_fn)
+            toks = fn(self.params, lat, c0)  # (g, s_r, dim)
+            pad = s_pad - toks.shape[1]
+            if pad:
+                toks = jnp.pad(toks, [(0, 0), (0, pad), (0, 0)])
+            tok_rows.append(toks)
+            i = j
+        tokens = jnp.concatenate(tok_rows, axis=0)
+        if bb != b:
+            tokens = jnp.concatenate(
+                [tokens, jnp.repeat(tokens[-1:], bb - b, axis=0)], axis=0)
+
+        mask = np.zeros((bb, s_pad), bool)
+        for idx, n in enumerate(lens):
+            mask[idx, :n] = True
+
+        t = np.zeros((bb,), np.float32)
+        t[:b] = gather_timesteps(tables)
+        guidance = np.zeros((bb,), np.float32)
+        guidance[:b] = [r.params.guidance_scale if r.params.guidance_scale
+                        is not None else self.spec.default_guidance
+                        for r in ordered]
+        cond = self._stack_cond([r.conditioning for r in ordered], bb)
+
+        fn = self._jit(("sd3_mixed", s_pad, bb), self._mixed_trunk_fn)
+        out_tokens = fn(self.params, tokens, jnp.asarray(mask), jnp.asarray(t),
+                        jnp.asarray(guidance), cond)
+
+        # -- unpatchify + sampler step per resolution group
+        i = 0
+        while i < b:
+            res = ordered[i].resolution
+            j = i
+            while j < b and ordered[j].resolution == res:
+                j += 1
+            group = ordered[i:j]
+            hp = group[0].latent_hw(self.vae_scale) // ps
+            lat = jnp.concatenate([r.latents for r in group], axis=0)
+            c = jnp.asarray(coeffs[i:j])
+            fn2 = self._jit(("sd3_finish", res, j - i), self._finish_fn(hp))
+            new_lat = fn2(out_tokens[i:j], lat, c)
+            for k, r in enumerate(group):
+                r.latents = new_lat[k : k + 1]
+                r.sampler_table.advance()
+                r.remain_steps -= 1
+            i = j
+
+    def _embed_fn(self, params, latents, c0):
+        tr = self.bundle.models["transformer"]
+        lat = self.sampler.scale_model_input(latents, c0)
+        return tr.embed_latents(params["transformer"], lat)
+
+    def _mixed_trunk_fn(self, params, tokens, mask, t, guidance, cond):
+        import jax.numpy as jnp
+
+        tr = self.bundle.models["transformer"]
+        tok2 = jnp.concatenate([tokens, tokens], axis=0)
+        mask2 = jnp.concatenate([mask, mask], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
+        pooled = jnp.concatenate([cond["neg_pooled"], cond["pooled"]], axis=0)
+        out = tr.apply_tokens(params["transformer"], tok2, mask2, t2,
+                              ehs.astype(tokens.dtype),
+                              pooled.astype(tokens.dtype))
+        uncond, text = jnp.split(out, 2, axis=0)
+        g = guidance.reshape(-1, 1, 1)
+        return uncond + g * (text - uncond)
+
+    def _finish_fn(self, hp: int):
+        tr = self.bundle.models["transformer"]
+
+        def fn(out_tokens, latents, coeffs):
+            v = tr.unpatchify(out_tokens, hp, hp)
+            return self.sampler.step(latents, v.astype(latents.dtype),
+                                     coeffs[:, 0], coeffs[:, 1])
+
+        return fn
