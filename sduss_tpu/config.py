@@ -162,6 +162,9 @@ class EngineConfig:
     log_requests: bool = True
     collect_data: bool = False
     collect_dir: str = "outputs"
+    # Persistent XLA compilation cache (full-size step compiles are minutes);
+    # None disables.
+    compilation_cache_dir: Optional[str] = "~/.cache/sduss_tpu_xla"
 
 
 @dataclass

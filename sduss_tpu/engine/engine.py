@@ -26,9 +26,19 @@ logger = init_logger(__name__)
 
 class Engine:
     def __init__(self, config: Config, devices: Optional[list] = None):
+        import os
+
         import jax
 
         self.config = config
+        if config.engine.compilation_cache_dir:
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.expanduser(config.engine.compilation_cache_dir))
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+            except Exception:  # already-initialized or unsupported backend
+                pass
         if devices is None:
             all_devs = jax.devices()
             sel = config.parallel.devices

@@ -43,6 +43,28 @@ def _encode_png(image) -> Optional[str]:
         return base64.b64encode(image.tobytes()).decode()
 
 
+def device_stats() -> list:
+    """Per-device HBM usage (the SmUtilMonitor analog, reference
+    engine/utils.py:34-118 — there a stubbed nvidia-smi sampler subprocess;
+    here a direct runtime query)."""
+    import jax
+
+    out = []
+    for d in jax.devices():
+        row = {"id": d.id, "platform": d.platform}
+        try:
+            ms = d.memory_stats() or {}
+            row["bytes_in_use"] = ms.get("bytes_in_use")
+            row["bytes_limit"] = ms.get("bytes_limit")
+            if ms.get("bytes_limit"):
+                row["hbm_utilization"] = round(
+                    ms.get("bytes_in_use", 0) / ms["bytes_limit"], 4)
+        except Exception:
+            pass
+        out.append(row)
+    return out
+
+
 def build_app(engine: AsyncEngine):
     from aiohttp import web
 
@@ -81,8 +103,10 @@ def build_app(engine: AsyncEngine):
         return web.json_response({"status": "ok"})
 
     async def stats(request: web.Request) -> web.Response:
-        return web.json_response(engine.engine.stats.summary(
-            engine.config.model.family, engine.config.scheduler.slo_scale))
+        out = engine.engine.stats.summary(
+            engine.config.model.family, engine.config.scheduler.slo_scale)
+        out["devices"] = device_stats()
+        return web.json_response(out)
 
     async def abort(request: web.Request) -> web.Response:
         body = await request.json()

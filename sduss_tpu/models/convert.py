@@ -65,6 +65,34 @@ def convert_clip(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     return p
 
 
+def convert_clip_vision(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
+    """transformers CLIPVisionModelWithProjection state dict -> pytree."""
+    pre = "vision_model."
+    p = {
+        "class_embedding": np.asarray(sd[pre + "embeddings.class_embedding"]),
+        "patch_embedding": _conv_p(sd, pre + "embeddings.patch_embedding"),
+        "position_embedding": np.asarray(sd[pre + "embeddings.position_embedding.weight"]),
+        "pre_layernorm": _ln(sd, pre + "pre_layrnorm")
+        if pre + "pre_layrnorm.weight" in sd else _ln(sd, pre + "pre_layernorm"),
+        "post_layernorm": _ln(sd, pre + "post_layernorm"),
+        "visual_projection": {"kernel": _t(sd["visual_projection.weight"])},
+        "layers": [],
+    }
+    for i in range(num_layers):
+        lp = f"{pre}encoder.layers.{i}."
+        p["layers"].append({
+            "ln1": _ln(sd, lp + "layer_norm1"),
+            "ln2": _ln(sd, lp + "layer_norm2"),
+            "q": _lin(sd, lp + "self_attn.q_proj"),
+            "k": _lin(sd, lp + "self_attn.k_proj"),
+            "v": _lin(sd, lp + "self_attn.v_proj"),
+            "out": _lin(sd, lp + "self_attn.out_proj"),
+            "fc1": _lin(sd, lp + "mlp.fc1"),
+            "fc2": _lin(sd, lp + "mlp.fc2"),
+        })
+    return p
+
+
 def convert_t5(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     """transformers T5EncoderModel state dict -> T5 pytree."""
     p = {
