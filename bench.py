@@ -107,7 +107,10 @@ def main() -> None:
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     forced = os.environ.get("BENCH_BATCH")
-    batches = [int(forced)] if forced else [1, 2, 4]
+    # batch 8 measured best on v5e (BENCH logs: b1 0.195, b4 0.200, b8 0.226
+    # img/s); keep the default run single-config so one compile (~20 min via
+    # the relay, cached afterwards) bounds driver time.
+    batches = [int(forced)] if forced else [8]
 
     import jax
     import numpy as np

@@ -141,3 +141,44 @@ def fit_classifiers(dataset: Dict[str, List[Tuple[float, float, float]]],
     if out_path:
         np.savez(out_path, **out)
     return out
+
+
+def main() -> None:  # pragma: no cover
+    """Collect traces on this backend and fit the per-block classifiers.
+
+    Replaces the reference's offline sklearn training of
+    exp/{model}-{block}-threshold0.01.pkl with a one-command TPU-native flow.
+    """
+    import argparse
+
+    from sduss_tpu.config import Config, ModelConfig
+    from sduss_tpu.pipelines import build_pipeline
+    from sduss_tpu.request import Request, SamplingParams
+
+    ap = argparse.ArgumentParser("sduss_tpu cache classifier training")
+    ap.add_argument("--family", default="sdxl")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--resolutions", type=int, nargs="+", default=None)
+    ap.add_argument("--reuse-threshold", type=float, default=0.01)
+    ap.add_argument("--out", default="cache_classifiers.npz")
+    args = ap.parse_args()
+
+    config = Config()
+    config.model = ModelConfig(model=args.family, test_tiny=args.tiny,
+                               dtype=args.dtype)
+    config.cache.enabled = True
+    pipe = build_pipeline(config)
+    res = args.resolutions or list(config.model.resolutions)
+    reqs = [Request(f"train-{i}", SamplingParams(
+        prompt=f"training prompt {i}", resolution=r,
+        num_inference_steps=args.steps, seed=i))
+        for i, r in enumerate(res)]
+    data = collect_traces(pipe, reqs, steps=args.steps)
+    out = fit_classifiers(data, args.reuse_threshold, args.out)
+    print(f"fitted {len(out)} block classifiers -> {args.out}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

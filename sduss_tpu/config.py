@@ -48,6 +48,9 @@ class ModelConfig:
     test_tiny: bool = False
     # Resolutions this deployment accepts; default filled per family.
     resolutions: Tuple[int, ...] = ()
+    # Safety checker: None = off; a HF safety_checker/ dir = load weights;
+    # "random" = random weights (tests only).
+    safety_checker_path: Optional[str] = None
 
     def __post_init__(self) -> None:
         if not self.resolutions:

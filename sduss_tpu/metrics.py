@@ -19,7 +19,7 @@ from sduss_tpu.request import Request, RequestOutput
 _E2E_DDL_S = {
     "sdxl": {512: 16.35, 768: 17.5, 1024: 19.31},
     "sd3": {512: 11.0, 768: 18.0, 1024: 30.0},
-    "sd15": {256: 6.0, 512: 8.0, 768: 12.0},
+    "sd15": {256: 5.0, 512: 8.0, 768: 12.0},
 }
 
 

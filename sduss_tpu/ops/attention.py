@@ -27,7 +27,10 @@ _FLASH_MIN_SEQ = 1024
 def _flash_available() -> bool:
     import os
 
-    if os.environ.get("SDUSS_DISABLE_FLASH") == "1":
+    # Measured on v5e (BENCH logs): XLA's fused dense attention beats the
+    # generic Pallas flash kernel ~2x at SDXL shapes (4096 tokens, d=64) —
+    # dense is the default; flash is opt-in for longer-sequence experiments.
+    if os.environ.get("SDUSS_ENABLE_FLASH") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False

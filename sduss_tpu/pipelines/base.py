@@ -404,8 +404,30 @@ class BasePipeline:
                     [latents, jnp.repeat(latents[-1:], bb - b, axis=0)], axis=0)
             fn = self._jit(("decode", res, bb), self._decode_fn)
             images = np.asarray(fn(self.params, latents))
+            checker = self._safety_checker()
+            if checker is not None:
+                images, flags = checker.check(images[:b])
+                for req, flagged in zip(reqs, flags):
+                    req.nsfw_flagged = flagged
             for i, req in enumerate(reqs):
                 req.output = images[i]
+
+    def _safety_checker(self):
+        """Lazy safety checker (reference vendors the stock SD checker,
+        pipelines/stable_diffusion/safety_checker.py)."""
+        path = self.config.model.safety_checker_path
+        if not path:
+            return None
+        if not hasattr(self, "_safety_obj"):
+            from sduss_tpu.models.safety_checker import SafetyChecker
+
+            checker = SafetyChecker(tiny=self.config.model.test_tiny)
+            if path == "random":
+                checker.init_random(seed=self.config.model.seed)
+            else:
+                checker.load(path)
+            self._safety_obj = checker
+        return self._safety_obj
 
     def _decode_fn(self, params, latents):
         # VAE decode stays in full float32 math (reference keeps the SDXL VAE

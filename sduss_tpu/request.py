@@ -80,6 +80,7 @@ class Request:
     finish_time: Optional[float] = None
     output: Any = None
     error: Optional[str] = None
+    nsfw_flagged: bool = False
 
     def __post_init__(self) -> None:
         self.remain_steps = self.params.num_inference_steps

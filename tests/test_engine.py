@@ -132,3 +132,44 @@ class TestEngine:
         s = eng.stats.summary("sd15")
         assert s["finished"] == 1
         assert s["throughput_rps"] > 0
+
+
+def test_collect_data_writes_csvs(tmp_path):
+    """Reference SDUSS_COLLECT_DATA CSVs (engine/engine.py:327-373)."""
+    from sduss_tpu.config import Config, ModelConfig
+    from sduss_tpu.entrypoints.offline import DiffusionPipeline
+
+    config = Config()
+    config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+    config.engine.collect_data = True
+    config.engine.collect_dir = str(tmp_path)
+    pipe = DiffusionPipeline(config=config)
+    outs = pipe.generate(["a"], resolution=256, num_inference_steps=2)
+    assert len(outs) == 1
+    req_csv = tmp_path / "request_data.csv"
+    sched_csv = tmp_path / "schedule_rank0.csv"
+    assert req_csv.exists() and sched_csv.exists()
+    lines = sched_csv.read_text().strip().splitlines()
+    assert len(lines) >= 4  # header + prepare + 2 denoise + post
+    assert "stage" in lines[0]
+
+
+def test_config_from_args_roundtrip():
+    import argparse
+
+    from sduss_tpu.engine.arg_utils import add_engine_args, config_from_args
+
+    parser = argparse.ArgumentParser()
+    add_engine_args(parser)
+    args = parser.parse_args([
+        "--model", "sdxl", "--dp", "2", "--policy", "esymred",
+        "--slo", "3", "--use-cache", "--sampler", "euler",
+        "--max-batchsize", "6"])
+    cfg = config_from_args(args)
+    assert cfg.model.family == "sdxl"
+    assert cfg.parallel.dp == 2
+    assert cfg.scheduler.policy == "esymred"
+    assert cfg.scheduler.slo_scale == 3.0
+    assert cfg.scheduler.max_batch_size == 6
+    assert cfg.cache.enabled is True
+    assert cfg.model.sampler == "euler"

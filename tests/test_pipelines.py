@@ -96,3 +96,17 @@ def test_deterministic_given_seed():
     _run_requests(pipe, [r1])
     _run_requests(pipe, [r2])
     np.testing.assert_array_equal(r1.output, r2.output)
+
+
+def test_safety_checker_random_weights():
+    """Safety checker path: images come back (possibly blacked), flags set."""
+    from sduss_tpu.config import Config, ModelConfig
+    from sduss_tpu.entrypoints.offline import DiffusionPipeline
+
+    config = Config()
+    config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32",
+                               safety_checker_path="random")
+    pipe = DiffusionPipeline(config=config)
+    outs = pipe.generate(["a cat"], resolution=256, num_inference_steps=2)
+    assert outs[0].image is not None
+    assert outs[0].image.dtype == np.uint8

@@ -1,0 +1,63 @@
+"""Tensor-parallel sharding tests: GSPMD-sharded UNet matches unsharded.
+
+The reference scaffolds TP and gates it off (config.py:106-108); DistriFuser
+carries the working TP implementation (modules/tp/).  Here TP is pure
+NamedShardings (sduss_tpu/parallel/sharding.py) and XLA inserts the
+collectives — these tests pin numerical equivalence on a virtual mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sduss_tpu.models.unet import TINY_UNET, UNet2DConditionModel
+from sduss_tpu.parallel.mesh import make_mesh
+from sduss_tpu.parallel.sharding import place_params, unet_param_shardings
+
+
+class TestTensorParallel:
+    def test_shardings_cover_attention_kernels(self):
+        unet = UNet2DConditionModel(TINY_UNET)
+        params = unet.init(jax.random.key(0))
+        mesh = make_mesh(tp=4)
+        sh = unet_param_shardings(params, mesh)
+        flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_s = jax.tree.leaves(sh)
+        n_sharded = sum(1 for s in flat_s if s.spec != P())
+        assert n_sharded > 0, "expected some TP-sharded kernels"
+
+    def test_tp_forward_matches_unsharded(self):
+        unet = UNet2DConditionModel(TINY_UNET)
+        params = unet.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)), jnp.float32)
+        ehs = jnp.asarray(rng.standard_normal((2, 7, 32)), jnp.float32)
+        t = jnp.full((2,), 500.0)
+
+        want = np.asarray(unet.apply(params, x, t, ehs))
+
+        mesh = make_mesh(tp=4)
+        sh = unet_param_shardings(params, mesh)
+        params_tp = place_params(params, sh)
+        fn = jax.jit(lambda p, x, t, e: unet.apply(p, x, t, e))
+        got = np.asarray(fn(params_tp, x, t, ehs))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+    def test_tp_dp_combined_mesh(self):
+        unet = UNet2DConditionModel(TINY_UNET)
+        params = unet.init(jax.random.key(1))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((4, 16, 16, 4)), jnp.float32)
+        ehs = jnp.asarray(rng.standard_normal((4, 7, 32)), jnp.float32)
+        t = jnp.full((4,), 300.0)
+        want = np.asarray(unet.apply(params, x, t, ehs))
+
+        mesh = make_mesh(dp=2, tp=4)
+        params_tp = place_params(params, unet_param_shardings(params, mesh))
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        got = np.asarray(jax.jit(lambda p, x, t, e: unet.apply(p, x, t, e))(
+            params_tp, xs, t, ehs))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
