@@ -73,11 +73,9 @@ def build_step(batch: int):
     time_ids = jnp.asarray([[1024.0, 1024.0, 0, 0, 1024.0, 1024.0]] * b,
                            jnp.float32)
 
-    @jax.jit
-    def step(params, latents, t, coeffs, guidance, ehs, pooled, time_ids):
+    def one_step(params, latents, t, c0, c1, guidance, ehs, pooled, time_ids):
         lat_in = jnp.concatenate([latents, latents], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        c0 = coeffs[:, 0]
         lat_in = sampler.scale_model_input(lat_in, jnp.concatenate([c0, c0]))
         added = {"text_embeds": jnp.concatenate([pooled, pooled], axis=0),
                  "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
@@ -85,10 +83,38 @@ def build_step(batch: int):
                          jnp.concatenate([ehs, ehs], axis=0), added_cond=added)
         uncond, text = jnp.split(out, 2, axis=0)
         eps = uncond + guidance.reshape(-1, 1, 1, 1) * (text - uncond)
-        return sampler.step(latents, eps, coeffs[:, 0], coeffs[:, 1])
+        return sampler.step(latents, eps, c0, c1)
+
+    @jax.jit
+    def step(params, latents, t, coeffs, guidance, ehs, pooled, time_ids):
+        return one_step(params, latents, t, coeffs[:, 0], coeffs[:, 1],
+                        guidance, ehs, pooled, time_ids)
+
+    def make_trajectory(n_steps: int):
+        """Full n-step denoise in ONE jit (offline batched generation,
+        BASELINE config 2) — per-step timesteps/sigmas from a real Euler
+        table, scanned with lax.fori_loop.  One dispatch per trajectory:
+        isolates device throughput from the per-call relay overhead
+        (~250 ms/dispatch via the axon tunnel, scripts/bench_attn.py)."""
+        table = sampler.make_table(n_steps)
+        ts = jnp.asarray(table.timesteps)           # (n,)
+        cs = jnp.asarray(table.coeffs)              # (n, 2)
+
+        @jax.jit
+        def run(params, latents, guidance, ehs, pooled, time_ids):
+            def body(i, lat):
+                t_i = jnp.full((lat.shape[0],), ts[i], jnp.float32)
+                c0 = jnp.full((lat.shape[0],), cs[i, 0])
+                c1 = jnp.full((lat.shape[0],), cs[i, 1])
+                return one_step(params, lat, t_i, c0, c1, guidance, ehs,
+                                pooled, time_ids)
+
+            return jax.lax.fori_loop(0, n_steps, body, latents)
+
+        return run
 
     args = (params, latents, t, coeffs, guidance, ehs, pooled, time_ids)
-    return step, args
+    return step, make_trajectory, args
 
 
 def main() -> None:
@@ -115,31 +141,44 @@ def main() -> None:
     import jax
     import numpy as np
 
+    mode = os.environ.get("BENCH_MODE", "scan")  # scan | per_step
     best_ips, best_b = 0.0, 0
     for b in batches:
         try:
-            step, args = build_step(b)
-            (params, latents, *rest) = args
-            latents = step(params, latents, *rest)
-            latents = step(params, latents, *rest)
-            # device_get forces real completion — on the experimental axon
-            # relay backend block_until_ready can return before the remote
-            # execution finishes, which inflates throughput ~30x.
-            np.asarray(latents)
-            best_t = float("inf")
-            for _ in range(repeats):
-                lat = latents
-                t0 = time.perf_counter()
-                for _ in range(n_steps):
-                    lat = step(params, lat, *rest)
-                checksum = float(np.asarray(lat).astype(np.float32).sum())
-                best_t = min(best_t, time.perf_counter() - t0)
+            step, make_trajectory, args = build_step(b)
+            (params, latents, t, coeffs, guidance, ehs, pooled, time_ids) = args
+            if mode == "scan":
+                run = make_trajectory(n_steps)
+                out = run(params, latents, guidance, ehs, pooled, time_ids)
+                # device_get forces real completion — on the experimental
+                # axon relay backend block_until_ready can return before the
+                # remote execution finishes (inflates throughput ~30x).
+                np.asarray(out)
+                best_t = float("inf")
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    out = run(params, latents, guidance, ehs, pooled, time_ids)
+                    checksum = float(np.asarray(out).astype(np.float32).sum())
+                    best_t = min(best_t, time.perf_counter() - t0)
+            else:
+                latents = step(params, latents, t, coeffs, guidance, ehs,
+                               pooled, time_ids)
+                np.asarray(latents)
+                best_t = float("inf")
+                for _ in range(repeats):
+                    lat = latents
+                    t0 = time.perf_counter()
+                    for _ in range(n_steps):
+                        lat = step(params, lat, t, coeffs, guidance, ehs,
+                                   pooled, time_ids)
+                    checksum = float(np.asarray(lat).astype(np.float32).sum())
+                    best_t = min(best_t, time.perf_counter() - t0)
             ips = b / (best_t * (30.0 / n_steps))  # normalize to 30 steps
-            print(f"# batch={b}: {best_t:.3f}s/{n_steps} steps -> "
+            print(f"# batch={b} mode={mode}: {best_t:.3f}s/{n_steps} steps -> "
                   f"{ips:.4f} img/s (30-step), checksum={checksum:.3e}", flush=True)
             if ips > best_ips:
                 best_ips, best_b = ips, b
-            del step, args, latents, params, rest
+            del step, args, latents, params
             import gc
 
             gc.collect()

@@ -39,23 +39,22 @@ class Engine:
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
             except Exception:  # already-initialized or unsupported backend
                 pass
+        from sduss_tpu.parallel.replica import build_placements
+
         if devices is None:
-            all_devs = jax.devices()
+            devices = jax.devices()
             sel = config.parallel.devices
             if sel is not None:
-                all_devs = [all_devs[i] for i in sel]
-            devices = all_devs[: config.parallel.dp]
-        if len(devices) < config.parallel.dp:
-            raise ValueError(
-                f"need {config.parallel.dp} devices for dp={config.parallel.dp}, "
-                f"have {len(devices)}")
+                devices = [devices[i] for i in sel]
+        par = config.parallel
+        placements = build_placements(par.dp, par.sp, par.tp, devices)
 
         # One bundle (host weights) shared; per-replica pipelines place params
-        # on their own device lazily.
-        first = build_pipeline(config, device=devices[0])
+        # on their own device/sub-mesh lazily.
+        first = build_pipeline(config, device=placements[0])
         self.workers: List[Worker] = [Worker(0, first, config)]
-        for rank in range(1, config.parallel.dp):
-            pipe = build_pipeline(config, device=devices[rank], bundle=first.bundle)
+        for rank in range(1, par.dp):
+            pipe = build_pipeline(config, device=placements[rank], bundle=first.bundle)
             self.workers.append(Worker(rank, pipe, config))
 
         self.dispatch_policy = get_dispatch_policy(config.engine.dispatcher_policy)

@@ -25,26 +25,32 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def unet_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Sharding pytree for UNet params: attention/FF kernels over 'tp'.
+# Column-parallel (output dim over 'tp') and row-parallel (input dim over
+# 'tp') kernel names — covers the UNet transformer blocks AND the SD3 MMDiT
+# (add_*_proj / ff1 / ff_context1 etc.).
+_COLUMN = ("to_q", "to_k", "to_v", "ff_geglu",
+           "add_q_proj", "add_k_proj", "add_v_proj",
+           "ff1", "ff_context1")
+_ROW = ("to_out", "ff_out", "to_add_out", "ff2", "ff_context2")
 
-    Column-parallel: to_q/to_k/to_v, ff_geglu (output dim sharded).
-    Row-parallel: to_out, ff_out (input dim sharded) -> XLA all-reduces the
-    partial sums.  Everything else (convs, norms, embeddings) replicated.
+
+def unet_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Sharding pytree for denoiser params: attention/FF kernels over 'tp'.
+
+    Column-parallel kernels shard the output dim; row-parallel kernels shard
+    the input dim -> XLA all-reduces the partial sums.  Everything else
+    (convs, norms, embeddings) replicated.  Applies to both the UNet and the
+    MMDiT param trees (name-based rules).
     """
 
     def rule(path, leaf) -> NamedSharding:
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         names = [k for k in keys if isinstance(k, str)]
         if leaf.ndim == 2:
-            if any(n in ("to_q", "to_k", "to_v", "ff_geglu") for n in names) \
-                    and names[-1] == "kernel":
+            if any(n in _COLUMN for n in names) and names[-1] == "kernel":
                 return _ns(mesh, None, "tp")
-            if any(n in ("to_out", "ff_out") for n in names) and names[-1] == "kernel":
+            if any(n in _ROW for n in names) and names[-1] == "kernel":
                 return _ns(mesh, "tp", None)
-        if leaf.ndim == 1 and any(n in ("to_out", "ff_out") for n in names) \
-                and names[-1] == "bias":
-            return _ns(mesh)  # bias replicated, added once after all-reduce
         return _ns(mesh)
 
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -51,10 +51,18 @@ class BasePipeline:
     """Family-agnostic staged pipeline over a ModelBundle."""
 
     def __init__(self, bundle: ModelBundle, config: Config, device=None):
+        from sduss_tpu.parallel.replica import ReplicaPlacement
+
         self.bundle = bundle
         self.config = config
         self.spec = bundle.spec
-        self.device = device
+        # `device` is a jax Device, a ReplicaPlacement (sp x tp sub-mesh),
+        # or None (default device).
+        if device is not None and not isinstance(device, ReplicaPlacement):
+            self.placement = ReplicaPlacement([device])
+        else:
+            self.placement = device
+        self.device = getattr(self.placement, "device", None)
         if config.model.sampler:
             self.sampler = get_sampler(config.model.sampler)
         else:
@@ -71,8 +79,8 @@ class BasePipeline:
     def params(self) -> dict:
         if self._params_device is None:
             p = self.bundle.params
-            if self.device is not None:
-                p = jax.device_put(p, self.device)
+            if self.placement is not None:
+                p = self.placement.put_params(p, self.bundle.denoiser_key)
             self._params_device = p
         return self._params_device
 
@@ -121,8 +129,8 @@ class BasePipeline:
                 (1, h, h, self.bundle.latent_channels), dtype=np.float32)
             lat = noise * req.sampler_table.init_noise_sigma
             req.latents = jnp.asarray(lat, self._latent_dtype())
-            if self.device is not None:
-                req.latents = jax.device_put(req.latents, self.device)
+            if self.placement is not None:
+                req.latents = self.placement.put_latents(req.latents)
 
     def _latent_dtype(self):
         if self.config.model.dtype == "bfloat16":
