@@ -81,6 +81,9 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--slo", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trace", default=None,
+                    help="replay a saved trace CSV (exp/*/qps_*.csv) instead "
+                         "of generating one")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -93,9 +96,14 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
     config.scheduler.slo_scale = float(args.slo)
     config.parallel.dp = args.dp
 
-    rows = generate_trace(args.qps, args.num_requests,
-                          config.model.resolutions, args.distribution,
-                          steps=args.steps, seed=args.seed)
+    if args.trace:
+        from sduss_tpu.benchmark.traces import load_trace
+
+        rows = load_trace(args.trace)[: args.num_requests]
+    else:
+        rows = generate_trace(args.qps, args.num_requests,
+                              config.model.resolutions, args.distribution,
+                              steps=args.steps, seed=args.seed)
     records = run_replay(config, rows, slo=args.slo)
     metrics = compute_metrics(records, config.model.family, slo=args.slo)
     if args.out:

@@ -123,9 +123,10 @@ class SchedulerConfig:
     # Mixed-resolution patch batching (reference "mixed precision").
     use_mixed_resolution: bool = True
     patch_size: int = 256  # pixels; /8 => 32x32 latent patches
-    # ESyMReD knobs (reference esymred.json:1-48).
+    # ESyMReD knobs (reference esymred.json:1-48). The reference's
+    # DISCARD_SLACK sentinel is unnecessary here: aborted requests leave the
+    # pool immediately instead of being sorted to the back.
     slo_scale: float = 5.0
-    discard_slack_ms: float = 500.0
     postprocessing_ratio: float = 0.9
     # Path to a trained latency predictor (npz); None => analytic fallback.
     predictor_path: Optional[str] = None
