@@ -24,32 +24,9 @@ import time
 
 
 def _random_params_bf16(model, seed: int = 0):
-    """Device-side bf16 param generation without a float32 staging copy.
+    from sduss_tpu.utils import random_params_bf16
 
-    ``init`` would materialize fp32 params (10.3 GB for SDXL's UNet) before
-    casting — past a v5e chip's HBM alongside the bf16 copy. Instead we take
-    the param tree's structure from eval_shape and jit a generator that
-    produces every leaf directly in bf16 on device. Values are random either
-    way; only shapes/dtypes matter for throughput.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    shapes = jax.eval_shape(model.init, jax.random.key(seed))
-    flat, treedef = jax.tree.flatten(shapes)
-
-    @jax.jit
-    def make(seed_arr):
-        key = jax.random.key(seed_arr[0])
-        leaves = [
-            jax.random.normal(jax.random.fold_in(key, i), s.shape, jnp.bfloat16) * 0.02
-            for i, s in enumerate(flat)
-        ]
-        return jax.tree.unflatten(treedef, leaves)
-
-    import numpy as np
-
-    return make(np.asarray([seed], np.uint32))
+    return random_params_bf16(model, seed)
 
 
 def build_step(batch: int):

@@ -36,6 +36,7 @@ class DiffusionPipeline:
         num_inference_steps: int = 50,
         guidance_scale: Optional[float] = None,
         seed: Optional[int] = None,
+        output_type: str = "np",
     ) -> List[RequestOutput]:
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -48,7 +49,8 @@ class DiffusionPipeline:
                     prompt=p, negative_prompt=negative_prompt, resolution=res,
                     num_inference_steps=num_inference_steps,
                     guidance_scale=guidance_scale,
-                    seed=None if seed is None else seed + i))
+                    seed=None if seed is None else seed + i,
+                    output_type=output_type))
         outputs: List[RequestOutput] = []
         while self.engine.has_unfinished_requests():
             outputs.extend(self.engine.step())

@@ -155,13 +155,21 @@ class SD3Transformer2DModel:
         crop = self._pos_embed_full[top : top + h_patches, left : left + w_patches]
         return jnp.asarray(crop.reshape(h_patches * w_patches, self.cfg.dim))
 
-    def embed_latents(self, params, latents):
-        """(B,H,W,C) latents -> (B, h*w, dim) tokens with position added."""
+    def embed_latents(self, params, latents, ctx=None):
+        """(B,H,W,C) latents -> (B, h*w, dim) tokens with position added.
+
+        With a sharded ctx (rows of the latent on different devices), the
+        position grid rows come from the ctx (global crop, local slice).
+        """
         cfg = self.cfg
         x = L.conv2d(params["patch_embed"], latents, stride=cfg.patch_size, padding="VALID")
         b, hp, wp, d = x.shape
         x = x.reshape(b, hp * wp, d)
-        return x + self.pos_embed(hp, wp).astype(x.dtype)[None]
+        if ctx is not None and hasattr(ctx, "pos_embed_rows"):
+            pe = ctx.pos_embed_rows(self, hp, wp)
+        else:
+            pe = self.pos_embed(hp, wp)
+        return x + pe.astype(x.dtype)[None]
 
     def time_text_embed(self, params, timesteps, pooled, dtype):
         te = L.timestep_embedding(timesteps, 256).astype(dtype)
@@ -184,12 +192,16 @@ class SD3Transformer2DModel:
         k = L.rms_norm(p[f"norm_{prefix}k"], k)
         return q, k
 
-    def _attention_seq(self, q, k, v, ctx=None, lvl: int = 0):
-        """(B,S,H,D) heads attention; segment-grouped when ctx is given."""
+    def _attention_seq(self, q, k, v, ctx=None, s_lat: int = None):
+        """(B,S,H,D) heads attention; masked/sharded when ctx is given.
+
+        ``s_lat``: number of leading LATENT tokens in the (possibly joint)
+        sequence — sharded contexts gather only the latent KV across devices
+        (text context tokens are replicated)."""
         cfg = self.cfg
         b, s, nh, hd = q.shape
         if ctx is not None:
-            return ctx.mmdit_attention(q, k, v)
+            return ctx.mmdit_attention(q, k, v, s_lat if s_lat is not None else s)
         out = L.attention(
             q.reshape(b, s, nh * hd), k.reshape(b, k.shape[1], nh * hd),
             v.reshape(b, v.shape[1], nh * hd), cfg.num_heads)
@@ -234,7 +246,7 @@ class SD3Transformer2DModel:
         qj = jnp.concatenate([q, cq], axis=1)
         kj = jnp.concatenate([k, ck], axis=1)
         vj = jnp.concatenate([v, cv], axis=1)
-        attn_out = self._attention_seq(qj, kj, vj, ctx=ctx)
+        attn_out = self._attention_seq(qj, kj, vj, ctx=ctx, s_lat=s_lat)
         x_attn, c_attn = attn_out[:, :s_lat], attn_out[:, s_lat:]
 
         x = x + gate_msa[:, None] * L.linear(ap["to_out"], x_attn)
@@ -247,7 +259,7 @@ class SD3Transformer2DModel:
             k2 = self._heads(L.linear(a2["to_k"], x2))
             v2 = self._heads(L.linear(a2["to_v"], x2))
             q2, k2 = self._qk_norm(a2, q2, k2)
-            out2 = self._attention_seq(q2, k2, v2, ctx=ctx)
+            out2 = self._attention_seq(q2, k2, v2, ctx=ctx, s_lat=q2.shape[1])
             x = x + gate2[:, None] * L.linear(a2["to_out"], out2)
 
         xn2 = L.layer_norm(None, x, 1e-6)
@@ -304,7 +316,7 @@ class SD3Transformer2DModel:
         b, hh, ww, _ = latents.shape
         hp, wp = hh // cfg.patch_size, ww // cfg.patch_size
 
-        x = self.embed_latents(params, latents)
+        x = self.embed_latents(params, latents, ctx=ctx)
         temb = self.time_text_embed(params, timesteps, pooled_projections, latents.dtype)
         c = L.linear(params["context_embedder"], encoder_hidden_states.astype(latents.dtype))
         x = self._trunk(params, x, c, temb, ctx=ctx)
@@ -344,7 +356,7 @@ class MMDiTMaskCtx:
         self.token_mask = token_mask
         self.ctx_len = ctx_len
 
-    def mmdit_attention(self, q, k, v):
+    def mmdit_attention(self, q, k, v, s_lat: int):
         from sduss_tpu.ops.attention import masked_attention
 
         b, s, nh, hd = q.shape

@@ -160,22 +160,93 @@ class ShardContext:
         return attention(q, k, v, heads)
 
 
+class MMDiTShardContext:
+    """Sequence-sharded MMDiT context: latent token rows over 'sp'.
+
+    Rebuild of DistriFuser's SD3 displaced path (reference
+    distrifuser/modules/pp/attn.py:202-427, models/distri_sd3_transformer_pp.py
+    :14-318): each device holds a row-slice of the latent token sequence;
+    joint attention gathers the remote latent K/V — fresh in sync mode, from
+    the previous step's state in displaced mode (own rows always fresh).
+    Text-context tokens are replicated, so their queries/keys are local.
+    """
+
+    def __init__(self, axis: str = "sp", stale: bool = False,
+                 kv_state: Optional[Dict[str, Tuple]] = None):
+        self.axis = axis
+        self.stale = stale
+        self.kv_state = kv_state or {}
+        self.new_kv_state: Dict[str, Tuple] = {}
+        self._layer = 0
+
+    def pos_embed_rows(self, model, hp_local: int, wp: int):
+        """Global position crop, this shard's row slice."""
+        n = jax.lax.axis_size(self.axis)
+        full = model.pos_embed(hp_local * n, wp)          # (hp*n*wp, dim)
+        full = full.reshape(hp_local * n, wp, -1)
+        idx = jax.lax.axis_index(self.axis)
+        rows = jax.lax.dynamic_slice(
+            full, (idx * hp_local, 0, 0), (hp_local, wp, full.shape[-1]))
+        return rows.reshape(hp_local * wp, -1)
+
+    def _gather_or_splice(self, key: str, k_loc, v_loc):
+        """Full latent K/V across shards: gather (sync) or stale splice."""
+        s_loc = k_loc.shape[1]
+        if self.stale and key in self.kv_state:
+            k_stale, v_stale = self.kv_state[key]
+            idx = jax.lax.axis_index(self.axis)
+            off = idx * s_loc
+            k_full = jax.lax.dynamic_update_slice(
+                k_stale.astype(k_loc.dtype), k_loc, (0, off, 0, 0))
+            v_full = jax.lax.dynamic_update_slice(
+                v_stale.astype(v_loc.dtype), v_loc, (0, off, 0, 0))
+            self.new_kv_state[key] = (
+                jax.lax.all_gather(k_loc, self.axis, axis=1, tiled=True),
+                jax.lax.all_gather(v_loc, self.axis, axis=1, tiled=True))
+        else:
+            k_full = jax.lax.all_gather(k_loc, self.axis, axis=1, tiled=True)
+            v_full = jax.lax.all_gather(v_loc, self.axis, axis=1, tiled=True)
+            self.new_kv_state[key] = (k_full, v_full)
+        return k_full, v_full
+
+    def mmdit_attention(self, q, k, v, s_lat: int):
+        """(B, S, H, D) joint or latent-only attention with sharded latents.
+
+        The leading ``s_lat`` tokens of k/v are this shard's LOCAL latent
+        rows; any remainder is replicated text context."""
+        key = f"attn{self._layer}"
+        self._layer += 1
+        b, s, nh, hd = q.shape
+        k_lat, v_lat = k[:, :s_lat], v[:, :s_lat]
+        k_full, v_full = self._gather_or_splice(key, k_lat, v_lat)
+        if s > s_lat:  # joint: append the replicated context K/V
+            k_full = jnp.concatenate([k_full, k[:, s_lat:]], axis=1)
+            v_full = jnp.concatenate([v_full, v[:, s_lat:]], axis=1)
+        out = attention(q.reshape(b, s, nh * hd),
+                        k_full.reshape(b, k_full.shape[1], nh * hd),
+                        v_full.reshape(b, v_full.shape[1], nh * hd), nh)
+        return out
+
+
 class DisplacedPatchRunner:
     """Drives a denoiser under displaced patch parallelism on a mesh.
 
     ``model_fn(params, x, t, ctx)`` is the family-specific forward (CFG
     handling included by the caller); latents are (B, H, W, C) on the host
-    side and sharded (B, H/n, W, C) inside.
+    side and sharded (B, H/n, W, C) inside.  ``ctx_cls`` selects the seam:
+    ShardContext (UNet conv/halo families) or MMDiTShardContext (SD3).
     """
 
     def __init__(self, model_fn: Callable, mesh: Mesh, sampler,
-                 warmup_steps: int = 4, axis: str = "sp"):
+                 warmup_steps: int = 4, axis: str = "sp",
+                 ctx_cls: type = None):
         self.model_fn = model_fn
         self.mesh = mesh
         self.sampler = sampler
         self.warmup_steps = warmup_steps
         self.axis = axis
         self.n = mesh.shape[axis]
+        self.ctx_cls = ctx_cls or ShardContext
         self._steps: Dict[bool, Callable] = {}
 
     def latent_sharding(self) -> NamedSharding:
@@ -189,8 +260,10 @@ class DisplacedPatchRunner:
         sampler = self.sampler
         model_fn = self.model_fn
 
+        ctx_cls = self.ctx_cls
+
         def local_step(params, x, t, coeffs, guidance, kv_state):
-            ctx = ShardContext(axis=axis, stale=stale, kv_state=kv_state)
+            ctx = ctx_cls(axis=axis, stale=stale, kv_state=kv_state)
             c0, c1 = coeffs[:, 0], coeffs[:, 1]
             x_in = sampler.scale_model_input(
                 jnp.concatenate([x, x], axis=0), jnp.concatenate([c0, c0]))

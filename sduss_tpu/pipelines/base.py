@@ -401,7 +401,12 @@ class BasePipeline:
 
     def postprocess(self, reqs_by_res: Dict[int, List[Request]]) -> None:
         for res in sorted(reqs_by_res):
-            reqs = reqs_by_res[res]
+            all_reqs = reqs_by_res[res]
+            # latent output type skips the VAE decode entirely
+            for r in all_reqs:
+                if r.params.output_type == "latent":
+                    r.output = np.asarray(r.latents[0], np.float32)
+            reqs = [r for r in all_reqs if r.params.output_type != "latent"]
             if not reqs:
                 continue
             b = len(reqs)

@@ -125,13 +125,22 @@ class RequestOutput:
 
     @classmethod
     def from_request(cls, req: Request) -> "RequestOutput":
+        image = req.output
+        if req.params.output_type == "pil" and image is not None \
+                and image.ndim == 3:
+            try:
+                from PIL import Image
+
+                image = Image.fromarray(image)
+            except ImportError:  # pragma: no cover
+                pass
         return cls(
             request_id=req.request_id,
             prompt=req.params.prompt,
             resolution=req.resolution,
             finished=req.stage == Stage.FINISHED,
             aborted=req.stage == Stage.ABORTED,
-            image=req.output,
+            image=image,
             error=req.error,
             arrival_time=req.arrival_time,
             finish_time=req.finish_time or time.time(),

@@ -128,3 +128,71 @@ class TestDisplaced:
             want = np.asarray(L.conv2d(p, x, stride=stride))
             np.testing.assert_allclose(got, want, atol=1e-5,
                                        err_msg=f"stride={stride}")
+
+
+class TestDisplacedSD3:
+    @pytest.fixture(scope="class")
+    def sd3_setup(self):
+        from sduss_tpu.models.mmdit import TINY_MMDIT, SD3Transformer2DModel
+
+        model = SD3Transformer2DModel(TINY_MMDIT)
+        params = model.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        b, h = 1, 16
+        latents = jnp.asarray(rng.standard_normal((b, h, h, 4)), jnp.float32)
+        ehs = jnp.asarray(rng.standard_normal((2 * b, 9, 32)), jnp.float32)
+        pooled = jnp.asarray(rng.standard_normal((2 * b, 32)), jnp.float32)
+
+        def model_fn(params, x_in, t2, ctx):
+            return model.apply(params, x_in, t2, ehs, pooled, ctx=ctx)
+
+        return model, params, latents, model_fn
+
+    def test_sd3_sync_matches_dense(self, sd3_setup):
+        from sduss_tpu.parallel.displaced import (DisplacedPatchRunner,
+                                                  MMDiTShardContext)
+
+        model, params, latents, model_fn = sd3_setup
+        mesh = make_mesh(sp=4)
+        sampler = get_sampler("flow_match")
+        runner = DisplacedPatchRunner(model_fn, mesh, sampler,
+                                      warmup_steps=10**9,
+                                      ctx_cls=MMDiTShardContext)
+        table = sampler.make_table(3)
+        got = np.asarray(runner.denoise(params, latents, table, 4.5),
+                         np.float32)
+
+        table2 = sampler.make_table(3)
+        lat = latents
+        for _ in range(3):
+            c0 = jnp.full((1,), float(table2.coeffs[table2.step, 0]))
+            c1 = jnp.full((1,), float(table2.coeffs[table2.step, 1]))
+            t2 = jnp.full((2,), table2.current_timestep(), jnp.float32)
+            out = model_fn(params, jnp.concatenate([lat, lat]), t2, None)
+            u, c = jnp.split(out, 2)
+            eps = u + 4.5 * (c - u)
+            lat = sampler.step(lat, eps, c0, c1)
+            table2.advance()
+        np.testing.assert_allclose(got, np.asarray(lat, np.float32),
+                                   atol=2e-4, rtol=2e-3)
+
+    def test_sd3_displaced_close_after_warmup(self, sd3_setup):
+        from sduss_tpu.parallel.displaced import (DisplacedPatchRunner,
+                                                  MMDiTShardContext)
+
+        model, params, latents, model_fn = sd3_setup
+        mesh = make_mesh(sp=4)
+        sampler = get_sampler("flow_match")
+
+        sync = DisplacedPatchRunner(model_fn, mesh, sampler,
+                                    warmup_steps=10**9,
+                                    ctx_cls=MMDiTShardContext)
+        ref = np.asarray(sync.denoise(params, latents, sampler.make_table(6),
+                                      4.5), np.float32)
+        disp = DisplacedPatchRunner(model_fn, mesh, sampler, warmup_steps=2,
+                                    ctx_cls=MMDiTShardContext)
+        out = np.asarray(disp.denoise(params, latents, sampler.make_table(6),
+                                      4.5), np.float32)
+        assert np.isfinite(out).all()
+        err = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-6)
+        assert err < 0.35, f"relative drift too large: {err}"

@@ -110,3 +110,22 @@ def test_safety_checker_random_weights():
     outs = pipe.generate(["a cat"], resolution=256, num_inference_steps=2)
     assert outs[0].image is not None
     assert outs[0].image.dtype == np.uint8
+
+
+def test_output_types():
+    from sduss_tpu.entrypoints.offline import DiffusionPipeline
+
+    pipe = DiffusionPipeline(model="sd15", test_tiny=True, dtype="float32")
+    lat = pipe.generate(["a"], resolution=256, num_inference_steps=2,
+                        output_type="latent")[0]
+    assert lat.image is not None and lat.image.dtype == np.float32
+    assert lat.image.shape[-1] == 4  # latent channels, not RGB
+
+    pil = pipe.generate(["b"], resolution=256, num_inference_steps=2,
+                        output_type="pil")[0]
+    try:
+        from PIL import Image
+
+        assert isinstance(pil.image, Image.Image)
+    except ImportError:
+        pass
