@@ -1,0 +1,74 @@
+"""Plot the experiment figures from metrics JSONs (reference
+scripts/draw/figure.py:82-636, figures 12-15).
+
+Each panel: x = sweep variable (qps / dp / slo / distribution), y = the four
+report metrics, one line per policy.
+
+Usage:
+    python scripts/plot_metrics.py outputs/e2e --x qps --out fig_e2e.png
+
+Expects files named metrics_{model}_{policy}_{x}.json as written by
+scripts/e2e.sh and friends.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+from collections import defaultdict
+
+METRICS = ["slo_attainment", "avg_latency_s", "goodput_rps", "throughput_rps"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dir")
+    ap.add_argument("--x", default="qps", help="sweep variable name (label only)")
+    ap.add_argument("--out", default="figure.png")
+    args = ap.parse_args()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # metrics_{model}_{policy}_{x}.json
+    pat = re.compile(r"metrics_(?P<model>[^_]+)_(?P<policy>[^_]+)_(?P<x>[^_]+)\.json$")
+    series = defaultdict(list)  # (model, policy) -> [(x, metrics)]
+    for path in sorted(glob.glob(os.path.join(args.dir, "metrics_*.json"))):
+        m = pat.search(os.path.basename(path))
+        if not m:
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        try:
+            xv = float(m.group("x").lstrip("dp").lstrip("slo"))
+        except ValueError:
+            xv = m.group("x")
+        series[(m.group("model"), m.group("policy"))].append((xv, data))
+
+    if not series:
+        raise SystemExit(f"no metrics_*.json under {args.dir}")
+
+    fig, axes = plt.subplots(1, len(METRICS), figsize=(5 * len(METRICS), 4))
+    for (model, policy), rows in sorted(series.items()):
+        rows.sort(key=lambda r: (isinstance(r[0], str), r[0]))
+        xs = [r[0] for r in rows]
+        for ax, metric in zip(axes, METRICS):
+            ys = [r[1].get(metric) for r in rows]
+            ax.plot(xs, ys, marker="o", label=f"{model}/{policy}")
+    for ax, metric in zip(axes, METRICS):
+        ax.set_xlabel(args.x)
+        ax.set_ylabel(metric)
+        ax.grid(alpha=0.3)
+    axes[0].legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=120)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from sduss_tpu.cache.manager import BlockCache

@@ -9,7 +9,6 @@ the asyncio event loop (HTTP handlers) stays responsive while XLA computes.
 from __future__ import annotations
 
 import asyncio
-import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from typing import AsyncIterator, Dict, Optional

@@ -13,12 +13,12 @@ materializes images.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from sduss_tpu.config import Config
 from sduss_tpu.logger import init_logger
 from sduss_tpu.pipelines.base import BasePipeline
-from sduss_tpu.request import Request, RequestOutput, Stage
+from sduss_tpu.request import Request, Stage
 from sduss_tpu.scheduler import WorkerScheduler
 from sduss_tpu.scheduler.policies import ScheduledBatch
 

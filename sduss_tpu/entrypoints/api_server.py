@@ -21,7 +21,6 @@ import io
 import time
 from typing import Optional
 
-from sduss_tpu.config import Config
 from sduss_tpu.engine.arg_utils import add_engine_args, config_from_args
 from sduss_tpu.engine.async_engine import AsyncEngine
 from sduss_tpu.logger import init_logger

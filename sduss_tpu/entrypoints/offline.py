@@ -5,7 +5,7 @@ from __future__ import annotations
 import uuid
 from typing import List, Optional, Sequence, Union
 
-from sduss_tpu.config import Config, ModelConfig, ParallelConfig, SchedulerConfig
+from sduss_tpu.config import Config, ModelConfig
 from sduss_tpu.engine.engine import Engine
 from sduss_tpu.request import RequestOutput, SamplingParams
 

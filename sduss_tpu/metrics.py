@@ -8,7 +8,6 @@ stats object the API server and benchmark harness read directly.
 from __future__ import annotations
 
 import dataclasses
-import json
 import time
 from typing import Dict, List, Optional
 

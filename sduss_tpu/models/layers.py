@@ -18,7 +18,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Matmul/conv precision. None = backend default: bf16 inputs run single-pass
 # on the MXU (the fast path the whole stack is designed around — activations

@@ -9,7 +9,7 @@ the full serving stack is testable on CPU without weights.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 

@@ -20,7 +20,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sduss_tpu.models import layers as L
 from sduss_tpu.models.clip_vision import (CLIP_VIT_L14, TINY_CLIP_VISION,
                                           CLIPVisionModel)
 

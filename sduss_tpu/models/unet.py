@@ -14,7 +14,7 @@ from HF safetensors is a mechanical rename (sduss_tpu/models/convert.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,9 @@ _TRIED = False
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     src = os.path.join(_HERE, "meta_builder.cpp")
-    so = os.path.join(_HERE, "_sduss_native.so")
+    # ".so.lib" suffix keeps Python's import machinery from treating the
+    # ctypes library as a broken extension module (pkgutil walk).
+    so = os.path.join(_HERE, "_sduss_native.so.lib")
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):

@@ -25,7 +25,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sduss_tpu.models import layers as L
 from sduss_tpu.ops.attention import masked_attention

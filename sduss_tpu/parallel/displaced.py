@@ -33,7 +33,6 @@ bookkeeping: KV state is a pytree threaded through the jitted step.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

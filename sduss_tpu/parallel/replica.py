@@ -10,7 +10,7 @@ inside the replica's jitted stage functions.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -21,8 +21,6 @@ sampler coefficient rows (sduss_tpu/samplers/base.py).
 
 from __future__ import annotations
 
-import functools
-import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 from sduss_tpu.samplers.base import (  # noqa: F401
     Sampler,

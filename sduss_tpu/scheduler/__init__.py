@@ -8,7 +8,7 @@ executed iteration.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 from sduss_tpu.config import SchedulerConfig
 from sduss_tpu.request import Request, Stage

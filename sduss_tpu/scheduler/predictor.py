@@ -14,7 +14,7 @@ batched UNet steps scale near-linearly in patch count.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

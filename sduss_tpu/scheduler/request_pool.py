@@ -8,7 +8,7 @@ reference's hot loop.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, List, Optional
 
 from sduss_tpu.request import Request, Stage
 
