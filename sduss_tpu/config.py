@@ -38,6 +38,10 @@ class ModelConfig:
     model_path: Optional[str] = None
     # Compute dtype for the denoiser/encoders ("bfloat16" | "float32").
     dtype: str = "bfloat16"
+    # VAE decode dtype: "auto" = bfloat16 on TPU (fp32 has no fast MXU path;
+    # bf16 shares fp32's range so the SDXL fp16-overflow issue is moot),
+    # float32 elsewhere.
+    vae_dtype: str = "auto"
     # Sampler override ("euler" | "flow_match" | "ddim" | "pndm");
     # None => family default.
     sampler: Optional[str] = None

@@ -173,12 +173,21 @@ class AutoencoderKL:
             mean = mean + std * jax.random.normal(sample_rng, mean.shape, mean.dtype)
         return (mean - cfg.shift_factor) * cfg.scaling_factor
 
-    def decode(self, params, latents):
-        """Scaled latents (B,h,w,latent_ch) -> images (B,8h,8w,3) in [-1,1]."""
+    def decode(self, params, latents, dtype=None):
+        """Scaled latents (B,h,w,latent_ch) -> images (B,8h,8w,3) in [-1,1].
+
+        ``dtype`` overrides the compute dtype.  force_upcast reflects the
+        fp16 OVERFLOW problem of the SDXL VAE (reference handles it by
+        pinning fp32, pipeline_stable_diffusion_xl_esymred.py:48-54);
+        bfloat16 shares float32's exponent range, so bf16 decode is safe on
+        TPU and ~4x faster (fp32 has no fast MXU path).
+        """
         cfg = self.cfg
         g = cfg.norm_num_groups
         z = latents / cfg.scaling_factor + cfg.shift_factor
-        if cfg.force_upcast:
+        if dtype is not None:
+            z = z.astype(dtype)
+        elif cfg.force_upcast:
             z = z.astype(jnp.float32)
         z = L.conv2d(params["post_quant_conv"], z)
         dec = params["decoder"]

@@ -129,3 +129,26 @@ def test_output_types():
         assert isinstance(pil.image, Image.Image)
     except ImportError:
         pass
+
+
+def test_vae_bf16_decode_close_to_f32():
+    """bf16 VAE decode (TPU fast path) stays within a few uint8 counts."""
+    from sduss_tpu.config import Config, ModelConfig
+    from sduss_tpu.pipelines import build_pipeline
+    from sduss_tpu.request import Request, SamplingParams, Stage
+
+    def run(vae_dtype):
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True,
+                                   dtype="float32", vae_dtype=vae_dtype)
+        pipe = build_pipeline(config)
+        req = Request("r", SamplingParams(prompt="x", resolution=256,
+                                          num_inference_steps=1, seed=3))
+        pipe.prepare([req])
+        req.stage = Stage.POSTPROCESSING
+        pipe.postprocess({256: [req]})
+        return req.output.astype(np.int32)
+
+    a = run("float32")
+    b = run("bfloat16")
+    assert np.abs(a - b).mean() < 3.0
