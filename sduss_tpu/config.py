@@ -148,6 +148,14 @@ class CacheConfig:
     """Learned per-block output cache (reference cache_manager.py:22-199)."""
 
     enabled: bool = False
+    # "block": per-patch masked recompute splice (reference semantics);
+    # "deep": temporal deep-block reuse — full step every deep_interval
+    # steps, shallow steps reuse the cached deep feature (the static-shape
+    # TPU exploitation of the same temporal redundancy; REAL compute saving).
+    mode: str = "block"
+    deep_interval: int = 2
+    # Deep boundary level; None => deepest level + mid.
+    deep_boundary: Optional[int] = None
     # Force recompute after this many consecutive cache hits (reference uses
     # 4 for UNet blocks, 2 for the SD3 MMDiT, cache_manager.py:101-191).
     max_hits: int = 4

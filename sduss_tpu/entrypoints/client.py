@@ -7,13 +7,14 @@ import asyncio
 import json
 
 
-async def generate(url: str, prompt: str, resolution: int, steps: int) -> dict:
+async def generate(url: str, prompt: str, resolution: int, steps: int,
+                   want_image: bool = False) -> dict:
     import aiohttp
 
     async with aiohttp.ClientSession() as session:
         async with session.post(f"{url}/generate", json={
             "prompt": prompt, "resolution": resolution,
-            "num_inference_steps": steps, "return_image": False,
+            "num_inference_steps": steps, "return_image": want_image,
         }) as resp:
             return await resp.json()
 
@@ -24,8 +25,16 @@ def main() -> None:  # pragma: no cover
     p.add_argument("--prompt", default="a photograph of an astronaut riding a horse")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--save", default=None, help="write the PNG here")
     args = p.parse_args()
-    out = asyncio.run(generate(args.url, args.prompt, args.resolution, args.steps))
+    out = asyncio.run(generate(args.url, args.prompt, args.resolution,
+                               args.steps, want_image=args.save is not None))
+    if args.save and out.get("image_base64"):
+        import base64
+
+        with open(args.save, "wb") as f:
+            f.write(base64.b64decode(out.pop("image_base64")))
+        out["saved_to"] = args.save
     print(json.dumps(out, indent=2))
 
 

@@ -395,7 +395,8 @@ class UNet2DConditionModel:
 
     def apply(self, params, sample, timesteps, encoder_hidden_states,
               added_cond=None, ctx: Any = None, cache: Any = None,
-              cache_state: Any = None):
+              cache_state: Any = None, deep_mode: Optional[str] = None,
+              deep_state: Any = None, deep_boundary: Optional[int] = None):
         """Denoise forward.
 
         sample: (B, H, W, C) dense latents, or (P, ph, pw, C) patches with ctx.
@@ -403,9 +404,18 @@ class UNet2DConditionModel:
         encoder_hidden_states: (B_img, L, D).
         cache / cache_state: optional BlockCache + state pytree (patch path
         only); when given, returns (out, new_cache_state).
+        deep_mode: temporal deep-block reuse — the static-shape TPU adaptation
+        of the reference's per-patch block cache (cache_manager.py:84-191;
+        same temporal redundancy, exploited uniformly so no dynamic gathers):
+          "full"    — compute everything, also return the deep feature
+                      (output of the deepest up block, post-upsample);
+          "shallow" — skip levels >= deep_boundary (down tail + mid + deep up
+                      blocks) and resume from the cached deep feature.
+        Returns (out, deep_feature) when deep_mode is given.
         """
         cfg = self.cfg
         n_levels = len(cfg.block_out_channels)
+        boundary = deep_boundary if deep_boundary is not None else n_levels - 1
         temb = self.time_embed(params, timesteps, added_cond, dtype=sample.dtype)
         t_norm = None
         if ctx is not None:
@@ -421,9 +431,12 @@ class UNet2DConditionModel:
                 new_state[key] = ns
             return y
 
+        shallow = deep_mode == "shallow"
         h = _conv(params["conv_in"], sample, ctx, 0)
         skips = [h]
         for i, blk in enumerate(params["down_blocks"]):
+            if shallow and i >= boundary:
+                break
             for j, res in enumerate(blk["resnets"]):
 
                 def down_pair(x, res=res, blk=blk, i=i, j=j):
@@ -438,22 +451,35 @@ class UNet2DConditionModel:
                 h = gated(f"down{i}.{j}", h, down_pair)
                 skips.append(h)
             if "downsample" in blk:
+                # the level-(boundary-1) downsample feeds only the deep tail
+                if shallow and i == boundary - 1:
+                    break
                 h = _conv(blk["downsample"], h, ctx, i, stride=2)
                 skips.append(h)
 
-        mid = params["mid_block"]
+        deep_feature = None
+        if shallow:
+            h = deep_state.astype(h.dtype)
+            deep_feature = deep_state
+        else:
+            mid = params["mid_block"]
 
-        def mid_fn(x):
-            y = _resnet_apply(mid["resnets"][0], x, temb, cfg.norm_num_groups, ctx, n_levels - 1)
-            y = _transformer_apply(mid["attentions"][0], y, encoder_hidden_states,
-                                   cfg.num_heads[-1], cfg.norm_num_groups,
-                                   cfg.use_linear_projection, ctx, n_levels - 1)
-            return _resnet_apply(mid["resnets"][1], y, temb, cfg.norm_num_groups, ctx, n_levels - 1)
+            def mid_fn(x):
+                y = _resnet_apply(mid["resnets"][0], x, temb, cfg.norm_num_groups, ctx, n_levels - 1)
+                y = _transformer_apply(mid["attentions"][0], y, encoder_hidden_states,
+                                       cfg.num_heads[-1], cfg.norm_num_groups,
+                                       cfg.use_linear_projection, ctx, n_levels - 1)
+                return _resnet_apply(mid["resnets"][1], y, temb, cfg.norm_num_groups, ctx, n_levels - 1)
 
-        h = gated("mid", h, mid_fn)
+            h = gated("mid", h, mid_fn)
 
+        first_shallow_up = n_levels - boundary  # first up block with lvl < boundary
         for i, blk in enumerate(params["up_blocks"]):
             lvl = n_levels - 1 - i
+            if shallow and i < first_shallow_up:
+                continue
+            if deep_mode == "full" and i == first_shallow_up:
+                deep_feature = h
             for j, res in enumerate(blk["resnets"]):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
@@ -474,6 +500,8 @@ class UNet2DConditionModel:
 
         h = _gn_silu_conv(params["conv_norm_out"], params["conv_out"], h,
                           cfg.norm_num_groups, ctx, 0)
+        if deep_mode is not None:
+            return h, deep_feature
         if cache is not None and cache_state is not None:
             return h, new_state
         return h

@@ -177,6 +177,9 @@ class BasePipeline:
                                         cond, state)
             for i, req in enumerate(reqs):
                 req.sampler_state = jax.tree.map(lambda a: a[i : i + 1], new_state)
+        elif self._deep_cache_active():
+            new_latents = self._denoise_group_deep(res, reqs, bb, latents, t,
+                                                   coeffs, guidance, cond)
         else:
             fn = self._jit(("denoise", res, bb), self._denoise_fn)
             new_latents = fn(self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
@@ -198,6 +201,66 @@ class BasePipeline:
         noise_pred, c0, c1 = self._cfg_forward(params, latents, t, coeffs,
                                                guidance, cond)
         return self.sampler.step(latents, noise_pred, c0, c1)
+
+    # -- temporal deep-block reuse (cache mode "deep") -------------------------
+
+    def _deep_cache_active(self) -> bool:
+        return (self.config.cache.enabled
+                and self.config.cache.mode == "deep"
+                and hasattr(self.bundle.denoiser, "cache_layout"))  # UNet only
+
+    def _denoise_group_deep(self, res, reqs, bb, latents, t, coeffs, guidance,
+                            cond):
+        """Alternate full / shallow steps, threading per-request deep features.
+
+        The batch shares one mode per call (static shapes): full whenever any
+        member lacks a fresh deep feature, else shallow until deep_interval.
+        """
+        interval = max(self.config.cache.deep_interval, 1)
+        need_full = any(
+            getattr(r, "deep_state", None) is None
+            or r.deep_age >= interval - 1 for r in reqs)
+        mode = "full" if need_full else "shallow"
+
+        if mode == "shallow":
+            u = [r.deep_state[0:1] for r in reqs]
+            c = [r.deep_state[1:2] for r in reqs]
+            pad = bb - len(reqs)
+            if pad:
+                u += [u[-1]] * pad
+                c += [c[-1]] * pad
+            deep = jnp.concatenate(u + c, axis=0)
+        else:
+            deep = None
+
+        fn = self._jit(("denoise_deep", mode, res, bb),
+                       self._make_deep_fn(mode))
+        new_latents, deep_out = fn(self.params, latents, jnp.asarray(t),
+                                   jnp.asarray(coeffs), jnp.asarray(guidance),
+                                   cond, deep)
+        for i, r in enumerate(reqs):
+            if mode == "full":
+                r.deep_state = jnp.stack(
+                    [deep_out[i], deep_out[bb + i]], axis=0)
+                r.deep_age = 0
+            else:
+                r.deep_age += 1
+        return new_latents
+
+    def _make_deep_fn(self, mode: str):
+        def fn(params, latents, t, coeffs, guidance, cond, deep):
+            lat_in = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            c0, c1 = coeffs[:, 0], coeffs[:, 1]
+            lat_in = self.sampler.scale_model_input(lat_in, jnp.concatenate([c0, c0]))
+            model_out, deep_out = self.denoiser_forward(
+                params, lat_in, t2, cond, deep_mode=mode, deep_state=deep)
+            uncond, text = jnp.split(model_out, 2, axis=0)
+            g = guidance.reshape(-1, *([1] * (latents.ndim - 1)))
+            noise_pred = uncond + g * (text - uncond)
+            return self.sampler.step(latents, noise_pred, c0, c1), deep_out
+
+        return fn
 
     def _denoise_fn_stateful(self, params, latents, t, coeffs, guidance, cond, state):
         noise_pred, c0, c1 = self._cfg_forward(params, latents, t, coeffs,

@@ -25,11 +25,14 @@ class StableDiffusionPipeline(BasePipeline):
         return [{"embeds": emb[i : i + 1], "neg_embeds": nemb[i : i + 1]} for i in range(b)]
 
     def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
-                         cache=None, cache_state=None):
+                         cache=None, cache_state=None, deep_mode=None,
+                         deep_state=None):
         import jax.numpy as jnp
 
         # CFG order: [uncond, cond] (reference denoising_step :249-266).
         ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
         return self.bundle.models["unet"].apply(
             params["unet"], latents_in, t, ehs.astype(latents_in.dtype), ctx=ctx,
-            cache=cache, cache_state=cache_state)
+            cache=cache, cache_state=cache_state, deep_mode=deep_mode,
+            deep_state=deep_state,
+            deep_boundary=self.config.cache.deep_boundary)

@@ -51,7 +51,8 @@ class StableDiffusionXLPipeline(BasePipeline):
         return conds
 
     def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
-                         cache=None, cache_state=None):
+                         cache=None, cache_state=None, deep_mode=None,
+                         deep_state=None):
         import jax.numpy as jnp
 
         ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
@@ -60,4 +61,6 @@ class StableDiffusionXLPipeline(BasePipeline):
         added = {"text_embeds": pooled.astype(latents_in.dtype), "time_ids": time_ids}
         return self.bundle.models["unet"].apply(
             params["unet"], latents_in, t, ehs.astype(latents_in.dtype),
-            added_cond=added, ctx=ctx, cache=cache, cache_state=cache_state)
+            added_cond=added, ctx=ctx, cache=cache, cache_state=cache_state,
+            deep_mode=deep_mode, deep_state=deep_state,
+            deep_boundary=self.config.cache.deep_boundary)

@@ -70,6 +70,10 @@ class Request:
     # Block-cache rows (sduss_tpu/cache/manager.py): key -> {inp,out,hits}
     # with leading dim 2*n_patches (uncond rows then cond rows).
     cache_rows: Optional[Dict[str, Any]] = None
+    # Deep-reuse feature (cache mode "deep"): (2, h', w', C) [uncond, cond]
+    # and steps since the last full pass.
+    deep_state: Any = None
+    deep_age: int = 0
 
     # Latency-predictor bookkeeping (ESyMReD, reference wrappers.py:108-155).
     predicted_step_ms: float = 0.0
