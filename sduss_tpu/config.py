@@ -154,6 +154,9 @@ class CacheConfig:
     # TPU exploitation of the same temporal redundancy; REAL compute saving).
     mode: str = "block"
     deep_interval: int = 2
+    # Always-full steps at the start of each trajectory (activation drift is
+    # largest early in denoising; mirrors DistriFuser's warmup_steps idea).
+    deep_warmup: int = 3
     # Deep boundary level; None => deepest level + mid.
     deep_boundary: Optional[int] = None
     # Force recompute after this many consecutive cache hits (reference uses

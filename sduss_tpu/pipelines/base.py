@@ -209,6 +209,14 @@ class BasePipeline:
                 and self.config.cache.mode == "deep"
                 and hasattr(self.bundle.denoiser, "cache_layout"))  # UNet only
 
+    def _deep_factor(self) -> int:
+        """Spatial downscale of the deep feature vs the latent (2^(B-1))."""
+        n_levels = len(self.bundle.denoiser.cfg.block_out_channels)
+        boundary = (self.config.cache.deep_boundary
+                    if self.config.cache.deep_boundary is not None
+                    else n_levels - 1)
+        return 2 ** max(boundary - 1, 0)
+
     def _denoise_group_deep(self, res, reqs, bb, latents, t, coeffs, guidance,
                             cond):
         """Alternate full / shallow steps, threading per-request deep features.
@@ -217,9 +225,15 @@ class BasePipeline:
         member lacks a fresh deep feature, else shallow until deep_interval.
         """
         interval = max(self.config.cache.deep_interval, 1)
+        warmup = self.config.cache.deep_warmup
         need_full = any(
-            getattr(r, "deep_state", None) is None
-            or r.deep_age >= interval - 1 for r in reqs)
+            r.deep_state is None or r.deep_age >= interval - 1
+            or r.sampler_table.step < warmup
+            # dense layout is (2, h', w', C); a patched-path feature (2n rows
+            # or different spatial extent) forces a full pass
+            or r.deep_state.shape[0] != 2
+            or r.deep_state.shape[1] != latents.shape[1] // self._deep_factor()
+            for r in reqs)
         mode = "full" if need_full else "shallow"
 
         if mode == "shallow":
@@ -341,13 +355,19 @@ class BasePipeline:
 
         cache, cache_state = self._gather_cache_state(ordered, grids, meta, cells)
 
+        deep_mode, deep_batch = self._gather_deep_mixed(ordered, grids, meta)
+
         from sduss_tpu.ops.patch_ctx import ctx_arrays
 
         a1, a2 = ctx_arrays(meta), ctx_arrays(meta2)
         cache_tag = type(cache).__name__ if cache is not None else None
-        fn = self._jit(("denoise_mixed", cache_tag) + meta.compile_key,
-                       self._make_mixed_fn(meta, meta2, cache))
-        if cache is None:
+        fn = self._jit(("denoise_mixed", cache_tag, deep_mode) + meta.compile_key,
+                       self._make_mixed_fn(meta, meta2, cache, deep_mode))
+        if deep_mode is not None:
+            new_x, deep_out = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
+                                 jnp.asarray(guidance), cond, a1, a2, deep_batch)
+            self._scatter_deep_mixed(ordered, grids, meta, deep_mode, deep_out)
+        elif cache is None:
             new_x = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
                        jnp.asarray(guidance), cond, a1, a2)
         else:
@@ -368,7 +388,7 @@ class BasePipeline:
 
     def _block_cache(self):
         """Lazily build the BlockCache when enabled and the denoiser supports it."""
-        if not self.config.cache.enabled:
+        if not self.config.cache.enabled or self.config.cache.mode != "block":
             return None
         if not hasattr(self.bundle.denoiser, "cache_layout"):
             return None
@@ -413,6 +433,48 @@ class BasePipeline:
             state[key] = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         return cache, state
 
+    def _gather_deep_mixed(self, ordered, grids, meta):
+        """Mixed-path deep reuse: per-request deep-feature rows -> CFG-doubled
+        batch ([uncond | pad | cond | pad], like the cache rows)."""
+        if not self._deep_cache_active():
+            return None, None
+        interval = max(self.config.cache.deep_interval, 1)
+        warmup = self.config.cache.deep_warmup
+        # a request may flip between the dense and patched paths across steps
+        # (batch composition changes); a layout mismatch forces a full pass
+        need_full = any(
+            r.deep_state is None or r.deep_age >= interval - 1
+            or r.sampler_table.step < warmup
+            or r.deep_state.shape[0] != 2 * g * g
+            for r, g in zip(ordered, grids))
+        if need_full:
+            return "full", None
+        pad_rows = meta.p_pad - sum(g * g for g in grids)
+        halves = {0: [], 1: []}
+        for r, g in zip(ordered, grids):
+            n = g * g
+            halves[0].append(r.deep_state[:n])
+            halves[1].append(r.deep_state[n:])
+        if pad_rows:
+            z = jnp.zeros((pad_rows,) + halves[0][0].shape[1:],
+                          halves[0][0].dtype)
+            halves[0].append(z)
+            halves[1].append(z)
+        return "shallow", jnp.concatenate(halves[0] + halves[1], axis=0)
+
+    def _scatter_deep_mixed(self, ordered, grids, meta, deep_mode, deep_out) -> None:
+        off = 0
+        for r, g in zip(ordered, grids):
+            n = g * g
+            if deep_mode == "full":
+                u = deep_out[off : off + n]
+                c = deep_out[meta.p_pad + off : meta.p_pad + off + n]
+                r.deep_state = jnp.concatenate([u, c], axis=0)
+                r.deep_age = 0
+            else:
+                r.deep_age += 1
+            off += n
+
     def _scatter_cache_state(self, ordered, grids, meta, new_state) -> None:
         for key, entry in new_state.items():
             off = 0
@@ -425,11 +487,11 @@ class BasePipeline:
                     lambda a, b: jnp.concatenate([a, b], axis=0), u, c)
                 off += n
 
-    def _make_mixed_fn(self, meta, meta2, cache=None):
+    def _make_mixed_fn(self, meta, meta2, cache=None, deep_mode=None):
         from sduss_tpu.ops.patch_ctx import PatchContext
 
         def fn(params, x, t, coeffs, guidance, cond, ctx1_arrays, ctx2_arrays,
-               cache_state=None):
+               extra_state=None):
             # Index tensors arrive as traced args: one compiled fn serves all
             # compositions sharing this bucket key (meta.compile_key).
             ctx1 = PatchContext(meta, arrays=ctx1_arrays)
@@ -440,10 +502,14 @@ class BasePipeline:
             c0_patch2 = jnp.concatenate([c0, c0])[ctx2.image_id]
             x2 = self.sampler.scale_model_input(x2, c0_patch2)
             new_state = None
-            if cache is not None:
+            if deep_mode is not None:
+                model_out, new_state = self.denoiser_forward(
+                    params, x2, t2, cond, ctx=ctx2, deep_mode=deep_mode,
+                    deep_state=extra_state)
+            elif cache is not None:
                 model_out, new_state = self.denoiser_forward(
                     params, x2, t2, cond, ctx=ctx2, cache=cache,
-                    cache_state=cache_state)
+                    cache_state=extra_state)
             else:
                 model_out = self.denoiser_forward(params, x2, t2, cond, ctx=ctx2)
             uncond, text = jnp.split(model_out, 2, axis=0)
@@ -452,7 +518,7 @@ class BasePipeline:
             c0p = c0[ctx1.image_id]
             c1p = c1[ctx1.image_id]
             stepped = self.sampler.step(x, noise_pred, c0p, c1p)
-            if cache is not None:
+            if cache is not None or deep_mode is not None:
                 return stepped, new_state
             return stepped
 

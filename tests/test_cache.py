@@ -197,3 +197,73 @@ class TestDeepReuse:
             y = np.asarray(b.latents, np.float32)
             err = np.abs(x - y).mean() / (np.abs(y).mean() + 1e-8)
             assert err < 0.5, f"deep reuse drifted too far: {err}"
+
+
+class TestDeepReuseMixed:
+    """Deep reuse through the mixed-resolution patched path."""
+
+    def _pipe(self, interval=2):
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True,
+                                           patch_size=256)
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_interval = interval
+        return build_pipeline(config)
+
+    def _run_mixed(self, pipe, steps=4):
+        reqs = make_reqs(n=2, res=512, steps=steps)
+        reqs[1] = Request("r1", SamplingParams(prompt="p1", resolution=256,
+                                               num_inference_steps=steps, seed=1))
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        for _ in range(steps):
+            by_res = {}
+            for r in reqs:
+                by_res.setdefault(r.resolution, []).append(r)
+            pipe.denoise_step_mixed(by_res)
+        return reqs
+
+    def test_interval_1_matches_cache_off_mixed(self):
+        reqs = self._run_mixed(self._pipe(interval=1))
+        pipe0 = make_pipe(cache_enabled=False)
+        reqs0 = make_reqs(n=2, res=512, steps=4)
+        reqs0[1] = Request("r1", SamplingParams(prompt="p1", resolution=256,
+                                                num_inference_steps=4, seed=1))
+        pipe0.prepare(reqs0)
+        for r in reqs0:
+            r.stage = Stage.DENOISING
+        for _ in range(4):
+            by_res = {}
+            for r in reqs0:
+                by_res.setdefault(r.resolution, []).append(r)
+            pipe0.denoise_step_mixed(by_res)
+        for a, b in zip(reqs, reqs0):
+            np.testing.assert_allclose(np.asarray(a.latents),
+                                       np.asarray(b.latents), atol=1e-5,
+                                       err_msg=f"res={a.resolution}")
+
+    def test_shallow_mixed_finite_and_state_rows(self):
+        pipe = self._pipe(interval=2)
+        reqs = self._run_mixed(pipe, steps=5)
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents)).all()
+            n = (r.latent_hw(8) // 32) ** 2
+            assert r.deep_state.shape[0] == 2 * n
+
+    def test_path_flip_forces_full(self):
+        """A request moving dense -> mixed must not consume a mismatched
+        deep feature (layout guard forces a full pass)."""
+        pipe = self._pipe(interval=4)
+        reqs = make_reqs(n=2, res=512, steps=6)
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        pipe.denoise_step({512: reqs})          # dense full step
+        assert reqs[0].deep_state.shape[0] == 2
+        pipe.denoise_step_mixed({512: reqs})    # patched: must go full
+        n = (reqs[0].latent_hw(8) // 32) ** 2
+        assert reqs[0].deep_state.shape[0] == 2 * n
+        assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
