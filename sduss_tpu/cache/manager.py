@@ -70,14 +70,28 @@ class BlockCache:
             "hits": jnp.full((n_patches,), self.config.max_hits, jnp.int32),
         }
 
+    def init_token_rows(self, key: str, n_rows: int, seq: int, dim: int,
+                        dtype=jnp.bfloat16) -> dict:
+        """Fresh cache rows for MMDiT token sequences (B, S, D)."""
+        return {
+            "inp": jnp.zeros((n_rows, seq, dim), dtype),
+            "out": jnp.zeros((n_rows, seq, dim), dtype),
+            "hits": jnp.full((n_rows,), self.config.max_hits, jnp.int32),
+        }
+
     # -- decision (traced) ------------------------------------------------------
 
     def _recompute_mask(self, key: str, x, state_k, t_norm):
-        """(P,) bool — True where the block must be recomputed."""
+        """(P,) bool — True where the block must be recomputed.
+
+        Rank-agnostic: reduces over all non-leading axes, so both UNet patch
+        rows (P, s, s, C) and MMDiT token rows (B, S, D) gate the same way.
+        """
+        axes = tuple(range(1, x.ndim))
         xf = x.astype(jnp.float32)
         cf = state_k["inp"].astype(jnp.float32)
-        mse = jnp.mean((xf - cf) ** 2, axis=(1, 2, 3))
-        scale = jnp.mean(xf * xf, axis=(1, 2, 3)) + 1e-8
+        mse = jnp.mean((xf - cf) ** 2, axis=axes)
+        scale = jnp.mean(xf * xf, axis=axes) + 1e-8
         rel = mse / scale
         clf = self.classifiers.get(key)
         if clf is not None:
@@ -102,10 +116,11 @@ class BlockCache:
             return compute_fn(x), None, None
         fresh, rel = self._recompute_mask(key, x, state_k, t_norm)
         y_new = compute_fn(x)
-        sel = fresh.reshape(-1, 1, 1, 1)
+        sel = fresh.reshape((-1,) + (1,) * (y_new.ndim - 1))
+        sel_in = fresh.reshape((-1,) + (1,) * (x.ndim - 1))
         y = jnp.where(sel, y_new, state_k["out"].astype(y_new.dtype))
         new_state = {
-            "inp": jnp.where(sel, x, state_k["inp"].astype(x.dtype)),
+            "inp": jnp.where(sel_in, x, state_k["inp"].astype(x.dtype)),
             "out": y,
             "hits": jnp.where(fresh, 0, state_k["hits"] + 1),
         }

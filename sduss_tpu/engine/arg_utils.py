@@ -37,7 +37,15 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
     g = parser.add_argument_group("cache")
     g.add_argument("--use-cache", action="store_true",
-                   help="enable the learned per-block output cache")
+                   help="enable the output cache (see --cache-mode)")
+    g.add_argument("--cache-mode", type=str, default="block",
+                   choices=["block", "deep"],
+                   help="block: per-patch masked splice (reference "
+                        "semantics); deep: temporal deep-block reuse "
+                        "(real compute saving)")
+    g.add_argument("--deep-interval", type=int, default=2)
+    g.add_argument("--deep-warmup", type=int, default=3)
+    g.add_argument("--cache-classifier-path", type=str, default=None)
 
     g = parser.add_argument_group("engine")
     g.add_argument("--dispatcher-policy", type=str, default="greedy")
@@ -58,7 +66,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
             policy=args.policy, max_batch_size=args.max_batchsize,
             use_mixed_resolution=not args.no_mixed_resolution,
             slo_scale=args.slo, predictor_path=args.predictor_path),
-        cache=CacheConfig(enabled=args.use_cache),
+        cache=CacheConfig(enabled=args.use_cache, mode=args.cache_mode,
+                          deep_interval=args.deep_interval,
+                          deep_warmup=args.deep_warmup,
+                          classifier_path=args.cache_classifier_path),
         engine=EngineConfig(
             dispatcher_policy=args.dispatcher_policy, collect_data=args.collect_data),
     )

@@ -279,19 +279,46 @@ class SD3Transformer2DModel:
 
     # -- forward ------------------------------------------------------------
 
-    def _trunk(self, params, x, c, temb, ctx=None):
-        """Joint blocks + final modulation/projection over token sequences."""
+    def _trunk(self, params, x, c, temb, ctx=None, cache=None,
+               cache_state=None, t_norm=None):
+        """Joint blocks + final modulation/projection over token sequences.
+
+        With cache/cache_state: per-block per-request output caching over the
+        LATENT token stream (the MMDiT analog of the reference's per-block
+        CacheManagers in PatchSD3Transformer, modules/SD3Transformer.py:25-262
+        with max 2 consecutive hits).  Returns (tokens, new_cache_state).
+        """
         cfg = self.cfg
+        new_state: dict = {}
         for i, blk in enumerate(params["blocks"]):
             last = i == cfg.num_layers - 1
             dual = i in cfg.dual_attention_layers
-            x, c = self._joint_block(blk, x, c, temb, last, dual, ctx=ctx)
+            if cache is not None and cache_state is not None:
+                key = f"block{i}"
+                c_holder = [c]
+
+                def block_fn(x_in, blk=blk, last=last, dual=dual, c_holder=c_holder):
+                    y, c2 = self._joint_block(blk, x_in, c_holder[0], temb,
+                                              last, dual, ctx=ctx)
+                    c_holder[0] = c2 if c2 is not None else c_holder[0]
+                    return y
+
+                x, ns, _ = cache.gate(key, x, t_norm, cache_state.get(key),
+                                      block_fn)
+                c = c_holder[0]
+                if ns is not None:
+                    new_state[key] = ns
+            else:
+                x, c = self._joint_block(blk, x, c, temb, last, dual, ctx=ctx)
 
         silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype)
         mods = L.linear(params["norm_out_proj"], silu_t)
         scale, shift = jnp.split(mods, 2, axis=-1)
         x = L.layer_norm(None, x, 1e-6) * (1 + scale[:, None]) + shift[:, None]
-        return L.linear(params["proj_out"], x)
+        out = L.linear(params["proj_out"], x)
+        if cache is not None and cache_state is not None:
+            return out, new_state
+        return out
 
     def unpatchify(self, x, hp: int, wp: int):
         """(B, hp*wp, ps*ps*C) -> (B, H, W, C)."""
@@ -321,8 +348,14 @@ class SD3Transformer2DModel:
         x = self._trunk(params, x, c, temb, ctx=ctx)
         return self.unpatchify(x, hp, wp)
 
+    def token_cache_layout(self, seq: int):
+        """Cache-row layout for apply_tokens caching: key -> (seq, dim)."""
+        return {f"block{i}": (seq, self.cfg.dim)
+                for i in range(self.cfg.num_layers)}
+
     def apply_tokens(self, params, tokens, token_mask, timesteps,
-                     encoder_hidden_states, pooled_projections):
+                     encoder_hidden_states, pooled_projections,
+                     cache=None, cache_state=None):
         """Mixed-resolution forward over PADDED token sequences.
 
         tokens: (B, S_pad, dim) patch-embedded + position-embedded latent
@@ -339,7 +372,9 @@ class SD3Transformer2DModel:
         c = L.linear(params["context_embedder"],
                      encoder_hidden_states.astype(tokens.dtype))
         ctx = MMDiTMaskCtx(token_mask, c.shape[1])
-        return self._trunk(params, tokens, c, temb, ctx=ctx)
+        t_norm = timesteps.astype("float32") / 1000.0
+        return self._trunk(params, tokens, c, temb, ctx=ctx, cache=cache,
+                           cache_state=cache_state, t_norm=t_norm)
 
 
 class MMDiTMaskCtx:

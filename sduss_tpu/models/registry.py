@@ -134,14 +134,23 @@ class ModelBundle:
         return self.models["unet"].cfg.in_channels
 
     def init_random(self, seed: int = 0, dtype=None) -> None:
-        """Random-init all params (tests / benchmarks without weights)."""
-        import jax.numpy as jnp
+        """Random-init all params (tests / benchmarks without weights).
 
+        With a target dtype, params are GENERATED in that dtype on device —
+        an fp32 staging copy of a full-size SDXL bundle would transiently
+        exceed a 16 GB chip (sduss_tpu/utils.random_params).
+        """
         rng = jax.random.key(seed)
         for i, (name, model) in enumerate(sorted(self.models.items())):
-            self.params[name] = model.init(jax.random.fold_in(rng, i))
-        if dtype is not None:
-            self.cast(dtype)
+            tgt = dtype
+            if name == "vae" and self.models["vae"].cfg.force_upcast:
+                tgt = None  # VAE params stay float32
+            if tgt is None:
+                self.params[name] = model.init(jax.random.fold_in(rng, i))
+            else:
+                from sduss_tpu.utils import random_params
+
+                self.params[name] = random_params(model, seed + i, tgt)
 
     def cast(self, dtype) -> None:
         import jax.numpy as jnp

@@ -146,9 +146,17 @@ class StableDiffusion3Pipeline(BasePipeline):
                         for r in ordered]
         cond = self._stack_cond([r.conditioning for r in ordered], bb)
 
-        fn = self._jit(("sd3_mixed", s_pad, bb), self._mixed_trunk_fn)
-        out_tokens = fn(self.params, tokens, jnp.asarray(mask), jnp.asarray(t),
-                        jnp.asarray(guidance), cond)
+        cache, cache_state = self._gather_sd3_cache(ordered, bb, s_pad)
+        fn = self._jit(("sd3_mixed", s_pad, bb, cache is not None),
+                       self._make_sd3_trunk_fn(cache))
+        if cache is None:
+            out_tokens = fn(self.params, tokens, jnp.asarray(mask),
+                            jnp.asarray(t), jnp.asarray(guidance), cond)
+        else:
+            out_tokens, new_state = fn(self.params, tokens, jnp.asarray(mask),
+                                       jnp.asarray(t), jnp.asarray(guidance),
+                                       cond, cache_state)
+            self._scatter_sd3_cache(ordered, bb, new_state)
 
         # -- unpatchify + sampler step per resolution group
         i = 0
@@ -169,26 +177,97 @@ class StableDiffusion3Pipeline(BasePipeline):
                 r.remain_steps -= 1
             i = j
 
+    # -- MMDiT per-block token cache (reference PatchSD3Transformer
+    #    CacheManagers, modules/SD3Transformer.py:25-262) -------------------
+
+    def _sd3_cache(self):
+        cfg = self.config.cache
+        if not cfg.enabled or cfg.mode != "block":
+            return None
+        if not hasattr(self, "_sd3_cache_obj"):
+            from sduss_tpu.cache.manager import BlockCache
+
+            self._sd3_cache_obj = BlockCache(cfg)
+        return self._sd3_cache_obj
+
+    def _gather_sd3_cache(self, ordered, bb, s_pad):
+        """Per-request (2, s_pad, dim) token cache rows -> batched state."""
+        cache = self._sd3_cache()
+        if cache is None:
+            return None, None
+        import jax
+
+        tr = self.bundle.models["transformer"]
+        layout = tr.token_cache_layout(s_pad)
+        dtype = self._latent_dtype()
+        for r in ordered:
+            rows = r.cache_rows
+            stale = (rows is None
+                     or next(iter(rows.values()))["inp"].shape[1] != s_pad)
+            if stale:
+                r.cache_rows = {
+                    key: cache.init_token_rows(key, 2, seq, dim, dtype)
+                    for key, (seq, dim) in layout.items()}
+        state = {}
+        pad = bb - len(ordered)
+        for key, (seq, dim) in layout.items():
+            # build per-field stacked batch [u..., pad, c..., pad]
+            entry = {}
+            for field in ("inp", "out", "hits"):
+                us = [r.cache_rows[key][field][0:1] for r in ordered]
+                cs = [r.cache_rows[key][field][1:2] for r in ordered]
+                if pad:
+                    z = cache.init_token_rows(key, pad, seq, dim, dtype)[field]
+                    us.append(z)
+                    cs.append(z)
+                import jax.numpy as jnp
+
+                entry[field] = jnp.concatenate(us + cs, axis=0)
+            state[key] = entry
+        return cache, state
+
+    def _scatter_sd3_cache(self, ordered, bb, new_state) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        for key, entry in new_state.items():
+            for i, r in enumerate(ordered):
+                r.cache_rows[key] = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a[i : i + 1], a[bb + i : bb + i + 1]], axis=0), entry)
+
+    def _make_sd3_trunk_fn(self, cache):
+        def fn(params, tokens, mask, t, guidance, cond, cache_state=None):
+            import jax.numpy as jnp
+
+            tr = self.bundle.models["transformer"]
+            tok2 = jnp.concatenate([tokens, tokens], axis=0)
+            mask2 = jnp.concatenate([mask, mask], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
+            pooled = jnp.concatenate([cond["neg_pooled"], cond["pooled"]], axis=0)
+            if cache is not None:
+                out, new_state = tr.apply_tokens(
+                    params["transformer"], tok2, mask2, t2,
+                    ehs.astype(tokens.dtype), pooled.astype(tokens.dtype),
+                    cache=cache, cache_state=cache_state)
+            else:
+                out = tr.apply_tokens(
+                    params["transformer"], tok2, mask2, t2,
+                    ehs.astype(tokens.dtype), pooled.astype(tokens.dtype))
+            uncond, text = jnp.split(out, 2, axis=0)
+            g = guidance.reshape(-1, 1, 1)
+            combined = uncond + g * (text - uncond)
+            if cache is not None:
+                return combined, new_state
+            return combined
+
+        return fn
+
     def _embed_fn(self, params, latents, c0):
         tr = self.bundle.models["transformer"]
         lat = self.sampler.scale_model_input(latents, c0)
         return tr.embed_latents(params["transformer"], lat)
-
-    def _mixed_trunk_fn(self, params, tokens, mask, t, guidance, cond):
-        import jax.numpy as jnp
-
-        tr = self.bundle.models["transformer"]
-        tok2 = jnp.concatenate([tokens, tokens], axis=0)
-        mask2 = jnp.concatenate([mask, mask], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
-        pooled = jnp.concatenate([cond["neg_pooled"], cond["pooled"]], axis=0)
-        out = tr.apply_tokens(params["transformer"], tok2, mask2, t2,
-                              ehs.astype(tokens.dtype),
-                              pooled.astype(tokens.dtype))
-        uncond, text = jnp.split(out, 2, axis=0)
-        g = guidance.reshape(-1, 1, 1)
-        return uncond + g * (text - uncond)
 
     def _finish_fn(self, hp: int):
         tr = self.bundle.models["transformer"]
