@@ -81,3 +81,48 @@ class TestSD3Mixed:
         for o in outs:
             assert o.image is not None
             assert np.isfinite(np.asarray(o.image, np.float32)).all()
+
+
+class TestSD3TokenCache:
+    def _pipe(self, threshold):
+        config = Config()
+        config.model = ModelConfig(model="sd3", test_tiny=True, dtype="float32",
+                                   resolutions=(256, 512))
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True)
+        config.cache.enabled = True
+        config.cache.mode = "block"
+        config.cache.mse_threshold = threshold
+        return build_pipeline(config)
+
+    def test_always_recompute_matches_cache_off(self):
+        reqs_c = make_reqs()
+        by_res_c = prep(self._pipe(threshold=-1.0), reqs_c)
+        pipe_c = self._pipe(threshold=-1.0)
+        by_res_c = prep(pipe_c, reqs_c)
+        for _ in range(2):
+            pipe_c.denoise_step_mixed(by_res_c)
+
+        pipe0 = make_pipe()
+        reqs0 = make_reqs()
+        by_res0 = prep(pipe0, reqs0)
+        for _ in range(2):
+            pipe0.denoise_step_mixed(by_res0)
+        for a, b in zip(reqs_c, reqs0):
+            np.testing.assert_allclose(np.asarray(a.latents),
+                                       np.asarray(b.latents), atol=1e-4,
+                                       rtol=1e-3)
+
+    def test_reuse_rows_exist_and_finite(self):
+        pipe = self._pipe(threshold=1e9)
+        reqs = make_reqs(steps=4)
+        by_res = prep(pipe, reqs)
+        for _ in range(3):
+            pipe.denoise_step_mixed(by_res)
+        for r in reqs:
+            assert r.cache_rows is not None
+            key = next(iter(r.cache_rows))
+            assert r.cache_rows[key]["inp"].shape[0] == 2
+            assert np.isfinite(np.asarray(r.latents)).all()
+        # with a huge threshold everything reuses after the first step
+        hits = int(np.asarray(reqs[0].cache_rows[key]["hits"]).max())
+        assert hits >= 1
