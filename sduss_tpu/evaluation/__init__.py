@@ -5,3 +5,4 @@ Rebuild of the reference's manual torchmetrics template
 """
 
 from sduss_tpu.evaluation.clip_score import ClipScorer, clip_score  # noqa: F401
+from sduss_tpu.evaluation.fid import clip_fid, fid_from_features, frechet_distance  # noqa: F401

@@ -60,3 +60,34 @@ class TestClipScore:
         scores = scorer.score(["a cat", "a dog"], imgs)
         assert len(scores) == 2
         assert all(0.0 <= s <= 100.0 for s in scores)
+
+
+class TestFID:
+    def test_identical_distributions_zero(self):
+        from sduss_tpu.evaluation.fid import fid_from_features
+
+        rng = np.random.default_rng(0)
+        f = rng.normal(size=(256, 16))
+        assert abs(fid_from_features(f, f)) < 1e-6
+
+    def test_shifted_distributions_positive_and_ordered(self):
+        from sduss_tpu.evaluation.fid import fid_from_features
+
+        rng = np.random.default_rng(1)
+        base = rng.normal(size=(512, 8))
+        near = rng.normal(size=(512, 8)) + 0.1
+        far = rng.normal(size=(512, 8)) + 2.0
+        d_near = fid_from_features(base, near)
+        d_far = fid_from_features(base, far)
+        assert 0 < d_near < d_far
+
+    def test_clip_fid_end_to_end_tiny(self):
+        from sduss_tpu.evaluation.fid import clip_fid
+
+        rng = np.random.default_rng(2)
+        real = [rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+                for _ in range(8)]
+        fake = [rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+                for _ in range(8)]
+        d = clip_fid(real, fake)
+        assert np.isfinite(d) and d >= 0
