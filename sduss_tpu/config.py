@@ -137,6 +137,11 @@ class SchedulerConfig:
     # Per-(family,resolution) standalone stage latencies in ms used for DDLs,
     # populated by profiling (sduss_tpu/scheduler/profiles.py has defaults).
     stage_latency_overrides: Dict[str, Any] = field(default_factory=dict)
+    # Max images per VAE-decode call: full-res decode activations are the
+    # HBM peak of the whole pipeline (1024^2 x 128ch upsampled maps — batch 8
+    # OOMs a 16 GB chip next to the model weights); bigger post batches are
+    # chunked.
+    decode_batch: int = 2
     # Batch-size buckets used to bound XLA recompilation.
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 12, 16, 24, 32)
     # Patch-count buckets for the mixed-resolution patch batch.

@@ -80,10 +80,14 @@ def build_app(engine: AsyncEngine):
                 guidance_scale=body.get("guidance_scale"),
                 seed=body.get("seed"),
             )
+            deadline = None
+            if body.get("deadline_s") is not None:
+                deadline = time.time() + float(body["deadline_s"])
         except (KeyError, ValueError, TypeError) as e:
             return web.json_response({"error": str(e)}, status=400)
         t0 = time.time()
-        out = await engine.generate(params, request_id=body.get("request_id"))
+        out = await engine.generate(params, request_id=body.get("request_id"),
+                                    deadline=deadline)
         resp = {
             "request_id": out.request_id,
             "finished": out.finished,
@@ -91,6 +95,7 @@ def build_app(engine: AsyncEngine):
             "latency_s": time.time() - t0,
             "e2e_latency_s": out.e2e_latency_s,
             "resolution": out.resolution,
+            "nsfw_flagged": out.nsfw_flagged,
         }
         if body.get("return_image", True):
             resp["image_base64"] = _encode_png(out.image)

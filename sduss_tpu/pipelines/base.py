@@ -534,23 +534,29 @@ class BasePipeline:
                 if r.params.output_type == "latent":
                     r.output = np.asarray(r.latents[0], np.float32)
             reqs = [r for r in all_reqs if r.params.output_type != "latent"]
-            if not reqs:
-                continue
-            b = len(reqs)
-            bb = bucket_for(b, self.config.scheduler.batch_buckets)
-            latents = jnp.concatenate([r.latents for r in reqs], axis=0)
-            if bb != b:
-                latents = jnp.concatenate(
-                    [latents, jnp.repeat(latents[-1:], bb - b, axis=0)], axis=0)
-            fn = self._jit(("decode", res, bb), self._decode_fn)
-            images = np.asarray(fn(self.params, latents))
-            checker = self._safety_checker()
-            if checker is not None:
-                images, flags = checker.check(images[:b])
-                for req, flagged in zip(reqs, flags):
-                    req.nsfw_flagged = flagged
-            for i, req in enumerate(reqs):
-                req.output = images[i]
+            # chunk: full-res decode activations are the pipeline's HBM peak
+            chunk = max(self.config.scheduler.decode_batch, 1)
+            for i in range(0, len(reqs), chunk):
+                self._decode_group(res, reqs[i : i + chunk])
+
+    def _decode_group(self, res: int, reqs: List[Request]) -> None:
+        if not reqs:
+            return
+        b = len(reqs)
+        bb = bucket_for(b, self.config.scheduler.batch_buckets)
+        latents = jnp.concatenate([r.latents for r in reqs], axis=0)
+        if bb != b:
+            latents = jnp.concatenate(
+                [latents, jnp.repeat(latents[-1:], bb - b, axis=0)], axis=0)
+        fn = self._jit(("decode", res, bb), self._decode_fn)
+        images = np.asarray(fn(self.params, latents))
+        checker = self._safety_checker()
+        if checker is not None:
+            images, flags = checker.check(images[:b])
+            for req, flagged in zip(reqs, flags):
+                req.nsfw_flagged = flagged
+        for i, req in enumerate(reqs):
+            req.output = images[i]
 
     def _safety_checker(self):
         """Lazy safety checker (reference vendors the stock SD checker,

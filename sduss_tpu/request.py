@@ -118,6 +118,7 @@ class RequestOutput:
     finished: bool
     aborted: bool = False
     image: Optional[np.ndarray] = None  # (H, W, 3) uint8
+    nsfw_flagged: bool = False
     error: Optional[str] = None
     arrival_time: float = 0.0
     finish_time: float = 0.0
@@ -145,6 +146,7 @@ class RequestOutput:
             finished=req.stage == Stage.FINISHED,
             aborted=req.stage == Stage.ABORTED,
             image=image,
+            nsfw_flagged=req.nsfw_flagged,
             error=req.error,
             arrival_time=req.arrival_time,
             finish_time=req.finish_time or time.time(),

@@ -1,0 +1,145 @@
+"""Scheduling-policy unit tests over a fabricated request pool.
+
+Pins the decision behavior of every policy (reference worker/scheduler/
+policy/: FCFS_Single :11-63, FCFS_Mixed :13-77, Orca_ResByRes :14-81,
+Orca_Round_Robin :13-95, ESyMReD :69-456) — the reference tests none of them.
+"""
+
+import time
+
+import pytest
+
+from sduss_tpu.config import SchedulerConfig
+from sduss_tpu.request import Request, SamplingParams, Stage
+from sduss_tpu.scheduler.policies import get_policy
+from sduss_tpu.scheduler.request_pool import RequestPool
+
+
+def make_pool(entries):
+    """entries: list of (id, resolution, stage, arrival_offset_s[, steps])."""
+    pool = RequestPool()
+    now = time.time()
+    for e in entries:
+        rid, res, stage, off = e[:4]
+        steps = e[4] if len(e) > 4 else 10
+        r = Request(rid, SamplingParams(prompt=rid, resolution=res,
+                                        num_inference_steps=steps))
+        r.arrival_time = now + off
+        r.stage = Stage.PREPARE
+        pool.add(r)
+        if stage is not Stage.PREPARE:
+            pool.move(r, stage)
+        r.remain_steps = steps
+    return pool
+
+
+def cfg(**kw):
+    return SchedulerConfig(max_batch_size=kw.pop("max_batch_size", 4), **kw)
+
+
+class TestFCFSSingle:
+    def test_single_resolution_batches(self):
+        pool = make_pool([
+            ("a", 512, Stage.DENOISING, 0),
+            ("b", 768, Stage.DENOISING, 1),
+            ("c", 512, Stage.DENOISING, 2),
+        ])
+        batch = get_policy("fcfs_single", cfg()).schedule(pool)
+        assert batch.stage is Stage.DENOISING
+        assert {r.request_id for r in batch.requests} == {"a", "c"}
+        assert not batch.mixed
+
+    def test_post_stage_priority_by_age(self):
+        pool = make_pool([
+            ("young_post", 512, Stage.POSTPROCESSING, 5),
+            ("old_denoise", 512, Stage.DENOISING, 0),
+        ])
+        batch = get_policy("fcfs_single", cfg()).schedule(pool)
+        # oldest request is the denoising one
+        assert batch.stage is Stage.DENOISING
+
+
+class TestFCFSMixed:
+    def test_mixes_resolutions(self):
+        pool = make_pool([
+            ("a", 512, Stage.DENOISING, 0),
+            ("b", 768, Stage.DENOISING, 1),
+        ])
+        batch = get_policy("fcfs_mixed", cfg()).schedule(pool)
+        assert batch.mixed
+        assert len(batch.requests) == 2
+
+    def test_respects_max_batch(self):
+        pool = make_pool([(f"r{i}", 512, Stage.DENOISING, i) for i in range(9)])
+        batch = get_policy("fcfs_mixed", cfg(max_batch_size=3)).schedule(pool)
+        assert len(batch.requests) == 3
+
+
+class TestOrca:
+    def test_resbyres_drains_one_resolution(self):
+        pool = make_pool([
+            ("a", 512, Stage.DENOISING, 0),
+            ("b", 768, Stage.DENOISING, 1),
+        ])
+        pol = get_policy("orca_resbyres", cfg())
+        b1 = pol.schedule(pool)
+        assert {r.resolution for r in b1.requests} == {512}
+        # while 512 requests remain, keep serving them
+        b2 = pol.schedule(pool)
+        assert {r.resolution for r in b2.requests} == {512}
+        # drain 512 -> switches
+        pool.move(b1.requests[0], Stage.FINISHED)
+        pool.remove("a")
+        b3 = pol.schedule(pool)
+        assert {r.resolution for r in b3.requests} == {768}
+
+    def test_round_robin_rotates(self):
+        pool = make_pool([
+            ("a", 512, Stage.DENOISING, 0),
+            ("b", 768, Stage.DENOISING, 1),
+        ])
+        pol = get_policy("orca_round_robin", cfg())
+        seen = [tuple(sorted({r.resolution for r in pol.schedule(pool).requests}))
+                for _ in range(4)]
+        assert seen[0] != seen[1]
+        assert seen[0] == seen[2] and seen[1] == seen[3]
+
+
+class TestESyMReD:
+    def _pol(self):
+        return get_policy("esymred", cfg(), family="sdxl")
+
+    def test_post_scheduled_first(self):
+        pool = make_pool([
+            ("p", 512, Stage.POSTPROCESSING, 0),
+            ("d", 512, Stage.DENOISING, 1),
+        ])
+        batch = self._pol().schedule(pool)
+        assert batch.stage is Stage.POSTPROCESSING
+
+    def test_prepare_before_denoise(self):
+        pool = make_pool([
+            ("n", 512, Stage.PREPARE, 0),
+            ("d", 512, Stage.DENOISING, 1),
+        ])
+        batch = self._pol().schedule(pool)
+        assert batch.stage is Stage.PREPARE
+
+    def test_hopeless_request_aborted(self):
+        pool = make_pool([("late", 1024, Stage.DENOISING, -10_000, 50)])
+        batch = self._pol().schedule(pool)
+        assert [r.request_id for r in batch.aborts] == ["late"]
+        assert not batch.requests
+
+    def test_admits_within_slack(self):
+        pool = make_pool([
+            ("x", 512, Stage.DENOISING, 0, 10),
+            ("y", 768, Stage.DENOISING, 0, 10),
+        ])
+        batch = self._pol().schedule(pool)
+        assert len(batch.requests) >= 1
+        assert not batch.aborts
+
+    def test_unknown_policy_raises(self):
+        with pytest.raises(ValueError):
+            get_policy("nope", cfg())
