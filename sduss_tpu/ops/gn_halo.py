@@ -100,14 +100,18 @@ def _kernel(image_id_ref, neighbors_ref, x_ref, mean_ref, rstd_ref,
         strip_dma(slot, nb, src, dst).wait()
 
     # -- normalize + affine + SiLU over the whole haloed buffer ----------------
-    v = buf[...].astype(jnp.float32).reshape((s + 2) * (s + 2), groups, cpg)
-    m = mean_ref[pl.ds(img, 1), :].reshape(1, groups, 1)
-    r = rstd_ref[pl.ds(img, 1), :].reshape(1, groups, 1)
+    # All vectors are PER-CHANNEL (width C) so the kernel is purely
+    # elementwise with (1, 1, C) broadcasts — Mosaic rejects the
+    # (s+2, s+2, C) -> (rows, G, C/G) group reshape ("unsupported shape
+    # cast"), so the group->channel expansion happens outside in XLA.
+    v = buf[...].astype(jnp.float32)
+    m = mean_ref[pl.ds(img, 1), :].reshape(1, 1, c)
+    r = rstd_ref[pl.ds(img, 1), :].reshape(1, 1, c)
     y = (v - m) * r
-    y = y * scale_ref[0].reshape(1, groups, cpg) + bias_ref[0].reshape(1, groups, cpg)
+    y = y * scale_ref[0].reshape(1, 1, c) + bias_ref[0].reshape(1, 1, c)
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
-    out_ref[0] = y.reshape(s + 2, s + 2, c).astype(out_ref.dtype)
+    out_ref[0] = y.astype(out_ref.dtype)
 
     # Image-border halos are zero AFTER normalization (matching the unfused
     # composition: normalize, then gather with zero fill at -1 neighbors).
@@ -120,8 +124,23 @@ def _kernel(image_id_ref, neighbors_ref, x_ref, mean_ref, rstd_ref,
 def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
                         act: Optional[str] = "silu", interpret: bool = False):
     """x (P,s,s,C) + per-image stats -> normalized haloed (P,s+2,s+2,C)."""
-    pp, s, _, c = x.shape
+    pp, s, _, c_logical = x.shape
     groups = mean.shape[1]
+    cpg = c_logical // groups
+    # group -> channel expansion outside the kernel (Mosaic can't reshape
+    # (rows, C) into (rows, G, C/G) inside)
+    mean_c = jnp.repeat(mean, cpg, axis=1)
+    rstd_c = jnp.repeat(rstd, cpg, axis=1)
+    # Mosaic requires DMA slices 128-aligned on the lane (channel) dim; pad
+    # C up (e.g. SDXL level-0's 320 -> 384) and slice back after.
+    c = ((c_logical + 127) // 128) * 128
+    if c != c_logical:
+        padc = [(0, 0)] * 3 + [(0, c - c_logical)]
+        x = jnp.pad(x, padc)
+        mean_c = jnp.pad(mean_c, [(0, 0), (0, c - c_logical)])
+        rstd_c = jnp.pad(rstd_c, [(0, 0), (0, c - c_logical)])
+        scale = jnp.pad(scale, [(0, c - c_logical)])
+        bias = jnp.pad(bias, [(0, c - c_logical)])
 
     kernel = functools.partial(_kernel, s=s, c=c, groups=groups, act=act)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -129,8 +148,8 @@ def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
         grid=(pp,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mean (I, G)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # rstd (I, G)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mean (I, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rstd (I, C)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (1, C)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, C)
         ],
@@ -148,12 +167,18 @@ def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
         out_shape=jax.ShapeDtypeStruct((pp, s + 2, s + 2, c), x.dtype),
         interpret=interpret,
     )(jnp.asarray(image_id), jnp.asarray(neighbors), x,
-      mean, rstd, scale.reshape(1, c), bias.reshape(1, c))
+      mean_c, rstd_c, scale.reshape(1, c), bias.reshape(1, c))
+    if c != c_logical:
+        out = out[..., :c_logical]
     return out
 
 
 @functools.lru_cache(maxsize=1)
 def pallas_supported() -> bool:
+    import os
+
+    if os.environ.get("SDUSS_DISABLE_FUSED_GN") == "1":
+        return False
     return jax.default_backend() == "tpu"
 
 
