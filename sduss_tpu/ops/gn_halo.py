@@ -55,70 +55,82 @@ def _moments(x, image_id, n_images: int, groups: int):
 
 
 def _kernel(image_id_ref, neighbors_ref, x_ref, mean_ref, rstd_ref,
-            scale_ref, bias_ref, out_ref, buf, sems, *, s, c, groups, act):
+            scale_ref, bias_ref, out_ref, center, up, down, left, right,
+            corners, sems, *, s, c, groups, act):
+    """Mosaic constraints shape this kernel (all hit on real hardware):
+    DMA destinations must start tile-aligned, so each edge strip lands in
+    its own origin-aligned scratch buffer and the haloed tile is assembled
+    with vector concats; normalization vectors are per-channel (the group
+    reshape is an unsupported shape cast in Mosaic)."""
     p = pl.program_id(0)
     img = image_id_ref[p]
-    cpg = c // groups
     sl = slice(None)
 
-    # Center + 8 neighbor edge strips DMA'd into the (s+2, s+2, C) buffer.
-    # Starts and waits are UNCONDITIONAL (index clamped for missing
-    # neighbors) so every semaphore signal has a matching wait; border
-    # strips are zeroed after the wait.
-    strips = [
-        (1, neighbors_ref[p, 0], (slice(s - 1, s), sl, sl),
-         (slice(0, 1), slice(1, s + 1), sl)),                       # up
-        (2, neighbors_ref[p, 1], (slice(0, 1), sl, sl),
-         (slice(s + 1, s + 2), slice(1, s + 1), sl)),               # down
-        (3, neighbors_ref[p, 2], (sl, slice(s - 1, s), sl),
-         (slice(1, s + 1), slice(0, 1), sl)),                       # left
-        (4, neighbors_ref[p, 3], (sl, slice(0, 1), sl),
-         (slice(1, s + 1), slice(s + 1, s + 2), sl)),               # right
-        (5, neighbors_ref[p, 4], (slice(s - 1, s), slice(s - 1, s), sl),
-         (slice(0, 1), slice(0, 1), sl)),                           # ul
-        (6, neighbors_ref[p, 5], (slice(s - 1, s), slice(0, 1), sl),
-         (slice(0, 1), slice(s + 1, s + 2), sl)),                   # ur
-        (7, neighbors_ref[p, 6], (slice(0, 1), slice(s - 1, s), sl),
-         (slice(s + 1, s + 2), slice(0, 1), sl)),                   # dl
-        (8, neighbors_ref[p, 7], (slice(0, 1), slice(0, 1), sl),
-         (slice(s + 1, s + 2), slice(s + 1, s + 2), sl)),           # dr
+    nbs = [neighbors_ref[p, k] for k in range(8)]
+    # (buffer, src slice within the neighbor patch) per strip.  Mosaic only
+    # allows DMA slicing on the untiled ROW dim; column strips come from
+    # whole-patch copies (left/right) or row copies (corners from diagonal
+    # neighbors' boundary rows), with the column extracted in VMEM.
+    plan = [
+        (up, (slice(s - 1, s), sl, sl)),        # up: its last row
+        (down, (slice(0, 1), sl, sl)),          # down: its first row
+        (left, (sl, sl, sl)),                   # left: whole patch
+        (right, (sl, sl, sl)),                  # right: whole patch
+        (corners.at[0], (slice(s - 1, s), sl, sl)),  # ul: its last row
+        (corners.at[1], (slice(s - 1, s), sl, sl)),  # ur: its last row
+        (corners.at[2], (slice(0, 1), sl, sl)),      # dl: its first row
+        (corners.at[3], (slice(0, 1), sl, sl)),      # dr: its first row
     ]
 
-    def center_dma():
-        return pltpu.make_async_copy(
-            x_ref.at[p], buf.at[slice(1, s + 1), slice(1, s + 1), sl], sems.at[0])
+    def dma(i):
+        if i == 0:
+            return pltpu.make_async_copy(x_ref.at[p], center, sems.at[0])
+        buf, src = plan[i - 1]
+        nb = jnp.maximum(nbs[i - 1], 0)
+        return pltpu.make_async_copy(x_ref.at[(nb,) + src], buf, sems.at[i])
 
-    def strip_dma(slot, nb, src, dst):
-        return pltpu.make_async_copy(
-            x_ref.at[(jnp.maximum(nb, 0),) + src], buf.at[dst], sems.at[slot])
+    for i in range(9):
+        dma(i).start()
+    for i in range(9):
+        dma(i).wait()
 
-    center_dma().start()
-    for slot, nb, src, dst in strips:
-        strip_dma(slot, nb, src, dst).start()
-    center_dma().wait()
-    for slot, nb, src, dst in strips:
-        strip_dma(slot, nb, src, dst).wait()
+    cen = center[...]
+    u, d = up[...], down[...]                    # (1, s, C)
+    l = left[:, s - 1 : s, :]                    # (s, 1, C) last col
+    r_ = right[:, 0:1, :]                        # (s, 1, C) first col
+    ul = corners[0, :, s - 1 : s, :]             # (1, 1, C)
+    ur = corners[1, :, 0:1, :]
+    dl = corners[2, :, s - 1 : s, :]
+    dr = corners[3, :, 0:1, :]
 
-    # -- normalize + affine + SiLU over the whole haloed buffer ----------------
-    # All vectors are PER-CHANNEL (width C) so the kernel is purely
-    # elementwise with (1, 1, C) broadcasts — Mosaic rejects the
-    # (s+2, s+2, C) -> (rows, G, C/G) group reshape ("unsupported shape
-    # cast"), so the group->channel expansion happens outside in XLA.
-    v = buf[...].astype(jnp.float32)
+    top = jnp.concatenate([ul, u, ur], axis=1)       # (1, s+2, C)
+    mid = jnp.concatenate([l, cen, r_], axis=1)      # (s, s+2, C)
+    bot = jnp.concatenate([dl, d, dr], axis=1)
+    v = jnp.concatenate([top, mid, bot], axis=0).astype(jnp.float32)
+
     m = mean_ref[pl.ds(img, 1), :].reshape(1, 1, c)
-    r = rstd_ref[pl.ds(img, 1), :].reshape(1, 1, c)
-    y = (v - m) * r
+    rs = rstd_ref[pl.ds(img, 1), :].reshape(1, 1, c)
+    y = (v - m) * rs
     y = y * scale_ref[0].reshape(1, 1, c) + bias_ref[0].reshape(1, 1, c)
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
-    out_ref[0] = y.astype(out_ref.dtype)
 
     # Image-border halos are zero AFTER normalization (matching the unfused
     # composition: normalize, then gather with zero fill at -1 neighbors).
-    for _, nb, _, dst in strips:
-        @pl.when(nb < 0)
-        def _(dst=dst):
-            out_ref[(0,) + dst] = jnp.zeros_like(out_ref[(0,) + dst])
+    def flag(nb, rows, cols):
+        return jnp.broadcast_to(
+            jnp.where(nb >= 0, 1.0, 0.0).astype(jnp.float32).reshape(1, 1, 1),
+            (rows, cols, 1))
+
+    one = jnp.ones((s, s, 1), jnp.float32)
+    mask_top = jnp.concatenate(
+        [flag(nbs[4], 1, 1), flag(nbs[0], 1, s), flag(nbs[5], 1, 1)], axis=1)
+    mask_mid = jnp.concatenate(
+        [flag(nbs[2], s, 1), one, flag(nbs[3], s, 1)], axis=1)
+    mask_bot = jnp.concatenate(
+        [flag(nbs[6], 1, 1), flag(nbs[1], 1, s), flag(nbs[7], 1, 1)], axis=1)
+    mask = jnp.concatenate([mask_top, mask_mid, mask_bot], axis=0)
+    out_ref[0] = (y * mask).astype(out_ref.dtype)
 
 
 def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
@@ -157,7 +169,12 @@ def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
                                lambda p, *_: (p, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((s + 2, s + 2, c), x.dtype),
+            pltpu.VMEM((s, s, c), x.dtype),      # center
+            pltpu.VMEM((1, s, c), x.dtype),      # up row
+            pltpu.VMEM((1, s, c), x.dtype),      # down row
+            pltpu.VMEM((s, s, c), x.dtype),      # left neighbor (whole patch)
+            pltpu.VMEM((s, s, c), x.dtype),      # right neighbor (whole patch)
+            pltpu.VMEM((4, 1, s, c), x.dtype),   # diagonal boundary rows
             pltpu.SemaphoreType.DMA((9,)),
         ],
     )
