@@ -54,23 +54,26 @@ def _moments(x, image_id, n_images: int, groups: int):
     return mean, var
 
 
-def _kernel(image_id_ref, neighbors_ref, x_ref, mean_ref, rstd_ref,
-            scale_ref, bias_ref, out_ref, center, up, down, left, right,
-            corners, sems, *, s, c, groups, act):
+def _kernel(image_id_ref, neighbors_ref, x_ref, a_ref, b_ref,
+            out_ref, center, up, down, left, right, corners, sems,
+            *, s, c, act):
     """Mosaic constraints shape this kernel (all hit on real hardware):
-    DMA destinations must start tile-aligned, so each edge strip lands in
-    its own origin-aligned scratch buffer and the haloed tile is assembled
-    with vector concats; normalization vectors are per-channel (the group
-    reshape is an unsupported shape cast in Mosaic)."""
+
+    * DMA may slice only the untiled ROW dim of the patch array -> up/down
+      and the diagonal neighbors' boundary rows copy as rows; left/right
+      neighbors copy whole, their boundary column extracted in VMEM.
+    * The group reshape is an unsupported shape cast -> normalization is
+      pre-folded outside into per-channel A = rstd*scale and
+      B = bias - mean*rstd*scale, so the body is one fused multiply-add.
+    * A fully assembled f32 halo tile blows the 16 MB VMEM budget at wide
+      channels -> each region is normalized and stored into its own output
+      window instead.
+    """
     p = pl.program_id(0)
     img = image_id_ref[p]
     sl = slice(None)
 
     nbs = [neighbors_ref[p, k] for k in range(8)]
-    # (buffer, src slice within the neighbor patch) per strip.  Mosaic only
-    # allows DMA slicing on the untiled ROW dim; column strips come from
-    # whole-patch copies (left/right) or row copies (corners from diagonal
-    # neighbors' boundary rows), with the column extracted in VMEM.
     plan = [
         (up, (slice(s - 1, s), sl, sl)),        # up: its last row
         (down, (slice(0, 1), sl, sl)),          # down: its first row
@@ -94,43 +97,28 @@ def _kernel(image_id_ref, neighbors_ref, x_ref, mean_ref, rstd_ref,
     for i in range(9):
         dma(i).wait()
 
-    cen = center[...]
-    u, d = up[...], down[...]                    # (1, s, C)
-    l = left[:, s - 1 : s, :]                    # (s, 1, C) last col
-    r_ = right[:, 0:1, :]                        # (s, 1, C) first col
-    ul = corners[0, :, s - 1 : s, :]             # (1, 1, C)
-    ur = corners[1, :, 0:1, :]
-    dl = corners[2, :, s - 1 : s, :]
-    dr = corners[3, :, 0:1, :]
+    a = a_ref[pl.ds(img, 1), :].reshape(1, 1, c)
+    b = b_ref[pl.ds(img, 1), :].reshape(1, 1, c)
 
-    top = jnp.concatenate([ul, u, ur], axis=1)       # (1, s+2, C)
-    mid = jnp.concatenate([l, cen, r_], axis=1)      # (s, s+2, C)
-    bot = jnp.concatenate([dl, d, dr], axis=1)
-    v = jnp.concatenate([top, mid, bot], axis=0).astype(jnp.float32)
+    def nact(val, nb=None):
+        y = val.astype(jnp.float32) * a + b
+        if act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        if nb is not None:
+            # image-border halos are zero AFTER normalization (matches the
+            # unfused composition: normalize, then gather with zero fill)
+            y = y * jnp.where(nb >= 0, 1.0, 0.0).astype(jnp.float32)
+        return y.astype(out_ref.dtype)
 
-    m = mean_ref[pl.ds(img, 1), :].reshape(1, 1, c)
-    rs = rstd_ref[pl.ds(img, 1), :].reshape(1, 1, c)
-    y = (v - m) * rs
-    y = y * scale_ref[0].reshape(1, 1, c) + bias_ref[0].reshape(1, 1, c)
-    if act == "silu":
-        y = y * jax.nn.sigmoid(y)
-
-    # Image-border halos are zero AFTER normalization (matching the unfused
-    # composition: normalize, then gather with zero fill at -1 neighbors).
-    def flag(nb, rows, cols):
-        return jnp.broadcast_to(
-            jnp.where(nb >= 0, 1.0, 0.0).astype(jnp.float32).reshape(1, 1, 1),
-            (rows, cols, 1))
-
-    one = jnp.ones((s, s, 1), jnp.float32)
-    mask_top = jnp.concatenate(
-        [flag(nbs[4], 1, 1), flag(nbs[0], 1, s), flag(nbs[5], 1, 1)], axis=1)
-    mask_mid = jnp.concatenate(
-        [flag(nbs[2], s, 1), one, flag(nbs[3], s, 1)], axis=1)
-    mask_bot = jnp.concatenate(
-        [flag(nbs[6], 1, 1), flag(nbs[1], 1, s), flag(nbs[7], 1, 1)], axis=1)
-    mask = jnp.concatenate([mask_top, mask_mid, mask_bot], axis=0)
-    out_ref[0] = (y * mask).astype(out_ref.dtype)
+    out_ref[0, 1 : s + 1, 1 : s + 1, :] = nact(center[...])
+    out_ref[0, 0:1, 1 : s + 1, :] = nact(up[...], nbs[0])
+    out_ref[0, s + 1 : s + 2, 1 : s + 1, :] = nact(down[...], nbs[1])
+    out_ref[0, 1 : s + 1, 0:1, :] = nact(left[:, s - 1 : s, :], nbs[2])
+    out_ref[0, 1 : s + 1, s + 1 : s + 2, :] = nact(right[:, 0:1, :], nbs[3])
+    out_ref[0, 0:1, 0:1, :] = nact(corners[0, :, s - 1 : s, :], nbs[4])
+    out_ref[0, 0:1, s + 1 : s + 2, :] = nact(corners[1, :, 0:1, :], nbs[5])
+    out_ref[0, s + 1 : s + 2, 0:1, :] = nact(corners[2, :, s - 1 : s, :], nbs[6])
+    out_ref[0, s + 1 : s + 2, s + 1 : s + 2, :] = nact(corners[3, :, 0:1, :], nbs[7])
 
 
 def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
@@ -154,16 +142,18 @@ def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
         scale = jnp.pad(scale, [(0, c - c_logical)])
         bias = jnp.pad(bias, [(0, c - c_logical)])
 
-    kernel = functools.partial(_kernel, s=s, c=c, groups=groups, act=act)
+    # fold normalization + affine into one per-(image, channel) FMA
+    a_vec = rstd_c * scale[None, :]
+    b_vec = bias[None, :] - mean_c * a_vec
+
+    kernel = functools.partial(_kernel, s=s, c=c, act=act)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(pp,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mean (I, C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # rstd (I, C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (1, C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # A (I, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # B (I, C)
         ],
         out_specs=pl.BlockSpec((1, s + 2, s + 2, c),
                                lambda p, *_: (p, 0, 0, 0),
@@ -183,8 +173,7 @@ def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pp, s + 2, s + 2, c), x.dtype),
         interpret=interpret,
-    )(jnp.asarray(image_id), jnp.asarray(neighbors), x,
-      mean_c, rstd_c, scale.reshape(1, c), bias.reshape(1, c))
+    )(jnp.asarray(image_id), jnp.asarray(neighbors), x, a_vec, b_vec)
     if c != c_logical:
         out = out[..., :c_logical]
     return out
