@@ -55,66 +55,79 @@ def _moments(x, image_id, n_images: int, groups: int):
 
 
 def _kernel(image_id_ref, neighbors_ref, x_ref, a_ref, b_ref,
-            out_ref, center, up, down, left, right, corners, sems,
+            out_ref, center, up, down, side, lcol, rcol, corners, sems,
             *, s, c, act):
     """Mosaic constraints shape this kernel (all hit on real hardware):
 
     * DMA may slice only the untiled ROW dim of the patch array -> up/down
       and the diagonal neighbors' boundary rows copy as rows; left/right
-      neighbors copy whole, their boundary column extracted in VMEM.
+      neighbors stream whole through ONE shared side buffer (sequentially),
+      their boundary column extracted in VMEM.
     * The group reshape is an unsupported shape cast -> normalization is
       pre-folded outside into per-channel A = rstd*scale and
       B = bias - mean*rstd*scale, so the body is one fused multiply-add.
-    * A fully assembled f32 halo tile blows the 16 MB VMEM budget at wide
-      channels -> each region is normalized and stored into its own output
-      window instead.
+    * VMEM is 16 MB: compute runs in the input dtype (bf16 in serving; the
+      normalized range is ~N(0,1) where bf16 is plenty) and each region is
+      normalized + stored into its own output window — no assembled tile.
     """
     p = pl.program_id(0)
     img = image_id_ref[p]
     sl = slice(None)
 
     nbs = [neighbors_ref[p, k] for k in range(8)]
-    plan = [
-        (up, (slice(s - 1, s), sl, sl)),        # up: its last row
-        (down, (slice(0, 1), sl, sl)),          # down: its first row
-        (left, (sl, sl, sl)),                   # left: whole patch
-        (right, (sl, sl, sl)),                  # right: whole patch
-        (corners.at[0], (slice(s - 1, s), sl, sl)),  # ul: its last row
-        (corners.at[1], (slice(s - 1, s), sl, sl)),  # ur: its last row
-        (corners.at[2], (slice(0, 1), sl, sl)),      # dl: its first row
-        (corners.at[3], (slice(0, 1), sl, sl)),      # dr: its first row
+    row_plan = [
+        (up, (slice(s - 1, s), sl, sl), nbs[0]),         # up: its last row
+        (down, (slice(0, 1), sl, sl), nbs[1]),           # down: its first row
+        (corners.at[0], (slice(s - 1, s), sl, sl), nbs[4]),  # ul last row
+        (corners.at[1], (slice(s - 1, s), sl, sl), nbs[5]),  # ur last row
+        (corners.at[2], (slice(0, 1), sl, sl), nbs[6]),      # dl first row
+        (corners.at[3], (slice(0, 1), sl, sl), nbs[7]),      # dr first row
     ]
 
     def dma(i):
         if i == 0:
             return pltpu.make_async_copy(x_ref.at[p], center, sems.at[0])
-        buf, src = plan[i - 1]
-        nb = jnp.maximum(nbs[i - 1], 0)
-        return pltpu.make_async_copy(x_ref.at[(nb,) + src], buf, sems.at[i])
+        buf, src, nb = row_plan[i - 1]
+        return pltpu.make_async_copy(
+            x_ref.at[(jnp.maximum(nb, 0),) + src], buf, sems.at[i])
 
-    for i in range(9):
+    for i in range(7):
         dma(i).start()
-    for i in range(9):
+
+    # left/right neighbors stream sequentially through the shared buffer
+    def side_dma(nb):
+        return pltpu.make_async_copy(
+            x_ref.at[jnp.maximum(nb, 0)], side, sems.at[7])
+
+    side_dma(nbs[2]).start()
+    side_dma(nbs[2]).wait()
+    lcol[...] = side[:, s - 1 : s, :]
+    side_dma(nbs[3]).start()
+    side_dma(nbs[3]).wait()
+    rcol[...] = side[:, 0:1, :]
+
+    for i in range(7):
         dma(i).wait()
 
-    a = a_ref[pl.ds(img, 1), :].reshape(1, 1, c)
-    b = b_ref[pl.ds(img, 1), :].reshape(1, 1, c)
+    dt = out_ref.dtype
+    a = a_ref[pl.ds(img, 1), :].reshape(1, 1, c).astype(dt)
+    b = b_ref[pl.ds(img, 1), :].reshape(1, 1, c).astype(dt)
 
     def nact(val, nb=None):
-        y = val.astype(jnp.float32) * a + b
+        y = val.astype(dt) * a + b
         if act == "silu":
             y = y * jax.nn.sigmoid(y)
         if nb is not None:
             # image-border halos are zero AFTER normalization (matches the
             # unfused composition: normalize, then gather with zero fill)
-            y = y * jnp.where(nb >= 0, 1.0, 0.0).astype(jnp.float32)
-        return y.astype(out_ref.dtype)
+            y = y * jnp.where(nb >= 0, 1.0, 0.0).astype(dt)
+        return y
 
     out_ref[0, 1 : s + 1, 1 : s + 1, :] = nact(center[...])
     out_ref[0, 0:1, 1 : s + 1, :] = nact(up[...], nbs[0])
     out_ref[0, s + 1 : s + 2, 1 : s + 1, :] = nact(down[...], nbs[1])
-    out_ref[0, 1 : s + 1, 0:1, :] = nact(left[:, s - 1 : s, :], nbs[2])
-    out_ref[0, 1 : s + 1, s + 1 : s + 2, :] = nact(right[:, 0:1, :], nbs[3])
+    out_ref[0, 1 : s + 1, 0:1, :] = nact(lcol[...], nbs[2])
+    out_ref[0, 1 : s + 1, s + 1 : s + 2, :] = nact(rcol[...], nbs[3])
     out_ref[0, 0:1, 0:1, :] = nact(corners[0, :, s - 1 : s, :], nbs[4])
     out_ref[0, 0:1, s + 1 : s + 2, :] = nact(corners[1, :, 0:1, :], nbs[5])
     out_ref[0, s + 1 : s + 2, 0:1, :] = nact(corners[2, :, s - 1 : s, :], nbs[6])
@@ -162,10 +175,11 @@ def gn_silu_halo_pallas(x, image_id, neighbors, mean, rstd, scale, bias,
             pltpu.VMEM((s, s, c), x.dtype),      # center
             pltpu.VMEM((1, s, c), x.dtype),      # up row
             pltpu.VMEM((1, s, c), x.dtype),      # down row
-            pltpu.VMEM((s, s, c), x.dtype),      # left neighbor (whole patch)
-            pltpu.VMEM((s, s, c), x.dtype),      # right neighbor (whole patch)
+            pltpu.VMEM((s, s, c), x.dtype),      # shared side-neighbor buffer
+            pltpu.VMEM((s, 1, c), x.dtype),      # left boundary column
+            pltpu.VMEM((s, 1, c), x.dtype),      # right boundary column
             pltpu.VMEM((4, 1, s, c), x.dtype),   # diagonal boundary rows
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
     )
     out = pl.pallas_call(
