@@ -119,8 +119,10 @@ def _kernel(image_id_ref, neighbors_ref, x_ref, a_ref, b_ref,
             y = y * jax.nn.sigmoid(y)
         if nb is not None:
             # image-border halos are zero AFTER normalization (matches the
-            # unfused composition: normalize, then gather with zero fill)
-            y = y * jnp.where(nb >= 0, 1.0, 0.0).astype(dt)
+            # unfused composition: normalize, then gather with zero fill).
+            # scalar flag must share the vector's dtype (Mosaic broadcast
+            # verification).
+            y = y * jnp.where(nb >= 0, jnp.ones((), dt), jnp.zeros((), dt))
         return y
 
     out_ref[0, 1 : s + 1, 1 : s + 1, :] = nact(center[...])
