@@ -110,22 +110,26 @@ def _kernel(image_id_ref, neighbors_ref, x_ref, a_ref, b_ref,
         dma(i).wait()
 
     dt = out_ref.dtype
-    a = a_ref[pl.ds(img, 1), :].reshape(1, 1, c).astype(dt)
-    b = b_ref[pl.ds(img, 1), :].reshape(1, 1, c).astype(dt)
+    a = a_ref[pl.ds(img, 1), :].reshape(1, 1, c)
+    b = b_ref[pl.ds(img, 1), :].reshape(1, 1, c)
 
     def nact(val, nb=None):
-        y = val.astype(dt) * a + b
+        # activation math in f32: bf16 sigmoid lowers through an f32-scalar
+        # broadcast Mosaic rejects ("vector.broadcast element type")
+        y = val.astype(jnp.float32) * a + b
         if act == "silu":
             y = y * jax.nn.sigmoid(y)
         if nb is not None:
             # image-border halos are zero AFTER normalization (matches the
-            # unfused composition: normalize, then gather with zero fill).
-            # scalar flag must share the vector's dtype (Mosaic broadcast
-            # verification).
-            y = y * jnp.where(nb >= 0, jnp.ones((), dt), jnp.zeros((), dt))
-        return y
+            # unfused composition: normalize, then gather with zero fill)
+            y = y * jnp.where(nb >= 0, 1.0, 0.0).astype(jnp.float32)
+        return y.astype(dt)
 
-    out_ref[0, 1 : s + 1, 1 : s + 1, :] = nact(center[...])
+    # center processed in row halves: a full (s, s, C) f32 temp at wide
+    # channels would push the kernel past the 16 MB VMEM budget
+    half = s // 2
+    out_ref[0, 1 : 1 + half, 1 : s + 1, :] = nact(center[0:half])
+    out_ref[0, 1 + half : s + 1, 1 : s + 1, :] = nact(center[half:s])
     out_ref[0, 0:1, 1 : s + 1, :] = nact(up[...], nbs[0])
     out_ref[0, s + 1 : s + 2, 1 : s + 1, :] = nact(down[...], nbs[1])
     out_ref[0, 1 : s + 1, 0:1, :] = nact(lcol[...], nbs[2])
