@@ -23,14 +23,19 @@ import jax.numpy as jnp
 _FLASH_MIN_SEQ = 1024
 
 
-@functools.lru_cache(maxsize=1)
-def _flash_available() -> bool:
+@functools.lru_cache(maxsize=2)
+def _flash_available(prefer: bool = False) -> bool:
     import os
 
     # Measured on v5e (BENCH logs): XLA's fused dense attention beats the
     # generic Pallas flash kernel ~2x at SDXL shapes (4096 tokens, d=64) —
-    # dense is the default; flash is opt-in for longer-sequence experiments.
-    if os.environ.get("SDUSS_ENABLE_FLASH") != "1":
+    # dense is the default.  ``prefer`` forces flash where dense logits are
+    # infeasible (grouped full-image patch attention: 16k+ tokens would
+    # materialize tens of GB); SDUSS_ENABLE_FLASH=1 opts in globally and
+    # SDUSS_DISABLE_FLASH=1 kills it everywhere.
+    if os.environ.get("SDUSS_DISABLE_FLASH") == "1":
+        return False
+    if not prefer and os.environ.get("SDUSS_ENABLE_FLASH") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -83,11 +88,15 @@ def _flash_masked(q, k, v, num_heads: int, kv_token_mask, scale: float):
 
 
 def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
-                     scale: Optional[float] = None):
-    """MHA over (B, L, D) with optional (B, Lk) boolean key mask."""
+                     scale: Optional[float] = None, prefer_flash: bool = False):
+    """MHA over (B, L, D) with optional (B, Lk) boolean key mask.
+
+    ``prefer_flash``: use the flash kernel whenever shapes allow (callers
+    whose dense logits would not fit HBM, e.g. grouped patch attention).
+    """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1] // num_heads)
-    if _flash_available() and q.shape[1] >= _FLASH_MIN_SEQ \
+    if _flash_available(prefer_flash) and q.shape[1] >= _FLASH_MIN_SEQ \
             and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0:
         return _flash_masked(q, k, v, num_heads, kv_token_mask, scale)
     return _dense_masked(q, k, v, num_heads, kv_token_mask, scale)

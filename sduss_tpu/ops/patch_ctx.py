@@ -138,7 +138,10 @@ class PatchContext:
 
         gq, gk, gv = group(q), group(k), group(v)
         kv_token_mask = jnp.repeat(self.kv_mask, s2, axis=1)   # (I, max_pp*s2)
-        out = masked_attention(gq, gk, gv, heads, kv_token_mask)
+        # full-image grouped attention reaches 16k+ tokens at 1024^2 — dense
+        # logits would not fit HBM; prefer the flash kernel on TPU
+        out = masked_attention(gq, gk, gv, heads, kv_token_mask,
+                               prefer_flash=True)
         out = out.reshape(m.i_pad * m.max_pp, s2, c)
         return out[self.patch_pos]                              # (P, s2, C)
 
