@@ -144,8 +144,11 @@ class SchedulerConfig:
     decode_batch: int = 2
     # Batch-size buckets used to bound XLA recompilation.
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 12, 16, 24, 32)
-    # Patch-count buckets for the mixed-resolution patch batch.
-    patch_buckets: Tuple[int, ...] = (4, 8, 16, 32, 64, 96, 128, 192, 256)
+    # Patch-count buckets for the mixed-resolution patch batch. Finer steps
+    # in the common range: e.g. a (512 + 1024) pair is 20 patches — a
+    # 32-bucket would waste 60% of the patch compute.
+    patch_buckets: Tuple[int, ...] = (4, 8, 12, 16, 20, 24, 32, 40, 48, 64,
+                                      80, 96, 128, 160, 192, 256)
 
 
 @dataclass
