@@ -1,0 +1,75 @@
+"""SD3.5-medium MMDiT 1024^2 step latency on the real chip (BASELINE config 3).
+
+Reference anchor: 65 ms/step at 1024^2 batch 1 on H100
+(reference policy/ESyMReD.py:30-42)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from sduss_tpu.models.mmdit import SD35_MEDIUM, SD3Transformer2DModel
+    from sduss_tpu.samplers import get_sampler
+    from sduss_tpu.utils import random_params
+
+    model = SD3Transformer2DModel(SD35_MEDIUM)
+    params = random_params(model, dtype=jnp.bfloat16)
+    sampler = get_sampler("flow_match", shift=3.0)
+    b, hw = int(os.environ.get("BENCH_SD3_BATCH", "1")), 128
+    n_steps = 10
+    table = sampler.make_table(n_steps)
+    ts = jnp.asarray(table.timesteps)
+    cs = jnp.asarray(table.coeffs)
+
+    lat = jnp.zeros((b, hw, hw, 16), jnp.bfloat16)
+    ehs = jnp.zeros((2 * b, 333, 4096), jnp.bfloat16)
+    pooled = jnp.zeros((2 * b, 2048), jnp.bfloat16)
+    g = jnp.full((b,), 4.5)
+
+    @jax.jit
+    def run(params, lat, g, ehs, pooled):
+        def body(i, x):
+            c0 = jnp.full((b,), cs[i, 0])
+            c1 = jnp.full((b,), cs[i, 1])
+            t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+            out = model.apply(params, jnp.concatenate([x, x]), t2, ehs, pooled)
+            u, c = jnp.split(out, 2)
+            v = u + g.reshape(-1, 1, 1, 1) * (c - u)
+            return sampler.step(x, v, c0, c1)
+
+        return jax.lax.fori_loop(0, n_steps, body, lat)
+
+    np.asarray(run(params, lat, g, ehs, pooled))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(params, lat, g, ehs, pooled))
+        best = min(best, time.perf_counter() - t0)
+    ms = best / n_steps * 1e3
+    print(json.dumps({
+        "metric": "SD3.5-medium 1024^2 CFG step latency",
+        "batch": b, "ms_per_step": round(ms, 1),
+        "h100_anchor_ms": 65.0,
+        "vs_anchor": round(65.0 / ms * b, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -201,7 +201,12 @@ class SD3Transformer2DModel:
         b, s, nh, hd = q.shape
         if ctx is not None:
             return ctx.mmdit_attention(q, k, v, s_lat if s_lat is not None else s)
-        out = L.attention(
+        from sduss_tpu.ops.attention import masked_attention
+
+        # identical math to L.attention; additionally dispatches to the flash
+        # kernel when enabled (37 attention ops over ~4.4k tokens dominate
+        # the 1024^2 step)
+        out = masked_attention(
             q.reshape(b, s, nh * hd), k.reshape(b, k.shape[1], nh * hd),
             v.reshape(b, v.shape[1], nh * hd), cfg.num_heads)
         return out
