@@ -39,7 +39,11 @@ def main():
     cs = jnp.asarray(table.coeffs)
 
     lat = jnp.zeros((b, hw, hw, 16), jnp.bfloat16)
-    ehs = jnp.zeros((2 * b, 333, 4096), jnp.bfloat16)
+    # context padded 333 -> 384 so the joint sequence (4096+384=4480) is
+    # 128-aligned and the flash kernel can engage (set BENCH_SD3_CTX=333 for
+    # the unaligned/dense variant)
+    ctx_len = int(os.environ.get("BENCH_SD3_CTX", "384"))
+    ehs = jnp.zeros((2 * b, ctx_len, 4096), jnp.bfloat16)
     pooled = jnp.zeros((2 * b, 2048), jnp.bfloat16)
     g = jnp.full((b,), 4.5)
 
