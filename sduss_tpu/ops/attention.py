@@ -27,24 +27,16 @@ _FLASH_MIN_SEQ = 1024
 def _flash_available(prefer: bool = False) -> bool:
     import os
 
-    # Measured on v5e (BENCH logs): XLA's fused dense attention beats the
-    # generic Pallas flash kernel ~2x at SDXL shapes (4096 tokens, d=64) —
-    # dense is the default.  ``prefer`` forces flash where dense logits are
-    # infeasible (grouped full-image patch attention: 16k+ tokens would
-    # materialize tens of GB); SDUSS_ENABLE_FLASH=1 opts in globally and
-    # SDUSS_DISABLE_FLASH=1 kills it everywhere.
+    # The custom kernel (ops/flash.py) is the TPU default for long
+    # sequences: XLA dense attention is HBM-bound on f32 logits and the
+    # stock Pallas kernel is grid-overhead-bound at diffusion shapes (both
+    # measured ~15x off matmul-bound at SD3's S=4480/d=64 on v5e).
+    # SDUSS_DISABLE_FLASH=1 kills it everywhere (dense fallback);
+    # SDUSS_STOCK_FLASH=1 swaps in the generic jax.experimental kernel for
+    # A/B comparison.
     if os.environ.get("SDUSS_DISABLE_FLASH") == "1":
         return False
-    if not prefer and os.environ.get("SDUSS_ENABLE_FLASH") != "1":
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    try:
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention  # noqa: F401
-
-        return True
-    except Exception:  # pragma: no cover
-        return False
+    return jax.default_backend() == "tpu"
 
 
 def _dense_masked(q, k, v, num_heads: int, kv_token_mask, scale: float):
@@ -67,6 +59,13 @@ def _dense_masked(q, k, v, num_heads: int, kv_token_mask, scale: float):
 
 
 def _flash_masked(q, k, v, num_heads: int, kv_token_mask, scale: float):
+    import os
+
+    if os.environ.get("SDUSS_STOCK_FLASH") != "1":
+        from sduss_tpu.ops.flash import flash_mha
+
+        return flash_mha(q, k, v, num_heads, scale, kv_mask=kv_token_mask)
+
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds, flash_attention)
 
@@ -96,7 +95,20 @@ def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1] // num_heads)
-    if _flash_available(prefer_flash) and q.shape[1] >= _FLASH_MIN_SEQ \
-            and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0:
+    # Custom-kernel VMEM budget: full per-head K+V resident, double-buffered.
+    hd = q.shape[-1] // num_heads
+    kv_vmem = (k.shape[1] + 127) // 128 * 128 * hd * 2 * 2 * 2
+    lq = q.shape[1]
+    # Measured on v5e (exp/bench_flash_v5e.json): XLA's own attention fusion
+    # is near-peak at power-of-2-aligned self-attention shapes WITH a deep
+    # batch*heads axis (S=4096, BH=160: 69 TF/s — beats the custom kernel
+    # there) but falls off a cliff at unaligned shapes (SD3's S=4480: 8.6
+    # TF/s), short sequences (S=1024) and small BH (S=4096, BH=48: custom
+    # wins 2.7x).  Route only the aligned big-S deep-batch case to dense,
+    # unless the caller needs flash for HBM reasons (prefer_flash).
+    xla_fuses_well = (lq >= 4096 and lq % 2048 == 0 and lq == k.shape[1]
+                      and q.shape[0] * num_heads >= 120 and not prefer_flash)
+    if _flash_available(prefer_flash) and lq >= _FLASH_MIN_SEQ \
+            and kv_vmem <= 12 * 2**20 and not xla_fuses_well:
         return _flash_masked(q, k, v, num_heads, kv_token_mask, scale)
     return _dense_masked(q, k, v, num_heads, kv_token_mask, scale)

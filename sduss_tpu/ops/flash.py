@@ -1,0 +1,281 @@
+"""Shape-tuned Pallas flash attention for diffusion workloads.
+
+Why a custom kernel: the diffusion attention shapes (SDXL: H=10/20, S=4096,
+d=64; SD3.5-medium joint attention: H=24, S=4480, d=64) defeat both stock
+paths on TPU:
+
+* XLA dense attention materializes f32 logits in HBM (3.8 GB per SD3 op,
+  ~19 GB of traffic with the multi-pass softmax) — measured 52 ms/op on v5e.
+* The generic Pallas flash kernel
+  (jax.experimental.pallas.ops.tpu.flash_attention) spends its time on grid
+  overhead: at S=4608/d=64 its (batch, head, q, kv) grid is ~3.9k cells of
+  ~0.5 us of MXU work each — measured 37 ms/op, ~15x off matmul-bound.
+
+This kernel restructures the computation so per-cell work is large:
+
+* grid = (B*H, S/q_block) only; the ENTIRE per-head K and V (S x 64 bf16,
+  ~0.6 MB each at S=4608) are block-mapped into VMEM once per head and
+  reused across q tiles (Pallas elides re-DMA when the block index is
+  unchanged between consecutive cells).
+* the kv loop runs INSIDE the kernel as a fori_loop with the online-softmax
+  statistics (m, l, unnormalized acc) carried as values — no scratch
+  semantics, no per-kv-tile grid cells.
+* padding is handled statically: tiles entirely beyond ``kv_len`` are never
+  executed, only the single ragged tile applies a mask, and normalization
+  happens once at the end.
+
+Replaces the reference's xformers attention calls
+(sduss/model_executor/modules/attention.py:112-232) on the TPU hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int):
+    """One cell = one (batch*head, q_tile); full K/V resident in VMEM.
+
+    Two-pass softmax instead of online: the whole (block_q, S) score tile
+    fits in VMEM at diffusion sequence lengths, so one max pass + one exp
+    beat the online variant's ~3x VPU traffic.  q arrives pre-scaled.
+
+    The softmax normalizer rides the PV matmul for free: V is augmented
+    outside with a ones column at index ``hd`` and lane-padded to 128 — the
+    MXU processes 128 output lanes whether the payload is 64 or 128 wide, so
+    ``p @ [V | 1]`` yields the output AND the row sums in one pass (this
+    removed a row-sum matmul that cost as much as PV itself).
+    ``bias_ref`` (1, S) f32 additive row: 0 at real keys, -0.7*f32max at
+    padding (precomputed outside; also carries runtime kv masks).
+    """
+    q = q_ref[0]                      # (block_q, d)
+    k = k_ref[0]                      # (S, d)
+    v = v_ref[0]                      # (S, 128): [V | 1 | 0-pad]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (block_q, S)
+    s = s + bias_ref[:]               # (1, S) broadcast
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m).astype(v.dtype)                 # bf16 weights
+    av = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    acc, l = av[:, :hd], av[:, hd : hd + 1]
+    o_ref[0] = (acc * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_kv: int,
+                kv_len: int, kv_pad: int):
+    """One cell = one (batch*head, q_tile). kv loop inside.
+
+    q_ref: (1, block_q, d); k_ref/v_ref: (1, kv_pad, d); o_ref like q_ref.
+    ``kv_len`` real keys; keys in [kv_len, kv_pad) are padding.
+    """
+    q = q_ref[0]  # (block_q, d)
+    block_q, d = q.shape
+
+    n_full, rem = divmod(kv_len, block_kv)
+
+    def tile_update(kt_start, carry, masked_width):
+        m_prev, l_prev, acc_prev = carry
+        k = k_ref[0, pl.ds(kt_start, block_kv), :]  # (block_kv, d)
+        v = v_ref[0, pl.ds(kt_start, block_kv), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (block_q, block_kv)
+        if masked_width is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < masked_width, s, _NEG)
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_next = acc_prev * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_next, l_next, acc_next
+
+    carry = (jnp.full((block_q, 1), -jnp.inf, jnp.float32),
+             jnp.zeros((block_q, 1), jnp.float32),
+             jnp.zeros((block_q, d), jnp.float32))
+
+    if n_full:
+        carry = jax.lax.fori_loop(
+            0, n_full,
+            lambda i, c: tile_update(i * block_kv, c, None),
+            carry)
+    if rem:
+        # One ragged tile covering [n_full*block_kv, kv_len); kv_pad is
+        # sized so this tile exists in the padded buffer.
+        carry = tile_update(n_full * block_kv, carry, rem)
+
+    m, l, acc = carry
+    inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * inv).astype(o_ref.dtype)
+
+
+def _mha_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       block_kv: int, kv_pad: int):
+    """Variant with a runtime (1, kv_pad) int32 key-validity row."""
+    q = q_ref[0]
+    block_q, d = q.shape
+    n_tiles = kv_pad // block_kv
+
+    def tile_update(i, carry):
+        m_prev, l_prev, acc_prev = carry
+        kt = i * block_kv
+        k = k_ref[0, pl.ds(kt, block_kv), :]
+        v = v_ref[0, pl.ds(kt, block_kv), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        valid = mask_ref[0, pl.ds(kt, block_kv)].reshape(1, block_kv)
+        s = jnp.where(valid > 0, s, _NEG)
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_next = acc_prev * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_next, l_next, acc_next
+
+    carry = (jnp.full((block_q, 1), -jnp.inf, jnp.float32),
+             jnp.zeros((block_q, 1), jnp.float32),
+             jnp.zeros((block_q, d), jnp.float32))
+    carry = jax.lax.fori_loop(0, n_tiles, tile_update, carry)
+    m, l, acc = carry
+    inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "block_q", "block_kv", "kv_len",
+                     "interpret", "force_online"))
+def flash_mha(q, k, v, num_heads: int, scale: float,
+              kv_mask: Optional[jax.Array] = None,
+              kv_len: Optional[int] = None,
+              block_q: int = 512, block_kv: int = 512,
+              interpret: bool = False, force_online: bool = False):
+    """Fused MHA over (B, Lq, D_model) tensors.
+
+    * ``kv_mask`` (B, Lk) bool/int: runtime key-validity (mixed-token
+      batches).  Mutually exclusive with ``kv_len``.
+    * ``kv_len``: static count of real keys (uniform batches); keys beyond
+      it are padding introduced here for alignment.
+
+    Sequence dims are padded to block multiples internally; padded QUERY
+    rows produce garbage rows that the caller's reshape slices off.
+    """
+    b, lq, dm = q.shape
+    lk = k.shape[1]
+    hd = dm // num_heads
+    if kv_len is None and kv_mask is None:
+        kv_len = lk
+
+    block_q = min(block_q, _ceil_to(lq, 128))
+    block_kv = min(block_kv, _ceil_to(lk, 128))
+    lq_pad = _ceil_to(lq, block_q)
+    lk_pad = _ceil_to(lk, block_kv)
+
+    def heads(x, l, l_pad):
+        x = x.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
+        x = x.reshape(b * num_heads, l, hd)
+        if l_pad != l:
+            x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        return x
+
+    qh = heads(q, lq, lq_pad)
+    kh = heads(k, lk, lk_pad)
+    vh = heads(v, lk, lk_pad)
+    bh = b * num_heads
+
+    # Two-pass kernel wants the (block_q, lk_pad) f32 score tile + bf16 copy
+    # + K/V (double-buffered) in VMEM; shrink block_q until it fits the
+    # budget, falling back to the online-softmax kernel for very long kv.
+    budget = 48 * 2**20
+    kv_bytes = 4 * lk_pad * hd * 2
+    bq = block_q
+    while bq > 128 and bq * lk_pad * 6 + kv_bytes > budget:
+        bq //= 2
+    two_pass = bq * lk_pad * 6 + kv_bytes <= budget and not force_online
+    block_q = bq if two_pass else block_q
+    lq_pad = _ceil_to(lq, block_q)
+    if qh.shape[1] != lq_pad:
+        qh = qh[:, :lq_pad] if qh.shape[1] > lq_pad else jnp.pad(
+            qh, ((0, 0), (0, lq_pad - qh.shape[1]), (0, 0)))
+    grid = (bh, lq_pad // block_q)
+
+    q_spec = pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0))
+    kv_spec = pl.BlockSpec((1, lk_pad, hd), lambda i, j: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, lq_pad, hd), q.dtype)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 2**20)
+
+    if two_pass:
+        if kv_mask is not None:
+            valid = kv_mask.astype(jnp.float32)
+            if lk_pad != lk:
+                valid = jnp.pad(valid, ((0, 0), (0, lk_pad - lk)))
+            bias = (1.0 - valid) * _NEG
+            bias_spec = pl.BlockSpec(
+                (1, lk_pad), lambda i, j, nh=num_heads: (i // nh, 0))
+        else:
+            col = jnp.arange(lk_pad)[None, :]
+            bias = jnp.where(col < kv_len, 0.0, _NEG).astype(jnp.float32)
+            bias_spec = pl.BlockSpec((1, lk_pad), lambda i, j: (0, 0))
+        # scale folds into q (fused into the head transpose by XLA); V gains
+        # a ones column at ``hd`` for the in-matmul row sums (free while
+        # hd % 128 != 0; our models all use hd=64)
+        qs = (qh.astype(jnp.float32) * scale).astype(qh.dtype)
+        vpad = _ceil_to(hd + 1, 128)
+        vh_aug = jnp.concatenate(
+            [vh, jnp.ones((bh, lk_pad, 1), vh.dtype),
+             jnp.zeros((bh, lk_pad, vpad - hd - 1), vh.dtype)], axis=-1)
+        v_aug_spec = pl.BlockSpec((1, lk_pad, vpad), lambda i, j: (i, 0, 0))
+        kernel = functools.partial(_mha_kernel_2pass, hd=hd)
+        out = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[bias_spec, q_spec, kv_spec, v_aug_spec],
+            out_specs=q_spec, out_shape=out_shape,
+            compiler_params=params, interpret=interpret,
+        )(bias, qs, kh, vh_aug)
+    elif kv_mask is not None:
+        mask = kv_mask.astype(jnp.int32)
+        if lk_pad != lk:
+            mask = jnp.pad(mask, ((0, 0), (0, lk_pad - lk)))
+        mask_spec = pl.BlockSpec(
+            (1, lk_pad), lambda i, j, nh=num_heads: (i // nh, 0))
+        kernel = functools.partial(_mha_kernel_masked, scale=scale,
+                                   block_kv=block_kv, kv_pad=lk_pad)
+        out = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[mask_spec, q_spec, kv_spec, kv_spec],
+            out_specs=q_spec, out_shape=out_shape,
+            compiler_params=params, interpret=interpret,
+        )(mask, qh, kh, vh)
+    else:
+        kernel = functools.partial(_mha_kernel, scale=scale,
+                                   block_kv=block_kv, kv_len=kv_len,
+                                   kv_pad=lk_pad)
+        out = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec, out_shape=out_shape,
+            compiler_params=params, interpret=interpret,
+        )(qh, kh, vh)
+
+    out = out.reshape(b, num_heads, lq_pad, hd)[:, :, :lq, :]
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, dm)

@@ -1,0 +1,62 @@
+"""Custom flash-attention kernel vs dense reference (interpret mode on CPU)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sduss_tpu.ops.attention import _dense_masked
+from sduss_tpu.ops.flash import flash_mha
+
+
+def _mk(b, lq, lk, dm, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, lq, dm)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, lk, dm)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, lk, dm)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("lq,lk,heads", [
+    (256, 256, 2),      # aligned, multi-tile
+    (384, 250, 2),      # ragged kv -> masked epilogue tile
+    (130, 130, 1),      # ragged q and kv, single partial tile
+])
+@pytest.mark.parametrize("online", [False, True])
+def test_flash_matches_dense(lq, lk, heads, online):
+    dm = heads * 64
+    q, k, v = _mk(2, lq, lk, dm)
+    scale = 1.0 / math.sqrt(64)
+    ref = _dense_masked(q, k, v, heads, None, scale)
+    out = flash_mha(q, k, v, heads, scale, block_q=128, block_kv=128,
+                    interpret=True, force_online=online)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("online", [False, True])
+def test_flash_runtime_mask_matches_dense(online):
+    heads, dm = 2, 128
+    q, k, v = _mk(3, 256, 256, dm, seed=1)
+    rng = np.random.default_rng(2)
+    mask = jnp.asarray(rng.random((3, 256)) > 0.3)
+    scale = 1.0 / math.sqrt(64)
+    ref = _dense_masked(q, k, v, heads, mask, scale)
+    out = flash_mha(q, k, v, heads, scale, kv_mask=mask,
+                    block_q=128, block_kv=128, interpret=True,
+                    force_online=online)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16_close_to_f32_dense():
+    heads, dm = 4, 256
+    q, k, v = _mk(1, 512, 512, dm, seed=3, dtype=jnp.bfloat16)
+    scale = 1.0 / math.sqrt(64)
+    ref = _dense_masked(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32), heads, None, scale)
+    out = flash_mha(q, k, v, heads, scale, interpret=True,
+                    block_q=256, block_kv=256)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+    assert err < 0.05, err
