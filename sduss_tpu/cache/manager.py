@@ -71,11 +71,18 @@ class BlockCache:
         }
 
     def init_token_rows(self, key: str, n_rows: int, seq: int, dim: int,
-                        dtype=jnp.bfloat16) -> dict:
-        """Fresh cache rows for MMDiT token sequences (B, S, D)."""
+                        dtype=jnp.bfloat16, ctx_seq: Optional[int] = None) -> dict:
+        """Fresh cache rows for MMDiT token sequences (B, S, D).
+
+        ``ctx_seq``: compact mode also caches the evolving context stream —
+        ``out`` becomes {"x": (B,S,D), "c": (B,ctx_seq,D)}.
+        """
+        out = jnp.zeros((n_rows, seq, dim), dtype)
+        if ctx_seq is not None:
+            out = {"x": out, "c": jnp.zeros((n_rows, ctx_seq, dim), dtype)}
         return {
             "inp": jnp.zeros((n_rows, seq, dim), dtype),
-            "out": jnp.zeros((n_rows, seq, dim), dtype),
+            "out": out,
             "hits": jnp.full((n_rows,), self.config.max_hits, jnp.int32),
         }
 
@@ -103,6 +110,23 @@ class BlockCache:
             fresh = rel > self.config.mse_threshold
         return fresh | (state_k["hits"] >= self.config.max_hits), rel
 
+    def _scores(self, key: str, x, state_k, t_norm):
+        """(P,) f32 drift ranking; forced rows (hits >= max_hits) rank first."""
+        axes = tuple(range(1, x.ndim))
+        xf = x.astype(jnp.float32)
+        cf = state_k["inp"].astype(jnp.float32)
+        mse = jnp.mean((xf - cf) ** 2, axis=axes)
+        rel = mse / (jnp.mean(xf * xf, axis=axes) + 1e-8)
+        clf = self.classifiers.get(key)
+        if clf is not None:
+            w_mse, w_t, w_hits, bias = [float(v) for v in clf]
+            score = (w_mse * rel + w_t * t_norm
+                     + w_hits * state_k["hits"].astype(jnp.float32) + bias)
+        else:
+            score = rel - self.config.mse_threshold
+        forced = (state_k["hits"] >= self.config.max_hits).astype(jnp.float32)
+        return score + forced * 1e6
+
     # -- gate (traced) ----------------------------------------------------------
 
     def gate(self, key: str, x, t_norm, state_k: Optional[dict],
@@ -126,6 +150,48 @@ class BlockCache:
         }
         stats = {"fresh": fresh, "rel_mse": rel}
         return y, new_state, stats
+
+
+    def gate_compact(self, key: str, x, t_norm, state_k: Optional[dict],
+                     compute_fn: Callable, n_active: int, row_valid=None):
+        """Top-K compact recompute: REAL compute saving under static shapes.
+
+        The TPU answer to the reference's dynamic per-row cache masks
+        (cache_manager.py:101-191): instead of thresholding (dynamic row
+        count -> recompilation), every step recomputes exactly the
+        ``n_active`` most-drifted rows (MoE-capacity style), gathered to a
+        compact sub-batch; the rest take their cached outputs.  Forced rows
+        (hits >= max_hits) outrank everything, preserving the reference's
+        staleness bound when capacity allows.
+
+        Requires rows independent under ``compute_fn`` (MMDiT token rows,
+        dense image rows — NOT the UNet patch path, whose rows couple
+        through per-image group-norm/attention; that path uses `gate`).
+
+        ``compute_fn(x_gathered, idx)`` -> row-aligned output pytree; the
+        callable must gather its own row-aligned side inputs (temb, context
+        stream, masks) by ``idx``.  ``state_k['out']`` holds the matching
+        cached pytree.  Returns (full outputs, new_state_k, stats).
+        """
+        if state_k is None:
+            full = compute_fn(x, jnp.arange(x.shape[0]))
+            return full, None, None
+        scores = self._scores(key, x, state_k, t_norm)
+        if row_valid is not None:
+            # batch-bucket pad rows rank last (their outputs are discarded)
+            scores = jnp.where(row_valid, scores, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, n_active)
+        x_c = x[idx]
+        y_c = compute_fn(x_c, idx)
+        y = jax.tree.map(
+            lambda cached, fresh: cached.astype(fresh.dtype).at[idx].set(fresh),
+            state_k["out"], y_c)
+        new_state = {
+            "inp": state_k["inp"].astype(x.dtype).at[idx].set(x_c),
+            "out": y,
+            "hits": (state_k["hits"] + 1).at[idx].set(0),
+        }
+        return y, new_state, {"idx": idx, "scores": scores}
 
 
 def split_state(state: dict, counts: List[int]) -> List[dict]:

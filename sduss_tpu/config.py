@@ -159,8 +159,15 @@ class CacheConfig:
     # "block": per-patch masked recompute splice (reference semantics);
     # "deep": temporal deep-block reuse — full step every deep_interval
     # steps, shallow steps reuse the cached deep feature (the static-shape
-    # TPU exploitation of the same temporal redundancy; REAL compute saving).
+    # TPU exploitation of the same temporal redundancy; REAL compute saving);
+    # "compact": top-K compact recompute — each gated block recomputes only
+    # the compact_fraction most-drifted rows (static capacity, MoE-style)
+    # and reuses cached outputs for the rest.  REAL compute saving with
+    # per-row adaptivity; rows must be independent under the block
+    # (MMDiT token rows / dense image rows).
     mode: str = "block"
+    # Fraction of rows each gated block recomputes in "compact" mode.
+    compact_fraction: float = 0.5
     deep_interval: int = 2
     # Always-full steps at the start of each trajectory (activation drift is
     # largest early in denoising; mirrors DistriFuser's warmup_steps idea).

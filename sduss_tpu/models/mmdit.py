@@ -285,7 +285,7 @@ class SD3Transformer2DModel:
     # -- forward ------------------------------------------------------------
 
     def _trunk(self, params, x, c, temb, ctx=None, cache=None,
-               cache_state=None, t_norm=None):
+               cache_state=None, t_norm=None, row_valid=None):
         """Joint blocks + final modulation/projection over token sequences.
 
         With cache/cache_state: per-block per-request output caching over the
@@ -295,10 +295,34 @@ class SD3Transformer2DModel:
         """
         cfg = self.cfg
         new_state: dict = {}
+        caching = cache is not None and cache_state is not None
+        compact = caching and cache.config.mode == "compact"
+        if compact:
+            n_active = max(1, round(x.shape[0] * cache.config.compact_fraction))
         for i, blk in enumerate(params["blocks"]):
             last = i == cfg.num_layers - 1
             dual = i in cfg.dual_attention_layers
-            if cache is not None and cache_state is not None:
+            if compact:
+                # Gather the n_active most-drifted requests, run the block on
+                # the compact sub-batch, scatter into cached outputs.  Both
+                # streams (x tokens AND the evolving context c) are cached —
+                # under compaction inactive rows never recompute c, unlike the
+                # masked-splice path where c is recomputed for every row.
+                key = f"block{i}"
+
+                def block_fn(x_c, idx, blk=blk, last=last, dual=dual, c=c):
+                    y, c2 = self._joint_block(
+                        blk, x_c, c[idx], temb[idx], last, dual,
+                        ctx=ctx.gather(idx) if ctx is not None else None)
+                    return {"x": y, "c": c2 if c2 is not None else c[idx]}
+
+                out, ns, _ = cache.gate_compact(
+                    key, x, t_norm, cache_state.get(key), block_fn, n_active,
+                    row_valid=row_valid)
+                x, c = out["x"], out["c"]
+                if ns is not None:
+                    new_state[key] = ns
+            elif caching:
                 key = f"block{i}"
                 c_holder = [c]
 
@@ -360,7 +384,7 @@ class SD3Transformer2DModel:
 
     def apply_tokens(self, params, tokens, token_mask, timesteps,
                      encoder_hidden_states, pooled_projections,
-                     cache=None, cache_state=None):
+                     cache=None, cache_state=None, row_valid=None):
         """Mixed-resolution forward over PADDED token sequences.
 
         tokens: (B, S_pad, dim) patch-embedded + position-embedded latent
@@ -379,7 +403,8 @@ class SD3Transformer2DModel:
         ctx = MMDiTMaskCtx(token_mask, c.shape[1])
         t_norm = timesteps.astype("float32") / 1000.0
         return self._trunk(params, tokens, c, temb, ctx=ctx, cache=cache,
-                           cache_state=cache_state, t_norm=t_norm)
+                           cache_state=cache_state, t_norm=t_norm,
+                           row_valid=row_valid)
 
 
 class MMDiTMaskCtx:
@@ -394,6 +419,10 @@ class MMDiTMaskCtx:
     def __init__(self, token_mask, ctx_len: int):
         self.token_mask = token_mask
         self.ctx_len = ctx_len
+
+    def gather(self, idx):
+        """Row-gathered view for compact-cache sub-batches."""
+        return MMDiTMaskCtx(self.token_mask[idx], self.ctx_len)
 
     def mmdit_attention(self, q, k, v, s_lat: int):
         from sduss_tpu.ops.attention import masked_attention

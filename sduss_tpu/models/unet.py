@@ -396,7 +396,8 @@ class UNet2DConditionModel:
     def apply(self, params, sample, timesteps, encoder_hidden_states,
               added_cond=None, ctx: Any = None, cache: Any = None,
               cache_state: Any = None, deep_mode: Optional[str] = None,
-              deep_state: Any = None, deep_boundary: Optional[int] = None):
+              deep_state: Any = None, deep_boundary: Optional[int] = None,
+              row_valid: Any = None):
         """Denoise forward.
 
         sample: (B, H, W, C) dense latents, or (P, ph, pw, C) patches with ctx.
@@ -417,16 +418,34 @@ class UNet2DConditionModel:
         n_levels = len(cfg.block_out_channels)
         boundary = deep_boundary if deep_boundary is not None else n_levels - 1
         temb = self.time_embed(params, timesteps, added_cond, dtype=sample.dtype)
-        t_norm = None
+        t_norm = timesteps.astype(jnp.float32) / 1000.0
         if ctx is not None:
             temb = ctx.broadcast_to_patches(temb)
-            t_norm = ctx.per_patch(timesteps.astype(jnp.float32)) / 1000.0
+            t_norm = ctx.per_patch(t_norm)
         new_state: dict = {}
+        caching = cache is not None and cache_state is not None
+        # Compact top-K recompute requires row-independent blocks: only the
+        # DENSE path qualifies (rows = images).  Patch rows couple through
+        # per-image group-norm/attention, so the patch path keeps the
+        # masked-recompute splice (reference semantics).
+        compact = caching and cache.config.mode == "compact" and ctx is None
+        if compact:
+            n_active = max(1, round(sample.shape[0]
+                                    * cache.config.compact_fraction))
+        ehs = encoder_hidden_states
 
         def gated(key, x, compute_fn):
-            if cache is None or cache_state is None:
-                return compute_fn(x)
-            y, ns, _ = cache.gate(key, x, t_norm, cache_state.get(key), compute_fn)
+            # compute_fn(x_rows, temb_rows, ehs_rows) — block pair body
+            if not caching:
+                return compute_fn(x, temb, ehs)
+            if compact:
+                fn = lambda x_c, idx: compute_fn(x_c, temb[idx], ehs[idx])  # noqa: E731
+                y, ns, _ = cache.gate_compact(key, x, t_norm,
+                                              cache_state.get(key), fn,
+                                              n_active, row_valid=row_valid)
+            else:
+                y, ns, _ = cache.gate(key, x, t_norm, cache_state.get(key),
+                                      lambda xx: compute_fn(xx, temb, ehs))
             if ns is not None:
                 new_state[key] = ns
             return y
@@ -439,11 +458,11 @@ class UNet2DConditionModel:
                 break
             for j, res in enumerate(blk["resnets"]):
 
-                def down_pair(x, res=res, blk=blk, i=i, j=j):
-                    y = _resnet_apply(res, x, temb, cfg.norm_num_groups, ctx, i)
+                def down_pair(x, temb_l, ehs_l, res=res, blk=blk, i=i, j=j):
+                    y = _resnet_apply(res, x, temb_l, cfg.norm_num_groups, ctx, i)
                     if blk["attentions"]:
                         y = _transformer_apply(blk["attentions"][j], y,
-                                               encoder_hidden_states,
+                                               ehs_l,
                                                cfg.num_heads[i], cfg.norm_num_groups,
                                                cfg.use_linear_projection, ctx, i)
                     return y
@@ -464,12 +483,12 @@ class UNet2DConditionModel:
         else:
             mid = params["mid_block"]
 
-            def mid_fn(x):
-                y = _resnet_apply(mid["resnets"][0], x, temb, cfg.norm_num_groups, ctx, n_levels - 1)
-                y = _transformer_apply(mid["attentions"][0], y, encoder_hidden_states,
+            def mid_fn(x, temb_l, ehs_l):
+                y = _resnet_apply(mid["resnets"][0], x, temb_l, cfg.norm_num_groups, ctx, n_levels - 1)
+                y = _transformer_apply(mid["attentions"][0], y, ehs_l,
                                        cfg.num_heads[-1], cfg.norm_num_groups,
                                        cfg.use_linear_projection, ctx, n_levels - 1)
-                return _resnet_apply(mid["resnets"][1], y, temb, cfg.norm_num_groups, ctx, n_levels - 1)
+                return _resnet_apply(mid["resnets"][1], y, temb_l, cfg.norm_num_groups, ctx, n_levels - 1)
 
             h = gated("mid", h, mid_fn)
 
@@ -484,11 +503,11 @@ class UNet2DConditionModel:
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
 
-                def up_pair(x, res=res, blk=blk, i=i, j=j, lvl=lvl):
-                    y = _resnet_apply(res, x, temb, cfg.norm_num_groups, ctx, lvl)
+                def up_pair(x, temb_l, ehs_l, res=res, blk=blk, i=i, j=j, lvl=lvl):
+                    y = _resnet_apply(res, x, temb_l, cfg.norm_num_groups, ctx, lvl)
                     if blk["attentions"]:
                         y = _transformer_apply(blk["attentions"][j], y,
-                                               encoder_hidden_states,
+                                               ehs_l,
                                                cfg.num_heads[lvl], cfg.norm_num_groups,
                                                cfg.use_linear_projection, ctx, lvl)
                     return y

@@ -180,6 +180,9 @@ class BasePipeline:
         elif self._deep_cache_active():
             new_latents = self._denoise_group_deep(res, reqs, bb, latents, t,
                                                    coeffs, guidance, cond)
+        elif self._compact_cache_active():
+            new_latents = self._denoise_group_compact(res, reqs, bb, latents,
+                                                      t, coeffs, guidance, cond)
         else:
             fn = self._jit(("denoise", res, bb), self._denoise_fn)
             new_latents = fn(self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
@@ -201,6 +204,88 @@ class BasePipeline:
         noise_pred, c0, c1 = self._cfg_forward(params, latents, t, coeffs,
                                                guidance, cond)
         return self.sampler.step(latents, noise_pred, c0, c1)
+
+    # -- compact top-K block cache on the dense path (cache mode "compact") ----
+
+    def _compact_cache_active(self) -> bool:
+        return (self.config.cache.enabled
+                and self.config.cache.mode == "compact"
+                and hasattr(self.bundle.denoiser, "cache_layout"))  # UNet only
+
+    def _denoise_group_compact(self, res, reqs, bb, latents, t, coeffs,
+                               guidance, cond):
+        """Dense-path denoise with per-block top-K compact recompute.
+
+        Rows are whole images (CFG-doubled), independent under every UNet
+        block, so each gated block gathers its n_active most-drifted rows,
+        recomputes them, and splices cached outputs for the rest — REAL
+        per-row-adaptive compute saving (the static-shape counterpart of the
+        reference's threshold cache, cache_manager.py:101-191).
+        """
+        from sduss_tpu.cache.manager import BlockCache
+
+        if not hasattr(self, "_cache_obj"):
+            self._cache_obj = BlockCache(self.config.cache)
+        cache = self._cache_obj
+        cells = res // self.vae_scale
+        layout = self.bundle.denoiser.cache_layout(
+            cells, self.config.cache.min_level)
+        dtype = self._latent_dtype()
+        b = len(reqs)
+        first = next(iter(layout))
+        for r in reqs:
+            rows = r.cache_rows
+            stale = (rows is None or first not in rows
+                     or rows[first]["inp"].shape[:2] != (2, layout[first][0]))
+            if stale:
+                r.cache_rows = {
+                    key: cache.init_rows(key, 2, s, c_in, c_out, dtype)
+                    for key, (s, c_in, c_out) in layout.items()}
+        state = {}
+        pad = bb - b
+        for key, (s, c_in, c_out) in layout.items():
+            parts_u = [jax.tree.map(lambda a: a[0:1], r.cache_rows[key])
+                       for r in reqs]
+            parts_c = [jax.tree.map(lambda a: a[1:2], r.cache_rows[key])
+                       for r in reqs]
+            if pad:
+                z = cache.init_rows(key, pad, s, c_in, c_out, dtype)
+                parts_u.append(z)
+                parts_c.append(z)
+            state[key] = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *(parts_u + parts_c))
+
+        row_valid = np.zeros((bb,), bool)
+        row_valid[:b] = True
+        fn = self._jit(("denoise_compact", res, bb), self._make_compact_fn(cache))
+        new_latents, new_state = fn(self.params, latents, jnp.asarray(t),
+                                    jnp.asarray(coeffs), jnp.asarray(guidance),
+                                    cond, state, jnp.asarray(row_valid))
+        for key, entry in new_state.items():
+            for i, r in enumerate(reqs):
+                r.cache_rows[key] = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a[i : i + 1], a[bb + i : bb + i + 1]], axis=0), entry)
+        return new_latents
+
+    def _make_compact_fn(self, cache):
+        def fn(params, latents, t, coeffs, guidance, cond, cache_state,
+               row_valid):
+            lat_in = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            c0, c1 = coeffs[:, 0], coeffs[:, 1]
+            lat_in = self.sampler.scale_model_input(
+                lat_in, jnp.concatenate([c0, c0]))
+            rv2 = jnp.concatenate([row_valid, row_valid], axis=0)
+            model_out, new_state = self.denoiser_forward(
+                params, lat_in, t2, cond, cache=cache,
+                cache_state=cache_state, row_valid=rv2)
+            uncond, text = jnp.split(model_out, 2, axis=0)
+            g = guidance.reshape(-1, *([1] * (latents.ndim - 1)))
+            noise_pred = uncond + g * (text - uncond)
+            return self.sampler.step(latents, noise_pred, c0, c1), new_state
+
+        return fn
 
     # -- temporal deep-block reuse (cache mode "deep") -------------------------
 
@@ -387,8 +472,16 @@ class BasePipeline:
     # -- block cache state plumbing -------------------------------------------
 
     def _block_cache(self):
-        """Lazily build the BlockCache when enabled and the denoiser supports it."""
-        if not self.config.cache.enabled or self.config.cache.mode != "block":
+        """Cache object for the mixed patch path.
+
+        Modes "block" AND "compact" both gate the patch path with the
+        masked-recompute splice (patch rows couple through per-image
+        group-norm/attention, so compact row gathering is dense-path-only;
+        unet.apply enforces the same with ``ctx is None``).
+        Lazily built when enabled and the denoiser supports it.
+        """
+        if not self.config.cache.enabled \
+                or self.config.cache.mode not in ("block", "compact"):
             return None
         if not hasattr(self.bundle.denoiser, "cache_layout"):
             return None
@@ -411,8 +504,15 @@ class BasePipeline:
             return None, None
         layout = self.bundle.denoiser.cache_layout(cells, self.config.cache.min_level)
         dtype = self._latent_dtype()
+        first = next(iter(layout))
         for r, g in zip(ordered, grids):
-            if r.cache_rows is None:
+            rows = r.cache_rows
+            # a request may flip between the dense-compact and patched paths
+            # across steps; a layout mismatch forces re-init
+            stale = (rows is None or first not in rows
+                     or rows[first]["inp"].shape[0] != 2 * g * g
+                     or isinstance(rows[first]["out"], dict))
+            if stale:
                 r.cache_rows = {
                     key: cache.init_rows(key, 2 * g * g, s, c_in, c_out, dtype)
                     for key, (s, c_in, c_out) in layout.items()}

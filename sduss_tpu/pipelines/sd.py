@@ -26,7 +26,7 @@ class StableDiffusionPipeline(BasePipeline):
 
     def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
                          cache=None, cache_state=None, deep_mode=None,
-                         deep_state=None):
+                         deep_state=None, row_valid=None):
         import jax.numpy as jnp
 
         # CFG order: [uncond, cond] (reference denoising_step :249-266).
@@ -35,4 +35,5 @@ class StableDiffusionPipeline(BasePipeline):
             params["unet"], latents_in, t, ehs.astype(latents_in.dtype), ctx=ctx,
             cache=cache, cache_state=cache_state, deep_mode=deep_mode,
             deep_state=deep_state,
-            deep_boundary=self.config.cache.deep_boundary)
+            deep_boundary=self.config.cache.deep_boundary,
+            row_valid=row_valid)

@@ -96,8 +96,10 @@ class StableDiffusion3Pipeline(BasePipeline):
         ordered = [r for res in sorted(reqs_by_res) for r in reqs_by_res[res]]
         if not ordered:
             return
-        if len({r.resolution for r in ordered}) <= 1:
-            # single resolution: the dense path is strictly cheaper (no pad)
+        if len({r.resolution for r in ordered}) <= 1 and self._sd3_cache() is None:
+            # single resolution, no cache: the dense path is strictly cheaper
+            # (no pad).  With the block/compact cache the token path serves
+            # single-res batches too (uniform seq -> no padding waste).
             return self.denoise_step(reqs_by_res)
 
         tr = self.bundle.models["transformer"]
@@ -153,9 +155,12 @@ class StableDiffusion3Pipeline(BasePipeline):
             out_tokens = fn(self.params, tokens, jnp.asarray(mask),
                             jnp.asarray(t), jnp.asarray(guidance), cond)
         else:
+            row_valid = np.zeros((bb,), bool)
+            row_valid[:b] = True
             out_tokens, new_state = fn(self.params, tokens, jnp.asarray(mask),
                                        jnp.asarray(t), jnp.asarray(guidance),
-                                       cond, cache_state)
+                                       cond, cache_state,
+                                       jnp.asarray(row_valid))
             self._scatter_sd3_cache(ordered, bb, new_state)
 
         # -- unpatchify + sampler step per resolution group
@@ -182,7 +187,7 @@ class StableDiffusion3Pipeline(BasePipeline):
 
     def _sd3_cache(self):
         cfg = self.config.cache
-        if not cfg.enabled or cfg.mode != "block":
+        if not cfg.enabled or cfg.mode not in ("block", "compact"):
             return None
         if not hasattr(self, "_sd3_cache_obj"):
             from sduss_tpu.cache.manager import BlockCache
@@ -196,34 +201,41 @@ class StableDiffusion3Pipeline(BasePipeline):
         if cache is None:
             return None, None
         import jax
+        import jax.numpy as jnp
 
         tr = self.bundle.models["transformer"]
         layout = tr.token_cache_layout(s_pad)
         dtype = self._latent_dtype()
+        # compact mode also caches the evolving context stream
+        ctx_seq = None
+        if cache.config.mode == "compact":
+            ctx_seq = ordered[0].conditioning["embeds"].shape[1]
         for r in ordered:
             rows = r.cache_rows
             stale = (rows is None
-                     or next(iter(rows.values()))["inp"].shape[1] != s_pad)
+                     or next(iter(rows.values()))["inp"].shape[1] != s_pad
+                     or isinstance(next(iter(rows.values()))["out"], dict)
+                     != (ctx_seq is not None))
             if stale:
                 r.cache_rows = {
-                    key: cache.init_token_rows(key, 2, seq, dim, dtype)
+                    key: cache.init_token_rows(key, 2, seq, dim, dtype,
+                                               ctx_seq=ctx_seq)
                     for key, (seq, dim) in layout.items()}
         state = {}
         pad = bb - len(ordered)
         for key, (seq, dim) in layout.items():
-            # build per-field stacked batch [u..., pad, c..., pad]
-            entry = {}
-            for field in ("inp", "out", "hits"):
-                us = [r.cache_rows[key][field][0:1] for r in ordered]
-                cs = [r.cache_rows[key][field][1:2] for r in ordered]
-                if pad:
-                    z = cache.init_token_rows(key, pad, seq, dim, dtype)[field]
-                    us.append(z)
-                    cs.append(z)
-                import jax.numpy as jnp
-
-                entry[field] = jnp.concatenate(us + cs, axis=0)
-            state[key] = entry
+            # stacked batch [u..., pad, c..., pad]; entries may be pytrees
+            parts_u = [jax.tree.map(lambda a: a[0:1], r.cache_rows[key])
+                       for r in ordered]
+            parts_c = [jax.tree.map(lambda a: a[1:2], r.cache_rows[key])
+                       for r in ordered]
+            if pad:
+                z = cache.init_token_rows(key, pad, seq, dim, dtype,
+                                          ctx_seq=ctx_seq)
+                parts_u.append(z)
+                parts_c.append(z)
+            state[key] = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *(parts_u + parts_c))
         return cache, state
 
     def _scatter_sd3_cache(self, ordered, bb, new_state) -> None:
@@ -237,7 +249,8 @@ class StableDiffusion3Pipeline(BasePipeline):
                         [a[i : i + 1], a[bb + i : bb + i + 1]], axis=0), entry)
 
     def _make_sd3_trunk_fn(self, cache):
-        def fn(params, tokens, mask, t, guidance, cond, cache_state=None):
+        def fn(params, tokens, mask, t, guidance, cond, cache_state=None,
+               row_valid=None):
             import jax.numpy as jnp
 
             tr = self.bundle.models["transformer"]
@@ -246,11 +259,14 @@ class StableDiffusion3Pipeline(BasePipeline):
             t2 = jnp.concatenate([t, t], axis=0)
             ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
             pooled = jnp.concatenate([cond["neg_pooled"], cond["pooled"]], axis=0)
+            rv2 = None
+            if row_valid is not None:
+                rv2 = jnp.concatenate([row_valid, row_valid], axis=0)
             if cache is not None:
                 out, new_state = tr.apply_tokens(
                     params["transformer"], tok2, mask2, t2,
                     ehs.astype(tokens.dtype), pooled.astype(tokens.dtype),
-                    cache=cache, cache_state=cache_state)
+                    cache=cache, cache_state=cache_state, row_valid=rv2)
             else:
                 out = tr.apply_tokens(
                     params["transformer"], tok2, mask2, t2,

@@ -267,3 +267,50 @@ class TestDeepReuseMixed:
         n = (reqs[0].latent_hw(8) // 32) ** 2
         assert reqs[0].deep_state.shape[0] == 2 * n
         assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
+
+
+class TestCompactCacheDense:
+    """Dense-path (image-row) top-K compact recompute."""
+
+    def _pipe(self, fraction, threshold=0.01):
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig()
+        config.cache.enabled = True
+        config.cache.mode = "compact"
+        config.cache.compact_fraction = fraction
+        config.cache.mse_threshold = threshold
+        config.cache.min_level = 0
+        return build_pipeline(config)
+
+    def _run(self, pipe, reqs, steps):
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        for _ in range(steps):
+            by_res = {}
+            for r in reqs:
+                by_res.setdefault(r.resolution, []).append(r)
+            pipe.denoise_step(by_res)
+        return [np.asarray(r.latents) for r in reqs]
+
+    def test_full_capacity_matches_cache_off(self):
+        base_pipe = Config()
+        base_pipe.model = ModelConfig(model="sd15", test_tiny=True,
+                                      dtype="float32")
+        base = self._run(build_pipeline(base_pipe), make_reqs(), 3)
+        compact = self._run(self._pipe(fraction=1.0), make_reqs(), 3)
+        for a, b in zip(base, compact):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+    def test_half_capacity_reuses_and_finite(self):
+        pipe = self._pipe(fraction=0.5)
+        reqs = make_reqs(n=3, steps=5)
+        self._run(pipe, reqs, 4)
+        hits = 0
+        for r in reqs:
+            assert r.cache_rows is not None
+            assert np.isfinite(np.asarray(r.latents)).all()
+            for key in r.cache_rows:
+                hits = max(hits, int(np.asarray(r.cache_rows[key]["hits"]).max()))
+        assert hits >= 1

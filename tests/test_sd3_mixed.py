@@ -126,3 +126,66 @@ class TestSD3TokenCache:
         # with a huge threshold everything reuses after the first step
         hits = int(np.asarray(reqs[0].cache_rows[key]["hits"]).max())
         assert hits >= 1
+
+
+class TestSD3CompactCache:
+    def _pipe(self, fraction=0.5, threshold=0.01):
+        config = Config()
+        config.model = ModelConfig(model="sd3", test_tiny=True, dtype="float32",
+                                   resolutions=(256, 512))
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True)
+        config.cache.enabled = True
+        config.cache.mode = "compact"
+        config.cache.compact_fraction = fraction
+        config.cache.mse_threshold = threshold
+        return build_pipeline(config)
+
+    def test_full_capacity_matches_cache_off(self):
+        """fraction=1.0 -> every row recomputes every step == cache off."""
+        pipe_c = self._pipe(fraction=1.0)
+        reqs_c = make_reqs()
+        by_res_c = prep(pipe_c, reqs_c)
+        for _ in range(2):
+            pipe_c.denoise_step_mixed(by_res_c)
+
+        pipe0 = make_pipe()
+        reqs0 = make_reqs()
+        by_res0 = prep(pipe0, reqs0)
+        for _ in range(2):
+            pipe0.denoise_step_mixed(by_res0)
+        for a, b in zip(reqs_c, reqs0):
+            np.testing.assert_allclose(np.asarray(a.latents),
+                                       np.asarray(b.latents), atol=1e-4,
+                                       rtol=1e-3)
+
+    def test_half_capacity_runs_and_reuses(self):
+        pipe = self._pipe(fraction=0.5)
+        reqs = make_reqs(steps=4)
+        by_res = prep(pipe, reqs)
+        for _ in range(3):
+            pipe.denoise_step_mixed(by_res)
+        for r in reqs:
+            assert r.cache_rows is not None
+            key = next(iter(r.cache_rows))
+            # compact mode caches both streams
+            assert isinstance(r.cache_rows[key]["out"], dict)
+            assert set(r.cache_rows[key]["out"]) == {"x", "c"}
+            assert np.isfinite(np.asarray(r.latents)).all()
+        # at half capacity some rows must have reused at least once
+        hits = max(int(np.asarray(r.cache_rows[key]["hits"]).max())
+                   for r in reqs for key in r.cache_rows)
+        assert hits >= 1
+
+    def test_single_resolution_takes_token_path_with_cache(self):
+        pipe = self._pipe(fraction=0.5)
+        reqs = [Request(f"r{i}", SamplingParams(prompt="x", resolution=256,
+                                                num_inference_steps=3, seed=i))
+                for i in range(2)]
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        by_res = {256: reqs}
+        for _ in range(2):
+            pipe.denoise_step_mixed(by_res)
+        assert all(r.remain_steps == 1 for r in reqs)
+        assert all(r.cache_rows is not None for r in reqs)
