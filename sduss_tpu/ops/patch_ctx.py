@@ -49,6 +49,14 @@ class PatchContext:
         self.group_gather = arrays["group_gather"]
         self.patch_pos = arrays["patch_pos"]
         self.kv_mask = arrays["kv_mask"]
+        self.class_gather = [arrays[f"class_gather_{i}"]
+                             for i in range(len(meta.class_info))]
+        self.class_pos = [arrays[f"class_pos_{i}"]
+                          for i in range(len(meta.class_info))]
+        self.class_member = [arrays[f"class_member_{i}"]
+                             for i in range(len(meta.class_info))]
+        self.class_kv = [arrays[f"class_kv_{i}"]
+                         for i in range(len(meta.class_info))]
 
     # -- time embedding -----------------------------------------------------
 
@@ -123,8 +131,12 @@ class PatchContext:
     def self_attention(self, p, h, heads: int, lvl: int) -> jnp.ndarray:
         """h: (P, s^2, C) patch token runs -> full-image attention.
 
-        Gather patches into (I_pad, max_pp*s^2, C) padded per-image groups,
-        run one masked batched attention, scatter token runs back.
+        Gather patches into per-RESOLUTION-CLASS padded image groups
+        ((I_c, g_c^2*s^2, C), one masked attention per class), scatter token
+        runs back.  Per-class grouping avoids padding every image to the
+        largest class's slot count (a 512^2 image's 4 patches padded to a
+        1024^2 image's 16 slots cost 4x its attention flops); uniform
+        compositions keep the single-group fast path.
         """
         q = L.linear(p["to_q"], h)
         k = L.linear(p["to_k"], h)
@@ -132,18 +144,34 @@ class PatchContext:
         pp, s2, c = q.shape
         m = self.meta
 
-        def group(x):
-            rows = x[jnp.clip(self.group_gather, 0)]          # (I*max_pp, s2, C)
-            return rows.reshape(m.i_pad, m.max_pp * s2, c)
+        if len(m.class_info) <= 1:
+            def group(x):
+                rows = x[jnp.clip(self.group_gather, 0)]      # (I*max_pp, s2, C)
+                return rows.reshape(m.i_pad, m.max_pp * s2, c)
 
-        gq, gk, gv = group(q), group(k), group(v)
-        kv_token_mask = jnp.repeat(self.kv_mask, s2, axis=1)   # (I, max_pp*s2)
-        # full-image grouped attention reaches 16k+ tokens at 1024^2 — dense
-        # logits would not fit HBM; prefer the flash kernel on TPU
-        out = masked_attention(gq, gk, gv, heads, kv_token_mask,
-                               prefer_flash=True)
-        out = out.reshape(m.i_pad * m.max_pp, s2, c)
-        return out[self.patch_pos]                              # (P, s2, C)
+            gq, gk, gv = group(q), group(k), group(v)
+            kv_token_mask = jnp.repeat(self.kv_mask, s2, axis=1)
+            # full-image grouped attention reaches 16k+ tokens at 1024^2 —
+            # dense logits would not fit HBM; prefer the flash kernel on TPU
+            out = masked_attention(gq, gk, gv, heads, kv_token_mask,
+                                   prefer_flash=True)
+            out = out.reshape(m.i_pad * m.max_pp, s2, c)
+            return out[self.patch_pos]                          # (P, s2, C)
+
+        out = jnp.zeros((pp, s2, c), q.dtype)
+        for ci, (g, ipc) in enumerate(m.class_info):
+            gather = self.class_gather[ci]
+            def group(x, gather=gather, ipc=ipc, g=g):
+                rows = x[jnp.clip(gather, 0)]                  # (I_c*g^2, s2, C)
+                return rows.reshape(ipc, g * g * s2, c)
+
+            gq, gk, gv = group(q), group(k), group(v)
+            kv_token_mask = jnp.repeat(self.class_kv[ci], s2, axis=1)
+            o = masked_attention(gq, gk, gv, heads, kv_token_mask,
+                                 prefer_flash=True)
+            rows = o.reshape(ipc * g * g, s2, c)[self.class_pos[ci]]
+            out = jnp.where(self.class_member[ci][:, None, None], rows, out)
+        return out
 
     def cross_attention(self, p, h, ehs, heads: int, lvl: int) -> jnp.ndarray:
         """h: (P, s^2, C); ehs: (I_pad, L, D) per-image text context."""
@@ -157,10 +185,16 @@ class PatchContext:
 
 def ctx_arrays(meta: PatchMeta) -> Dict[str, jnp.ndarray]:
     """Device arrays for a PatchMeta, suitable as traced jit arguments."""
-    return {
+    out = {
         "image_id": jnp.asarray(meta.image_id),
         "neighbors": jnp.asarray(meta.neighbors),
         "group_gather": jnp.asarray(meta.group_gather),
         "patch_pos": jnp.asarray(meta.patch_pos),
         "kv_mask": jnp.asarray(meta.kv_mask),
     }
+    for i in range(len(meta.class_info)):
+        out[f"class_gather_{i}"] = jnp.asarray(meta.class_gather[i])
+        out[f"class_pos_{i}"] = jnp.asarray(meta.class_pos[i])
+        out[f"class_member_{i}"] = jnp.asarray(meta.class_member[i])
+        out[f"class_kv_{i}"] = jnp.asarray(meta.class_kv[i])
+    return out

@@ -52,9 +52,25 @@ class PatchMeta:
     patch_pos: np.ndarray       # (p_pad,) int32
     kv_mask: np.ndarray         # (i_pad, max_pp) bool
 
+    # Per-resolution-class grouped attention (cuts the cross-class padding
+    # that made the mixed path ~2.5x two dense groups: a 512^2 image's 4
+    # patches were padded to the 1024^2 class's 16 slots).  One entry per
+    # distinct patch-grid side g, largest class first:
+    #   class_info    ((g, i_pad_class), ...)          -- static, in compile_key
+    #   class_gather  (i_pad_class * g*g,) -> patch    -- -1 = padded slot
+    #   class_pos     (p_pad,) -> row in class group   -- 0 for non-members
+    #   class_member  (p_pad,) bool
+    #   class_kv      (i_pad_class, g*g) bool
+    class_info: Tuple[Tuple[int, int], ...] = ()
+    class_gather: Tuple[np.ndarray, ...] = ()
+    class_pos: Tuple[np.ndarray, ...] = ()
+    class_member: Tuple[np.ndarray, ...] = ()
+    class_kv: Tuple[np.ndarray, ...] = ()
+
     @property
-    def compile_key(self) -> Tuple[int, int, int, int]:
-        return (self.patch_cells, self.p_pad, self.i_pad, self.max_pp)
+    def compile_key(self) -> Tuple:
+        return (self.patch_cells, self.p_pad, self.i_pad, self.max_pp,
+                self.class_info)
 
 
 def _bucket(value: int, buckets: Sequence[int]) -> int:
@@ -62,6 +78,40 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
         if value <= b:
             return b
     raise ValueError(f"{value} exceeds largest bucket {buckets[-1]}")
+
+
+def _class_arrays(slot_grid: dict, image_id: np.ndarray, patch_pos: np.ndarray,
+                  max_pp: int, image_buckets: Sequence[int]):
+    """Per-resolution-class grouped-attention index arrays.
+
+    ``slot_grid``: image slot -> patch-grid side g (real slots only; dummy /
+    pad slots absent).  Patches of pad slots are members of no class (their
+    rows stay zero; they are discarded at merge).
+    """
+    p_pad = image_id.shape[0]
+    pos_in_img = patch_pos - image_id * max_pp
+    classes = sorted({g for g in slot_grid.values()}, reverse=True)
+    info, gathers, poss, members, kvs = [], [], [], [], []
+    for g in classes:
+        slots = [s for s, gg in slot_grid.items() if gg == g]
+        ipc = _bucket(len(slots), image_buckets)
+        local = {s: i for i, s in enumerate(slots)}
+        member = np.isin(image_id, slots)
+        member &= pos_in_img < g * g
+        local_img = np.asarray([local.get(s, 0) for s in range(image_id.max() + 1)],
+                               np.int32)
+        cpos = np.where(member, local_img[image_id] * g * g + pos_in_img, 0)
+        gather = np.full((ipc * g * g,), -1, np.int32)
+        gather[cpos[member]] = np.nonzero(member)[0].astype(np.int32)
+        kv = np.zeros((ipc, g * g), bool)
+        kv.reshape(-1)[cpos[member]] = True
+        info.append((g, ipc))
+        gathers.append(gather)
+        poss.append(cpos.astype(np.int32))
+        members.append(member)
+        kvs.append(kv)
+    return (tuple(info), tuple(gathers), tuple(poss), tuple(members),
+            tuple(kvs))
 
 
 @functools.lru_cache(maxsize=256)
@@ -80,15 +130,20 @@ def build_meta(grids: Tuple[int, ...], patch_cells: int,
 
     from sduss_tpu.native import build_patch_meta_native
 
+    slot_grid = {i: g for i, g in enumerate(grids)}
+
     native = build_patch_meta_native(np.asarray(grids, np.int32),
                                      p_pad, i_pad, max_pp)
     if native is not None:
         image_id, neighbors, group_gather, patch_pos, kv_mask = native
+        ci, cg, cp, cm, ck = _class_arrays(slot_grid, image_id, patch_pos,
+                                           max_pp, image_buckets)
         return PatchMeta(
             patch_cells=patch_cells, grids=grids, n_patches=n_patches,
             n_images=n_images, p_pad=p_pad, i_pad=i_pad, max_pp=max_pp,
             image_id=image_id, neighbors=neighbors, group_gather=group_gather,
-            patch_pos=patch_pos, kv_mask=kv_mask)
+            patch_pos=patch_pos, kv_mask=kv_mask, class_info=ci,
+            class_gather=cg, class_pos=cp, class_member=cm, class_kv=ck)
 
     # pure-Python fallback (identical layout; tests/test_native.py)
     image_id = np.full((p_pad,), i_pad - 1, np.int32)
@@ -123,11 +178,14 @@ def build_meta(grids: Tuple[int, ...], patch_cells: int,
     if need_dummy:
         patch_pos[n_patches:] = (i_pad - 1) * max_pp
 
+    ci, cg, cp, cm, ck = _class_arrays(slot_grid, image_id, patch_pos,
+                                       max_pp, image_buckets)
     return PatchMeta(
         patch_cells=patch_cells, grids=grids, n_patches=n_patches,
         n_images=n_images, p_pad=p_pad, i_pad=i_pad, max_pp=max_pp,
         image_id=image_id, neighbors=neighbors, group_gather=group_gather,
-        patch_pos=patch_pos, kv_mask=kv_mask)
+        patch_pos=patch_pos, kv_mask=kv_mask, class_info=ci,
+        class_gather=cg, class_pos=cp, class_member=cm, class_kv=ck)
 
 
 @functools.lru_cache(maxsize=256)
@@ -150,11 +208,17 @@ def double_meta(grids: Tuple[int, ...], patch_cells: int,
         m.group_gather,
         np.where(m.group_gather >= 0, m.group_gather + off_p, -1)])
     kv_mask = np.concatenate([m.kv_mask, m.kv_mask])
+    slot_grid = {i: g for i, g in enumerate(grids)}
+    slot_grid.update({off_i + i: g for i, g in enumerate(grids)})
+    ci, cg, cp, cm, ck = _class_arrays(slot_grid, image_id, patch_pos,
+                                       m.max_pp, image_buckets)
     return PatchMeta(
         patch_cells=m.patch_cells, grids=m.grids, n_patches=2 * m.n_patches,
         n_images=2 * m.n_images, p_pad=2 * m.p_pad, i_pad=2 * m.i_pad,
         max_pp=m.max_pp, image_id=image_id, neighbors=neighbors,
-        group_gather=group_gather, patch_pos=patch_pos, kv_mask=kv_mask)
+        group_gather=group_gather, patch_pos=patch_pos, kv_mask=kv_mask,
+        class_info=ci, class_gather=cg, class_pos=cp, class_member=cm,
+        class_kv=ck)
 
 
 # ---------------------------------------------------------------------------
