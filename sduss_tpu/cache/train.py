@@ -27,7 +27,12 @@ from sduss_tpu.cache.manager import BlockCache
 
 
 class TraceCache(BlockCache):
-    """Always-recompute cache that also emits decision features per block."""
+    """Always-recompute cache that also emits decision features per block.
+
+    Rank-agnostic: traces UNet patch rows (P,s,s,C), dense image rows
+    (B,h,w,C) and MMDiT token rows (B,S,D) alike (features reduce over all
+    non-leading axes, matching BlockCache._recompute_mask/_scores).
+    """
 
     def init_rows(self, key, n_patches, s, c_in, c_out, dtype=jnp.bfloat16):
         rows = super().init_rows(key, n_patches, s, c_in, c_out, dtype)
@@ -36,18 +41,28 @@ class TraceCache(BlockCache):
         rows["t"] = jnp.zeros((n_patches,), jnp.float32)
         return rows
 
+    def init_token_rows(self, key, n_rows, seq, dim, dtype=jnp.bfloat16,
+                        ctx_seq=None):
+        rows = super().init_token_rows(key, n_rows, seq, dim, dtype)
+        rows["rel_in"] = jnp.zeros((n_rows,), jnp.float32)
+        rows["rel_out"] = jnp.zeros((n_rows,), jnp.float32)
+        rows["t"] = jnp.zeros((n_rows,), jnp.float32)
+        return rows
+
     def gate(self, key, x, t_norm, state_k, compute_fn):
         y_new = compute_fn(x)
         if state_k is None:
             return y_new, None, None
+        ax_x = tuple(range(1, x.ndim))
         xf = x.astype(jnp.float32)
         cf = state_k["inp"].astype(jnp.float32)
-        rel_in = jnp.mean((xf - cf) ** 2, axis=(1, 2, 3)) / (
-            jnp.mean(xf * xf, axis=(1, 2, 3)) + 1e-8)
+        rel_in = jnp.mean((xf - cf) ** 2, axis=ax_x) / (
+            jnp.mean(xf * xf, axis=ax_x) + 1e-8)
         yf = y_new.astype(jnp.float32)
         of = state_k["out"].astype(jnp.float32)
-        rel_out = jnp.mean((yf - of) ** 2, axis=(1, 2, 3)) / (
-            jnp.mean(yf * yf, axis=(1, 2, 3)) + 1e-8)
+        ax_y = tuple(range(1, y_new.ndim))
+        rel_out = jnp.mean((yf - of) ** 2, axis=ax_y) / (
+            jnp.mean(yf * yf, axis=ax_y) + 1e-8)
         new_state = {
             "inp": x,
             "out": y_new,
@@ -72,8 +87,12 @@ def collect_traces(pipeline, requests, steps: Optional[int] = None
 
     cfg = pipeline.config.cache
     trace = TraceCache(cfg)
-    pipeline._cache_obj = trace  # inject; _block_cache() returns it
+    # inject on both cache seams: _block_cache() (UNet patch path) and
+    # _sd3_cache() (MMDiT token path) return the traced object
+    pipeline._cache_obj = trace
+    pipeline._sd3_cache_obj = trace
     pipeline.config.cache.enabled = True
+    pipeline.config.cache.mode = "block"  # trace via the masked-gate seam
 
     dataset: Dict[str, List[Tuple[float, float, float]]] = {}
     n_steps = steps or min(r.remain_steps for r in requests)

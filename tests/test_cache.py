@@ -314,3 +314,24 @@ class TestCompactCacheDense:
             for key in r.cache_rows:
                 hits = max(hits, int(np.asarray(r.cache_rows[key]["hits"]).max()))
         assert hits >= 1
+
+
+class TestTraceTrainSD3:
+    def test_collect_and_fit_token_classifiers(self):
+        from sduss_tpu.cache.train import collect_traces, fit_classifiers
+
+        config = Config()
+        config.model = ModelConfig(model="sd3", test_tiny=True, dtype="float32",
+                                   resolutions=(256, 512))
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True)
+        config.cache.enabled = True
+        pipe = build_pipeline(config)
+        reqs = [Request(f"t{i}", SamplingParams(prompt="p", resolution=r,
+                                                num_inference_steps=4, seed=i))
+                for i, r in enumerate((256, 512))]
+        data = collect_traces(pipe, reqs, steps=4)
+        assert data, "no token-path trace rows collected"
+        assert any(k.startswith("block") for k in data)
+        clf = fit_classifiers(data, reuse_threshold=0.01)
+        for k, w in clf.items():
+            assert w.shape == (4,)
