@@ -171,12 +171,18 @@ class MMDiTShardContext:
     """
 
     def __init__(self, axis: str = "sp", stale: bool = False,
-                 kv_state: Optional[Dict[str, Tuple]] = None):
+                 kv_state: Optional[Dict[str, Tuple]] = None,
+                 kv_mode: str = "gather"):
         self.axis = axis
         self.stale = stale
         self.kv_state = kv_state or {}
         self.new_kv_state: Dict[str, Tuple] = {}
         self._layer = 0
+        # "gather": all_gather full latent KV (sync or stale splice);
+        # "ring": exact ring attention over the shard axis — KV shards rotate
+        # via ppermute with online-softmax combine (parallel/ring.py), no
+        # full-KV materialization and no staleness.
+        self.kv_mode = kv_mode
 
     def pos_embed_rows(self, model, hp_local: int, wp: int):
         """Global position crop, this shard's row slice."""
@@ -217,6 +223,30 @@ class MMDiTShardContext:
         self._layer += 1
         b, s, nh, hd = q.shape
         k_lat, v_lat = k[:, :s_lat], v[:, :s_lat]
+        if self.kv_mode == "ring" and not self.stale:
+            from sduss_tpu.parallel.ring import ring_attention
+
+            # Latent KV stays sharded and rotates around the ring; the
+            # replicated context KV is folded in as one extra exact combine
+            # (each device attends q against the full context locally).
+            out_lat = ring_attention(
+                q.reshape(b, s, nh * hd),
+                k_lat.reshape(b, s_lat, nh * hd),
+                v_lat.reshape(b, s_lat, nh * hd), nh, self.axis,
+                return_stats=True)
+            if s > s_lat:
+                from sduss_tpu.parallel.ring import combine_partials, _partial_dense
+
+                o1, m1, l1 = out_lat
+                o2, m2, l2 = _partial_dense(
+                    q.reshape(b, s, nh * hd),
+                    k[:, s_lat:].reshape(b, s - s_lat, nh * hd),
+                    v[:, s_lat:].reshape(b, s - s_lat, nh * hd), nh,
+                    1.0 / (hd ** 0.5))
+                return combine_partials(o1, m1, l1, o2, m2, l2, q.dtype)
+            from sduss_tpu.parallel.ring import finalize_partial
+
+            return finalize_partial(*out_lat, q.dtype)
         k_full, v_full = self._gather_or_splice(key, k_lat, v_lat)
         if s > s_lat:  # joint: append the replicated context K/V
             k_full = jnp.concatenate([k_full, k[:, s_lat:]], axis=1)
