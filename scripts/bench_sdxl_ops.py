@@ -90,8 +90,8 @@ def main():
         print(f"{name}: {t*1e3:.3f} ms", flush=True)
 
     # -- transformer FFN (geglu) at lvl1/lvl2 ---------------------------------
-    for name, (s, c, count) in {"ffn_l1": (4096, 640, 2 * 10),
-                                "ffn_l2": (1024, 1280, 2 * 61)}.items():
+    for name, (s, c, count) in {"ffn_l1": (4096, 640, 10),
+                                "ffn_l2": (1024, 1280, 61)}.items():
         x = mk((B, s, c))
         p1 = {"kernel": mk((c, 8 * c)) * 0.02, "bias": jnp.zeros((8 * c,), jnp.bfloat16)}
         p2 = {"kernel": mk((4 * c, c)) * 0.02, "bias": jnp.zeros((c,), jnp.bfloat16)}

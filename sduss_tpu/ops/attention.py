@@ -105,7 +105,10 @@ def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
     # is unreliable inside larger programs (at SD3 b4 it materialized the
     # f32[8,24,4096,4096] logits, 12 GB -> OOM), so dense is never routed
     # for long sequences; the kernel's HBM footprint is flat.
+    # Short-KV attention (cross-attention over 77 text tokens) is
+    # overhead-bound in the kernel's per-(head, q-tile) grid — dense XLA is
+    # faster there; the kernel needs a long KV axis to amortize.
     if _flash_available(prefer_flash) and lq >= _FLASH_MIN_SEQ \
-            and kv_vmem <= 12 * 2**20:
+            and k.shape[1] >= 512 and kv_vmem <= 12 * 2**20:
         return _flash_masked(q, k, v, num_heads, kv_token_mask, scale)
     return _dense_masked(q, k, v, num_heads, kv_token_mask, scale)
