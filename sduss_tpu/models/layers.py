@@ -88,22 +88,35 @@ def group_norm_init(channels: int, dtype=jnp.float32):
 
 
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5, act: Optional[str] = None):
-    """GroupNorm over an NHWC (or N...C) tensor; statistics in float32."""
+    """GroupNorm over an NHWC (or N...C) tensor; statistics in float32.
+
+    Stats come from f32-accumulated reductions read straight off the input
+    (no materialized f32 copy — the x.astype(f32)-then-mean/var form made
+    XLA keep a full f32 temp and cost 4.5 ms at SDXL level0 b16; this form
+    is reduction + one fused normalize pass).  Same E[x^2]-E[x]^2 moments as
+    the fused patch kernel (ops/gn_halo.py).
+    """
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    shape = xf.shape
+    shape = x.shape
     c = shape[-1]
     g = num_groups
-    xg = xf.reshape(shape[0], -1, g, c // g)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = xg.reshape(shape) * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    xg = x.reshape(shape[0], -1, g, c // g)
+    n = xg.shape[1] * xg.shape[3]
+    s1 = jnp.sum(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    s2 = jnp.sum(jnp.square(xg.astype(jnp.float32)), axis=(1, 3), keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    scale = p["scale"].astype(jnp.float32).reshape(1, 1, g, c // g)
+    bias = p["bias"].astype(jnp.float32).reshape(1, 1, g, c // g)
+    a = rstd * scale
+    b = bias - mean * a
+    y = xg.astype(jnp.float32) * a + b
     if act == "silu":
         y = jax.nn.silu(y)
     elif act is not None:
         raise ValueError(act)
-    return y.astype(orig_dtype)
+    return y.reshape(shape).astype(orig_dtype)
 
 
 def layer_norm_init(dim: int, dtype=jnp.float32):
