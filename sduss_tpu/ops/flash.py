@@ -45,7 +45,8 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int):
+def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int,
+                      nh: int):
     """One cell = one (batch*head, q_tile); full K/V resident in VMEM.
 
     Two-pass softmax instead of online: the whole (block_q, S) score tile
@@ -57,16 +58,20 @@ def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int):
     MXU processes 128 output lanes whether the payload is 64 or 128 wide, so
     ``p @ [V | 1]`` yields the output AND the row sums in one pass (this
     removed a row-sum matmul that cost as much as PV itself).
-    ``bias_ref`` (1, S) f32 additive row: 0 at real keys, -0.7*f32max at
-    padding (precomputed outside; also carries runtime kv masks).
+    ``bias_ref`` (B, S) f32 additive rows: 0 at real keys, -0.7*f32max at
+    padding (precomputed outside; also carries runtime kv masks).  The full
+    array rides in VMEM and the kernel picks its batch row — Mosaic rejects
+    (1, S) blocks of a (B, S) array when B > 1 (sublane dim must divide 8 or
+    equal the array's).
     """
     q = q_ref[0]                      # (block_q, d)
     k = k_ref[0]                      # (S, d)
     v = v_ref[0]                      # (S, 128): [V | 1 | 0-pad]
+    row = pl.program_id(0) // nh
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (block_q, S)
-    s = s + bias_ref[:]               # (1, S) broadcast
+    s = s + bias_ref[pl.ds(row, 1), :]                 # (1, S) broadcast
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m).astype(v.dtype)                 # bf16 weights
     av = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
@@ -125,11 +130,12 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_kv: int,
 
 
 def _mha_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                       block_kv: int, kv_pad: int):
-    """Variant with a runtime (1, kv_pad) int32 key-validity row."""
+                       block_kv: int, kv_pad: int, nh: int):
+    """Online-softmax variant with runtime (B, kv_pad) int32 key validity."""
     q = q_ref[0]
     block_q, d = q.shape
     n_tiles = kv_pad // block_kv
+    row = pl.program_id(0) // nh
 
     def tile_update(i, carry):
         m_prev, l_prev, acc_prev = carry
@@ -139,7 +145,7 @@ def _mha_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        valid = mask_ref[0, pl.ds(kt, block_kv)].reshape(1, block_kv)
+        valid = mask_ref[pl.ds(row, 1), pl.ds(kt, block_kv)]
         s = jnp.where(valid > 0, s, _NEG)
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
@@ -230,12 +236,14 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
             if lk_pad != lk:
                 valid = jnp.pad(valid, ((0, 0), (0, lk_pad - lk)))
             bias = (1.0 - valid) * _NEG
-            bias_spec = pl.BlockSpec(
-                (1, lk_pad), lambda i, j, nh=num_heads: (i // nh, 0))
         else:
             col = jnp.arange(lk_pad)[None, :]
-            bias = jnp.where(col < kv_len, 0.0, _NEG).astype(jnp.float32)
-            bias_spec = pl.BlockSpec((1, lk_pad), lambda i, j: (0, 0))
+            bias = jnp.broadcast_to(
+                jnp.where(col < kv_len, 0.0, _NEG).astype(jnp.float32),
+                (b, lk_pad))
+        # full (B, S) bias in VMEM; the kernel picks its row (a (1, S) block
+        # of a (B>1, S) array violates Mosaic's sublane-divisibility rule)
+        bias_spec = pl.BlockSpec((b, lk_pad), lambda i, j: (0, 0))
         # scale folds into q (fused into the head transpose by XLA); V gains
         # a ones column at ``hd`` for the in-matmul row sums (free while
         # hd % 128 != 0; our models all use hd=64)
@@ -245,7 +253,7 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
             [vh, jnp.ones((bh, lk_pad, 1), vh.dtype),
              jnp.zeros((bh, lk_pad, vpad - hd - 1), vh.dtype)], axis=-1)
         v_aug_spec = pl.BlockSpec((1, lk_pad, vpad), lambda i, j: (i, 0, 0))
-        kernel = functools.partial(_mha_kernel_2pass, hd=hd)
+        kernel = functools.partial(_mha_kernel_2pass, hd=hd, nh=num_heads)
         out = pl.pallas_call(
             kernel, grid=grid,
             in_specs=[bias_spec, q_spec, kv_spec, v_aug_spec],
@@ -256,10 +264,10 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
         mask = kv_mask.astype(jnp.int32)
         if lk_pad != lk:
             mask = jnp.pad(mask, ((0, 0), (0, lk_pad - lk)))
-        mask_spec = pl.BlockSpec(
-            (1, lk_pad), lambda i, j, nh=num_heads: (i // nh, 0))
+        mask_spec = pl.BlockSpec((b, lk_pad), lambda i, j: (0, 0))
         kernel = functools.partial(_mha_kernel_masked, scale=scale,
-                                   block_kv=block_kv, kv_pad=lk_pad)
+                                   block_kv=block_kv, kv_pad=lk_pad,
+                                   nh=num_heads)
         out = pl.pallas_call(
             kernel, grid=grid,
             in_specs=[mask_spec, q_spec, kv_spec, kv_spec],
