@@ -42,7 +42,10 @@ def main():
 
         @jax.jit
         def dec_bf16(p, z):
-            return vae.decode(p, z, dtype=jnp.bfloat16)
+            # scalar output: image fetch through the relay (~50 MB/s) would
+            # dominate — a 1024^2 decode is ~6 MB, ~120 ms of pure download
+            return jnp.sum(vae.decode(p, z, dtype=jnp.bfloat16)
+                           .astype(jnp.float32))
 
         np.asarray(dec_bf16(params_bf16, z))
         best = 1e9
@@ -51,7 +54,7 @@ def main():
             np.asarray(dec_bf16(params_bf16, z))
             best = min(best, time.perf_counter() - t0)
         results[str(res)] = round(best, 4)
-        print(f"vae bf16 {res}: {best*1e3:.1f} ms", flush=True)
+        print(f"vae bf16 {res}: {best*1e3:.1f} ms (device compute)", flush=True)
 
     path = os.path.join("exp", "profile_sdxl_v5e.json")
     if os.path.exists(path):

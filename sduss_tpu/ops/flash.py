@@ -46,7 +46,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int,
-                      nh: int):
+                      nh: int, hb: int):
     """One cell = one (batch*head, q_tile); full K/V resident in VMEM.
 
     Two-pass softmax instead of online: the whole (block_q, S) score tile
@@ -64,19 +64,24 @@ def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int,
     (1, S) blocks of a (B, S) array when B > 1 (sublane dim must divide 8 or
     equal the array's).
     """
-    q = q_ref[0]                      # (block_q, d)
-    k = k_ref[0]                      # (S, d)
-    v = v_ref[0]                      # (S, 128): [V | 1 | 0-pad]
-    row = pl.program_id(0) // nh
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (block_q, S)
-    s = s + bias_ref[pl.ds(row, 1), :]                 # (1, S) broadcast
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m).astype(v.dtype)                 # bf16 weights
-    av = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
-    acc, l = av[:, :hd], av[:, hd : hd + 1]
-    o_ref[0] = (acc * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
+    i = pl.program_id(0)
+    # ``hb`` heads per grid cell (static unroll): short sequences are
+    # per-cell-overhead-bound (~4 us/cell at S=1024), so one cell amortizes
+    # DMA/setup over several heads.
+    for h in range(hb):
+        q = q_ref[h]                  # (block_q, d)
+        k = k_ref[h]                  # (S, d)
+        v = v_ref[h]                  # (S, 128): [V | 1 | 0-pad]
+        row = (i * hb + h) // nh
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (block_q, S)
+        s = s + bias_ref[pl.ds(row, 1), :]             # (1, S) broadcast
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m).astype(v.dtype)             # bf16 weights
+        av = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        acc, l = av[:, :hd], av[:, hd : hd + 1]
+        o_ref[h] = (acc * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_kv: int,
@@ -252,12 +257,22 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
         vh_aug = jnp.concatenate(
             [vh, jnp.ones((bh, lk_pad, 1), vh.dtype),
              jnp.zeros((bh, lk_pad, vpad - hd - 1), vh.dtype)], axis=-1)
-        v_aug_spec = pl.BlockSpec((1, lk_pad, vpad), lambda i, j: (i, 0, 0))
-        kernel = functools.partial(_mha_kernel_2pass, hd=hd, nh=num_heads)
+        # heads per cell: short sequences are cell-overhead-bound
+        hb = 1
+        while (bh % (hb * 2) == 0 and (hb * 2) * lk_pad <= 4096
+               and (hb * 2) * (block_q * lk_pad * 6
+                               + lk_pad * (hd + vpad) * 4) <= budget):
+            hb *= 2
+        grid = (bh // hb, lq_pad // block_q)
+        qo_spec = pl.BlockSpec((hb, block_q, hd), lambda i, j: (i, j, 0))
+        k_spec = pl.BlockSpec((hb, lk_pad, hd), lambda i, j: (i, 0, 0))
+        v_aug_spec = pl.BlockSpec((hb, lk_pad, vpad), lambda i, j: (i, 0, 0))
+        kernel = functools.partial(_mha_kernel_2pass, hd=hd, nh=num_heads,
+                                   hb=hb)
         out = pl.pallas_call(
             kernel, grid=grid,
-            in_specs=[bias_spec, q_spec, kv_spec, v_aug_spec],
-            out_specs=q_spec, out_shape=out_shape,
+            in_specs=[bias_spec, qo_spec, k_spec, v_aug_spec],
+            out_specs=qo_spec, out_shape=out_shape,
             compiler_params=params, interpret=interpret,
         )(bias, qs, kh, vh_aug)
     elif kv_mask is not None:
