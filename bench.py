@@ -127,6 +127,47 @@ def build_step(batch: int):
 
         return run
 
+    def make_compact_trajectory(n_steps: int, fraction: float):
+        """Trajectory with the compact top-K block cache (mode 'compact'):
+        every gated (resnet+attention) pair recomputes only the
+        fraction*rows most-drifted image rows each step; cache state rides
+        the fori_loop carry."""
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       compact_fraction=fraction, max_hits=4))
+        layout = unet.cache_layout(hw, min_level=1)
+        state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, jnp.bfloat16)
+                  for key, (s, cin, cout) in layout.items()}
+        table = sampler.make_table(n_steps)
+        ts = jnp.asarray(table.timesteps)
+        cs = jnp.asarray(table.coeffs)
+
+        @jax.jit
+        def run(params, latents, guidance_, ehs_, pooled_, time_ids_):
+            def body(i, carry):
+                lat, st = carry
+                t_i = jnp.full((2 * b,), ts[i], jnp.float32)
+                c0 = jnp.full((b,), cs[i, 0])
+                c1 = jnp.full((b,), cs[i, 1])
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = sampler.scale_model_input(
+                    lat_in, jnp.concatenate([c0, c0]))
+                added = {"text_embeds": jnp.concatenate([pooled_, pooled_], axis=0),
+                         "time_ids": jnp.concatenate([time_ids_, time_ids_], axis=0)}
+                out, st2 = unet.apply(
+                    params, lat_in, t_i, jnp.concatenate([ehs_, ehs_], axis=0),
+                    added_cond=added, cache=cache, cache_state=st)
+                u, c = jnp.split(out, 2, axis=0)
+                eps = u + guidance_.reshape(-1, 1, 1, 1) * (c - u)
+                return sampler.step(lat, eps, c0, c1), st2
+
+            lat, _ = jax.lax.fori_loop(0, n_steps, body, (latents, state0))
+            return lat
+
+        return run
+
     def make_trajectory(n_steps: int):
         """Full n-step denoise in ONE jit (offline batched generation,
         BASELINE config 2) — per-step timesteps/sigmas from a real Euler
@@ -151,7 +192,7 @@ def build_step(batch: int):
         return run
 
     args = (params, latents, t, coeffs, guidance, ehs, pooled, time_ids)
-    return step, make_trajectory, make_deep_trajectory, args
+    return step, make_trajectory, make_deep_trajectory, make_compact_trajectory, args
 
 
 def main() -> None:
@@ -182,12 +223,17 @@ def main() -> None:
     best_ips, best_b = 0.0, 0
     for b in batches:
         try:
-            step, make_trajectory, make_deep_trajectory, args = build_step(b)
+            (step, make_trajectory, make_deep_trajectory,
+             make_compact_trajectory, args) = build_step(b)
             (params, latents, t, coeffs, guidance, ehs, pooled, time_ids) = args
             deep_interval = int(os.environ.get("BENCH_DEEP", "3"))
+            compact_frac = float(os.environ.get("BENCH_COMPACT", "0"))
             if mode == "scan":
-                run = (make_deep_trajectory(n_steps, deep_interval)
-                       if deep_interval > 1 else make_trajectory(n_steps))
+                if compact_frac > 0:
+                    run = make_compact_trajectory(n_steps, compact_frac)
+                else:
+                    run = (make_deep_trajectory(n_steps, deep_interval)
+                           if deep_interval > 1 else make_trajectory(n_steps))
                 out = run(params, latents, guidance, ehs, pooled, time_ids)
                 # device_get forces real completion — on the experimental
                 # axon relay backend block_until_ready can return before the
@@ -234,6 +280,7 @@ def main() -> None:
         "vs_baseline": round(best_ips / baseline, 4),
         "batch": best_b,
         "deep_reuse_interval": deep if mode == "scan" else 0,
+        "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
         "cache_off_img_s": 0.2257,  # measured same config, BENCH logs
     }))
 
