@@ -92,7 +92,9 @@ def main():
 
         @jax.jit
         def dec(p, z):
-            return vae.decode(p, z)
+            # scalar output — fetching the decoded image through the relay
+            # (~50 MB/s, 12 MB at 1024^2) would dominate the measurement
+            return jnp.sum(vae.decode(p, z).astype(jnp.float32))
 
         np.asarray(dec(vparams, z))
         best = 1e9
