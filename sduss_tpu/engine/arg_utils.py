@@ -39,12 +39,15 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--use-cache", action="store_true",
                    help="enable the output cache (see --cache-mode)")
     g.add_argument("--cache-mode", type=str, default="block",
-                   choices=["block", "deep"],
+                   choices=["block", "deep", "compact"],
                    help="block: per-patch masked splice (reference "
                         "semantics); deep: temporal deep-block reuse "
-                        "(real compute saving)")
+                        "(real compute saving); compact: top-K compact "
+                        "recompute (per-row-adaptive real saving)")
     g.add_argument("--deep-interval", type=int, default=2)
     g.add_argument("--deep-warmup", type=int, default=3)
+    g.add_argument("--compact-fraction", type=float, default=0.5,
+                   help="rows each gated block recomputes in compact mode")
     g.add_argument("--cache-classifier-path", type=str, default=None)
 
     g = parser.add_argument_group("engine")
@@ -69,6 +72,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         cache=CacheConfig(enabled=args.use_cache, mode=args.cache_mode,
                           deep_interval=args.deep_interval,
                           deep_warmup=args.deep_warmup,
+                          compact_fraction=args.compact_fraction,
                           classifier_path=args.cache_classifier_path),
         engine=EngineConfig(
             dispatcher_policy=args.dispatcher_policy, collect_data=args.collect_data),
