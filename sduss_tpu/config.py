@@ -101,6 +101,9 @@ class ParallelConfig:
     dp: int = 1
     tp: int = 1
     sp: int = 1  # spatial / displaced-patch parallel degree
+    # Pipeline-stage parallel degree — SCAFFOLD, like the reference's dormant
+    # PP groups (parallel_state.py:62-71); see parallel/mesh.py.
+    pp: int = 1
     # Explicit device list (indices into jax.devices()); None => first world_size.
     devices: Optional[List[int]] = None
 
@@ -108,10 +111,11 @@ class ParallelConfig:
         _positive("dp", self.dp)
         _positive("tp", self.tp)
         _positive("sp", self.sp)
+        _positive("pp", self.pp)
 
     @property
     def world_size(self) -> int:
-        return self.dp * self.tp * self.sp
+        return self.dp * self.tp * self.sp * self.pp
 
 
 @dataclass
