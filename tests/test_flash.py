@@ -60,3 +60,16 @@ def test_flash_bf16_close_to_f32_dense():
                     block_q=256, block_kv=256)
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
     assert err < 0.05, err
+
+
+@pytest.mark.parametrize("hd,heads", [(40, 2), (80, 2), (160, 2)])
+def test_flash_sd15_head_dims(hd, heads):
+    """SD-1.5 uses head dims 40/80/160 (not 64); the kernel is generic."""
+    dm = heads * hd
+    q, k, v = _mk(2, 256, 256, dm, seed=7)
+    scale = 1.0 / math.sqrt(hd)
+    ref = _dense_masked(q, k, v, heads, None, scale)
+    out = flash_mha(q, k, v, heads, scale, block_q=128, block_kv=128,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
