@@ -84,6 +84,23 @@ def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int,
         o_ref[h] = (acc * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
 
 
+def _mha_kernel_2pass_nobias(q_ref, k_ref, v_ref, o_ref, *, hd: int, hb: int):
+    """Two-pass variant with no key padding/mask (kv_len == kv_pad):
+    skips the bias add entirely — the common aligned SDXL self-attention."""
+    for h in range(hb):
+        q = q_ref[h]
+        k = k_ref[h]
+        v = v_ref[h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m).astype(v.dtype)
+        av = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        acc, l = av[:, :hd], av[:, hd : hd + 1]
+        o_ref[h] = (acc * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
+
+
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_kv: int,
                 kv_len: int, kv_pad: int):
     """One cell = one (batch*head, q_tile). kv loop inside.
@@ -267,14 +284,24 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
         qo_spec = pl.BlockSpec((hb, block_q, hd), lambda i, j: (i, j, 0))
         k_spec = pl.BlockSpec((hb, lk_pad, hd), lambda i, j: (i, 0, 0))
         v_aug_spec = pl.BlockSpec((hb, lk_pad, vpad), lambda i, j: (i, 0, 0))
-        kernel = functools.partial(_mha_kernel_2pass, hd=hd, nh=num_heads,
-                                   hb=hb)
-        out = pl.pallas_call(
-            kernel, grid=grid,
-            in_specs=[bias_spec, qo_spec, k_spec, v_aug_spec],
-            out_specs=qo_spec, out_shape=out_shape,
-            compiler_params=params, interpret=interpret,
-        )(bias, qs, kh, vh_aug)
+        if kv_mask is None and kv_len == lk_pad:
+            # aligned, unmasked: no bias input at all
+            kernel = functools.partial(_mha_kernel_2pass_nobias, hd=hd, hb=hb)
+            out = pl.pallas_call(
+                kernel, grid=grid,
+                in_specs=[qo_spec, k_spec, v_aug_spec],
+                out_specs=qo_spec, out_shape=out_shape,
+                compiler_params=params, interpret=interpret,
+            )(qs, kh, vh_aug)
+        else:
+            kernel = functools.partial(_mha_kernel_2pass, hd=hd, nh=num_heads,
+                                       hb=hb)
+            out = pl.pallas_call(
+                kernel, grid=grid,
+                in_specs=[bias_spec, qo_spec, k_spec, v_aug_spec],
+                out_specs=qo_spec, out_shape=out_shape,
+                compiler_params=params, interpret=interpret,
+            )(bias, qs, kh, vh_aug)
     elif kv_mask is not None:
         mask = kv_mask.astype(jnp.int32)
         if lk_pad != lk:
