@@ -16,13 +16,13 @@ TPU-native design (SURVEY.md section 7 step 6):
   reference pays a GPU sync per block per step to call joblib on CPU).
   The classifier is a tiny per-block logistic over [mse, timestep, hits],
   trained from TPU traces by ``sduss_tpu.cache.train`` (numpy, no joblib).
-* v1 executes as **masked recompute**: the block is computed for all patches
-  and the cached output is selected back for cache-hit rows.  This is
-  numerically exactly the reference's splice semantics
-  (cache_manager.update_and_return:84-99).  The compute saving comes later
-  via bucketed gather-compact-scatter (compact active patches to a padded
-  sub-batch; attention already supports masked queries); the state layout and
-  decision logic here are built for that and will not change.
+* Two execution modes, both preserving the reference's splice semantics
+  (cache_manager.update_and_return:84-99): mode "block" is **masked
+  recompute** (compute all rows, select cached outputs back — exact splice,
+  no compute saving); mode "compact" is **top-K gather-compute-scatter** at
+  static capacity, giving REAL savings: `gate_compact` for independent rows
+  (dense image rows, MMDiT token rows) and `gate_compact_patch` for the
+  coupled UNet patch path (full-tensor GN/halos, compact 3x3 convs).
 
 Gated by ``CacheConfig.enabled`` (reference env ESYMRED_USE_CACHE,
 cache_manager.py:47-51): cache off must stay a correct, fast system.
@@ -61,14 +61,22 @@ class BlockCache:
     # -- state ----------------------------------------------------------------
 
     def init_rows(self, key: str, n_patches: int, s: int, c_in: int,
-                  c_out: int, dtype=jnp.bfloat16) -> dict:
-        """Fresh cache rows for ``n_patches`` patches of one request."""
-        return {
+                  c_out: int, dtype=jnp.bfloat16, with_mid: bool = False) -> dict:
+        """Fresh cache rows for ``n_patches`` patches of one request.
+
+        ``with_mid``: patch-compact mode also caches the resnet's conv1
+        output (``mid1``) so conv2's norm moments/halos stay defined for
+        stale rows (see gate_compact_patch).
+        """
+        rows = {
             "inp": jnp.zeros((n_patches, s, s, c_in), dtype),
             "out": jnp.zeros((n_patches, s, s, c_out), dtype),
             # start at max_hits so the first step always recomputes
             "hits": jnp.full((n_patches,), self.config.max_hits, jnp.int32),
         }
+        if with_mid:
+            rows["mid1"] = jnp.zeros((n_patches, s, s, c_out), dtype)
+        return rows
 
     def init_token_rows(self, key: str, n_rows: int, seq: int, dim: int,
                         dtype=jnp.bfloat16, ctx_seq: Optional[int] = None) -> dict:
@@ -148,6 +156,8 @@ class BlockCache:
             "out": y,
             "hits": jnp.where(fresh, 0, state_k["hits"] + 1),
         }
+        if "mid1" in state_k:  # blocks gated masked under patch-compact state
+            new_state["mid1"] = state_k["mid1"]
         stats = {"fresh": fresh, "rel_mse": rel}
         return y, new_state, stats
 
@@ -188,6 +198,39 @@ class BlockCache:
             state_k["out"], y_c)
         new_state = {
             "inp": state_k["inp"].astype(x.dtype).at[idx].set(x_c),
+            "out": y,
+            "hits": (state_k["hits"] + 1).at[idx].set(0),
+        }
+        return y, new_state, {"idx": idx, "scores": scores}
+
+    def gate_compact_patch(self, key: str, x, t_norm, state_k: dict,
+                           compute_fn: Callable, n_active: int,
+                           row_valid=None):
+        """Compact recompute for COUPLED patch rows (the UNet patch path).
+
+        Patch rows couple through per-image group-norm and grouped
+        attention, so a plain row gather (gate_compact) would corrupt the
+        norm moments and halos.  Instead ``compute_fn(x_full, idx,
+        mid1_cached) -> (y_rows, mid1_full)`` receives the FULL input — the
+        cheap coupled ops (per-image GN moments, halo rings) run over all
+        rows — and computes the block's flops (the two 3x3 convs) only on
+        the ``idx`` rows, splicing conv1's output into the cached ``mid1``
+        so conv2's moments/halos stay defined for stale rows.  The splice of
+        compact outputs back into the cached output preserves the
+        reference's semantics (stale rows keep cached values,
+        cache_manager.update_and_return:84-99); this is its static-shape,
+        real-compute-saving TPU counterpart for the patched path.
+        """
+        scores = self._scores(key, x, state_k, t_norm)
+        if row_valid is not None:
+            # bucket pad rows rank last (their outputs are discarded)
+            scores = jnp.where(row_valid, scores, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, n_active)
+        y_c, mid1 = compute_fn(x, idx, state_k["mid1"])
+        y = state_k["out"].astype(y_c.dtype).at[idx].set(y_c)
+        new_state = {
+            "inp": state_k["inp"].astype(x.dtype).at[idx].set(x[idx]),
+            "mid1": mid1,
             "out": y,
             "hits": (state_k["hits"] + 1).at[idx].set(0),
         }

@@ -110,6 +110,32 @@ def _resnet_apply(p, x, temb, groups, ctx, lvl):
     return x + h
 
 
+def _resnet_apply_compact(p, x, idx, temb, groups, ctx, lvl, mid1_cached):
+    """Patch-path resnet with compact conv recompute (cache mode "compact").
+
+    The coupled-but-cheap ops — per-image GroupNorm moments and halo rings —
+    run over ALL patch rows (exactly what the reference's fused kernel does
+    over the spliced tensor, norm_silu_concat.cu:361-438); the block's flops
+    (the two 3x3 convs) run only on the ``idx`` rows.  conv1's output is
+    spliced into the cached ``mid1`` so conv2's norm moments and halos are
+    defined for stale rows, mirroring how the reference feeds cached block
+    outputs to later normalizations.  Returns (y rows aligned to ``idx``,
+    full spliced mid1).
+    """
+    xh = ctx.gn_silu_halo(p["norm1"], x, groups, 1e-5, lvl)
+    h = L.conv2d(p["conv1"], xh[idx], stride=1, padding="VALID")
+    t = L.linear(p["time_emb_proj"],
+                 jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
+    h = h + t[idx][:, None, None, :].astype(h.dtype)
+    mid1 = mid1_cached.astype(h.dtype).at[idx].set(h)
+    hh = ctx.gn_silu_halo(p["norm2"], mid1, groups, 1e-5, lvl)
+    h2 = L.conv2d(p["conv2"], hh[idx], stride=1, padding="VALID")
+    xc = x[idx]
+    if "conv_shortcut" in p:
+        xc = _conv1x1(p["conv_shortcut"], xc)
+    return xc + h2, mid1
+
+
 def _attn_init(rng, query_dim, context_dim, heads):
     k = iter(jax.random.split(rng, 4))
     inner = query_dim
@@ -234,9 +260,13 @@ def _self_attention(p, h, heads, ctx, lvl):
 
 def _cross_attention(p, h, ehs, heads, ctx, lvl):
     if ctx is None:
+        from sduss_tpu.ops.attention import masked_attention
+
+        # Dispatches to the no-transpose short-KV kernel on TPU (77 text
+        # tokens), plain einsum elsewhere.
         k = L.linear(p["to_k"], ehs)
         v = L.linear(p["to_v"], ehs)
-        out = L.attention(L.linear(p["to_q"], h), k, v, heads)
+        out = masked_attention(L.linear(p["to_q"], h), k, v, heads)
     else:
         out = ctx.cross_attention(p, h, ehs, heads, lvl)
     return L.linear(p["to_out"], out)
@@ -424,18 +454,24 @@ class UNet2DConditionModel:
             t_norm = ctx.per_patch(t_norm)
         new_state: dict = {}
         caching = cache is not None and cache_state is not None
-        # Compact top-K recompute requires row-independent blocks: only the
-        # DENSE path qualifies (rows = images).  Patch rows couple through
-        # per-image group-norm/attention, so the patch path keeps the
-        # masked-recompute splice (reference semantics).
+        # Compact top-K recompute, two row regimes (cache/manager.py):
+        # dense rows (images) are independent -> whole block pairs compact;
+        # patch rows couple through per-image group-norm/attention -> the
+        # resnet convs compact (gate_compact_patch) while norm moments/halos
+        # run full and the transformer recomputes fully.
         compact = caching and cache.config.mode == "compact" and ctx is None
-        if compact:
+        patch_compact = (caching and cache.config.mode == "compact"
+                         and ctx is not None)
+        if compact or patch_compact:
             n_active = max(1, round(sample.shape[0]
                                     * cache.config.compact_fraction))
         ehs = encoder_hidden_states
 
-        def gated(key, x, compute_fn):
-            # compute_fn(x_rows, temb_rows, ehs_rows) — block pair body
+        def gated(key, x, compute_fn, res_p=None, attn_p=None, heads=0,
+                  lvl=0):
+            # compute_fn(x_rows, temb_rows, ehs_rows) — block pair body.
+            # res_p/attn_p: the pair's raw params for patch-compact gating
+            # (None => fall back to the masked splice, e.g. the mid block).
             if not caching:
                 return compute_fn(x, temb, ehs)
             if compact:
@@ -443,6 +479,22 @@ class UNet2DConditionModel:
                 y, ns, _ = cache.gate_compact(key, x, t_norm,
                                               cache_state.get(key), fn,
                                               n_active, row_valid=row_valid)
+            elif patch_compact and res_p is not None:
+                def res_c(x_full, idx, mid1):
+                    return _resnet_apply_compact(res_p, x_full, idx, temb,
+                                                 cfg.norm_num_groups, ctx,
+                                                 lvl, mid1)
+
+                y, ns, _ = cache.gate_compact_patch(
+                    key, x, t_norm, cache_state.get(key), res_c, n_active,
+                    row_valid=ctx.patch_valid)
+                if attn_p is not None:
+                    # transformer recomputed fully on the spliced resnet
+                    # output (KV/norms need all rows; fresher than the
+                    # reference's cached-transformer splice)
+                    y = _transformer_apply(attn_p, y, ehs, heads,
+                                           cfg.norm_num_groups,
+                                           cfg.use_linear_projection, ctx, lvl)
             else:
                 y, ns, _ = cache.gate(key, x, t_norm, cache_state.get(key),
                                       lambda xx: compute_fn(xx, temb, ehs))
@@ -467,7 +519,9 @@ class UNet2DConditionModel:
                                                cfg.use_linear_projection, ctx, i)
                     return y
 
-                h = gated(f"down{i}.{j}", h, down_pair)
+                h = gated(f"down{i}.{j}", h, down_pair, res_p=res,
+                          attn_p=blk["attentions"][j] if blk["attentions"]
+                          else None, heads=cfg.num_heads[i], lvl=i)
                 skips.append(h)
             if "downsample" in blk:
                 # the level-(boundary-1) downsample feeds only the deep tail
@@ -512,7 +566,9 @@ class UNet2DConditionModel:
                                                cfg.use_linear_projection, ctx, lvl)
                     return y
 
-                h = gated(f"up{i}.{j}", h, up_pair)
+                h = gated(f"up{i}.{j}", h, up_pair, res_p=res,
+                          attn_p=blk["attentions"][j] if blk["attentions"]
+                          else None, heads=cfg.num_heads[lvl], lvl=lvl)
             if "upsample" in blk:
                 h = _upsample_2x(h, ctx, lvl)
                 h = _conv(blk["upsample"], h, ctx, lvl - 1)

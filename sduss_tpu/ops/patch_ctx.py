@@ -49,6 +49,7 @@ class PatchContext:
         self.group_gather = arrays["group_gather"]
         self.patch_pos = arrays["patch_pos"]
         self.kv_mask = arrays["kv_mask"]
+        self.patch_valid = arrays["patch_valid"]
         self.class_gather = [arrays[f"class_gather_{i}"]
                              for i in range(len(meta.class_info))]
         self.class_pos = [arrays[f"class_pos_{i}"]
@@ -81,9 +82,9 @@ class PatchContext:
     def upsample_2x(self, x, lvl: int) -> jnp.ndarray:
         return L.nearest_upsample_2x(x)
 
-    def gn_silu_conv(self, p_gn, p_conv, x, groups: int, eps: float,
+    def gn_silu_halo(self, p_gn, x, groups: int, eps: float,
                      lvl: int) -> jnp.ndarray:
-        """GroupNorm+SiLU fused into the conv's haloed input buffer.
+        """(P, s, s, C) -> (P, s+2, s+2, C): GN+SiLU + 1-px halo ring.
 
         On TPU runs the fused Pallas kernel (ops/gn_halo.py — the rebuild of
         the reference norm_silu_concat.cu); elsewhere the jnp composition
@@ -91,12 +92,17 @@ class PatchContext:
         """
         from sduss_tpu.ops.gn_halo import gn_silu_haloed
 
+        return gn_silu_haloed(p_gn, x, self.image_id, self.neighbors,
+                              self.meta.i_pad, groups, eps, "silu")
+
+    def gn_silu_conv(self, p_gn, p_conv, x, groups: int, eps: float,
+                     lvl: int) -> jnp.ndarray:
+        """GroupNorm+SiLU fused into the conv's haloed input buffer."""
         k = p_conv["kernel"].shape[0]
         if k == 1:
             y = self.group_norm(p_gn, x, groups, eps, "silu", lvl)
             return L.conv2d(p_conv, y, stride=1)
-        xh = gn_silu_haloed(p_gn, x, self.image_id, self.neighbors,
-                            self.meta.i_pad, groups, eps, "silu")
+        xh = self.gn_silu_halo(p_gn, x, groups, eps, lvl)
         return L.conv2d(p_conv, xh, stride=1, padding="VALID")
 
     # -- group norm ---------------------------------------------------------
@@ -191,6 +197,10 @@ def ctx_arrays(meta: PatchMeta) -> Dict[str, jnp.ndarray]:
         "group_gather": jnp.asarray(meta.group_gather),
         "patch_pos": jnp.asarray(meta.patch_pos),
         "kv_mask": jnp.asarray(meta.kv_mask),
+        # (p_pad,) bool: True for real patches, False for bucket pads (pads
+        # point at the dummy image's empty kv slot).  Traced — n_patches is
+        # not part of the bucket compile key.
+        "patch_valid": jnp.asarray(meta.kv_mask.reshape(-1)[meta.patch_pos]),
     }
     for i in range(len(meta.class_info)):
         out[f"class_gather_{i}"] = jnp.asarray(meta.class_gather[i])

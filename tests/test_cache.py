@@ -316,6 +316,71 @@ class TestCompactCacheDense:
         assert hits >= 1
 
 
+class TestCompactCachePatched:
+    """Patch-path compact recompute: full GN moments/halos, top-K convs,
+    transformer recomputed on the spliced resnet output
+    (cache.manager.gate_compact_patch)."""
+
+    def _pipe(self, fraction, threshold=0.01):
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True,
+                                           patch_size=256)
+        config.cache.enabled = True
+        config.cache.mode = "compact"
+        config.cache.compact_fraction = fraction
+        config.cache.mse_threshold = threshold
+        config.cache.min_level = 0
+        return build_pipeline(config)
+
+    def _mixed_reqs(self, steps=4):
+        reqs = make_reqs(n=2, res=512, steps=steps)
+        reqs[1] = Request("r1", SamplingParams(prompt="p1", resolution=256,
+                                               num_inference_steps=steps,
+                                               seed=1))
+        return reqs
+
+    def test_full_capacity_matches_cache_off(self):
+        # full capacity recomputes every row each step == cache off exactly
+        base = run_denoise(make_pipe(cache_enabled=False), self._mixed_reqs(), 3)
+        compact = run_denoise(self._pipe(fraction=1.0), self._mixed_reqs(), 3)
+        for a, b in zip(base, compact):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+    def test_half_capacity_reuses_and_finite(self):
+        pipe = self._pipe(fraction=0.5)
+        reqs = self._mixed_reqs(steps=5)
+        run_denoise(pipe, reqs, 4)
+        hits = 0
+        for r in reqs:
+            assert r.cache_rows is not None
+            assert np.isfinite(np.asarray(r.latents)).all()
+            for key, rows in r.cache_rows.items():
+                assert "mid1" in rows, key  # patch-compact state layout
+                assert np.isfinite(np.asarray(rows["mid1"], np.float32)).all()
+                hits = max(hits, int(np.asarray(rows["hits"]).max()))
+        assert hits >= 1
+
+    def test_mode_flip_reinits_state(self):
+        """block-mode rows (no mid1) must be re-initialized under compact."""
+        pipe_block = make_pipe(cache_enabled=True, mse_threshold=0.01)
+        reqs = self._mixed_reqs(steps=6)
+        pipe_block.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        by_res = {}
+        for r in reqs:
+            by_res.setdefault(r.resolution, []).append(r)
+        pipe_block.denoise_step_mixed(by_res)
+        assert all("mid1" not in rows for r in reqs
+                   for rows in r.cache_rows.values())
+        pipe_c = self._pipe(fraction=0.5)  # same seed => identical params
+        pipe_c.denoise_step_mixed(by_res)
+        assert all("mid1" in rows for r in reqs
+                   for rows in r.cache_rows.values())
+        assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
+
+
 class TestTraceTrainSD3:
     def test_collect_and_fit_token_classifiers(self):
         from sduss_tpu.cache.train import collect_traces, fit_classifiers
