@@ -111,4 +111,9 @@ def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
     if _flash_available(prefer_flash) and lq >= _FLASH_MIN_SEQ \
             and k.shape[1] >= 512 and kv_vmem <= 12 * 2**20:
         return _flash_masked(q, k, v, num_heads, kv_token_mask, scale)
+    # Short-KV cross-attention (77 text tokens) stays DENSE: the measured
+    # XLA path is ~60% of its bandwidth floor, and both the flash grid and
+    # a dedicated no-transpose kernel (ops/flash.py flash_cross_short) came
+    # in 0.8-0.9x of dense on chip (exp/bench_cross_kernel_v5e.json) — the
+    # per-head small matmuls don't amortize.
     return _dense_masked(q, k, v, num_heads, kv_token_mask, scale)

@@ -187,15 +187,98 @@ def _mha_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = (acc * inv).astype(o_ref.dtype)
 
 
+def _cross_short_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
+                        kv_len: int, kv_pad: int):
+    """One cell = one (batch row, q tile); ALL heads' tiny K/V in VMEM.
+
+    Layout experiment: q/o stay in model layout (B, Lq, D) — no per-head
+    Q/O transpose; heads are lane slices of the q tile; K/V pre-transposed
+    outside (tiny at 77 tokens).  MEASURED SLOWER than dense XLA on v5e
+    (0.8-0.9x, exp/bench_cross_kernel_v5e.json): the 2*H tiny per-head
+    matmuls + lane-slice relayouts don't amortize, while XLA's dense path
+    already runs at ~60% of its bandwidth floor.  Kept (with tests) as the
+    documented result of the reference's PatchCrossAttention special-path
+    (modules/attention.py:52-110) exploration — NOT routed by the
+    dispatcher (ops/attention.py).
+    """
+    q = q_ref[0]                                     # (bq, D) pre-scaled
+    for h in range(nh):
+        qh = q[:, h * hd : (h + 1) * hd]             # lane slice (bq, hd)
+        kh = k_ref[0, pl.ds(h * kv_pad, kv_pad), :]  # (kv_pad, hd)
+        vh = v_ref[0, pl.ds(h * kv_pad, kv_pad), :]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (bq, kv_pad)
+        if kv_len != kv_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(vh.dtype), vh,
+                        preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd : (h + 1) * hd] = \
+            (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "block_q", "interpret"))
+def flash_cross_short(q, k, v, num_heads: int, scale: float,
+                      block_q: int = 1024, interpret: bool = False):
+    """Cross-attention for SHORT key sequences (text conditioning, Lk<=256).
+
+    q: (B, Lq, D); k/v: (B, Lk, D).  No mask support — the text KV is
+    uniform per row (the reference's PatchCrossAttention case,
+    sduss/model_executor/modules/attention.py:52-110).
+    """
+    b, lq, dm = q.shape
+    lk = k.shape[1]
+    hd = dm // num_heads
+    kv_pad = _ceil_to(lk, 128)
+    block_q = min(block_q, _ceil_to(lq, 128))
+    lq_pad = _ceil_to(lq, block_q)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if lq_pad != lq:
+        qs = jnp.pad(qs, ((0, 0), (0, lq_pad - lq), (0, 0)))
+
+    def kv_heads(x):
+        # (B, Lk, D) -> (B, H*kv_pad, hd); tiny, transpose cost negligible
+        x = x.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+        if kv_pad != lk:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, kv_pad - lk), (0, 0)))
+        return x.reshape(b, num_heads * kv_pad, hd)
+
+    kh, vh = kv_heads(k), kv_heads(v)
+    grid = (b, lq_pad // block_q)
+    qo_spec = pl.BlockSpec((1, block_q, dm), lambda i, j: (i, j, 0))
+    kv_spec = pl.BlockSpec((1, num_heads * kv_pad, hd), lambda i, j: (i, 0, 0))
+    kernel = functools.partial(_cross_short_kernel, nh=num_heads, hd=hd,
+                               kv_len=lk, kv_pad=kv_pad)
+    out = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec],
+        out_specs=qo_spec,
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, dm), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(qs, kh, vh)
+    return out[:, :lq, :]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "scale", "block_q", "block_kv", "kv_len",
-                     "interpret", "force_online"))
+                     "interpret", "force_online", "heads_per_cell"))
 def flash_mha(q, k, v, num_heads: int, scale: float,
               kv_mask: Optional[jax.Array] = None,
               kv_len: Optional[int] = None,
               block_q: int = 512, block_kv: int = 512,
-              interpret: bool = False, force_online: bool = False):
+              interpret: bool = False, force_online: bool = False,
+              heads_per_cell: Optional[int] = None):
     """Fused MHA over (B, Lq, D_model) tensors.
 
     * ``kv_mask`` (B, Lk) bool/int: runtime key-validity (mixed-token
@@ -274,12 +357,21 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
         vh_aug = jnp.concatenate(
             [vh, jnp.ones((bh, lk_pad, 1), vh.dtype),
              jnp.zeros((bh, lk_pad, vpad - hd - 1), vh.dtype)], axis=-1)
-        # heads per cell: short sequences are cell-overhead-bound
-        hb = 1
-        while (bh % (hb * 2) == 0 and (hb * 2) * lk_pad <= 4096
-               and (hb * 2) * (block_q * lk_pad * 6
-                               + lk_pad * (hd + vpad) * 4) <= budget):
-            hb *= 2
+        # heads per cell: short sequences are cell-overhead-bound.  Cap
+        # tuned on chip (exp/bench_attn_sweep_v5e.json): hb*lk_pad <= 4096
+        # picks hb=4 at S=1024 (2.20 ms vs 3.34 at hb=2 for SDXL l2);
+        # allowing one doubling whenever lk_pad alone exceeds the cap picks
+        # hb=2 at S=4096/4608 (SD3 joint 4.80 -> 4.53 ms).
+        if heads_per_cell is not None:
+            hb = heads_per_cell
+            assert bh % hb == 0, (bh, hb)
+        else:
+            hb = 1
+            hb_cap = max(4096, 2 * lk_pad)
+            while (bh % (hb * 2) == 0 and (hb * 2) * lk_pad <= hb_cap
+                   and (hb * 2) * (block_q * lk_pad * 6
+                                   + lk_pad * (hd + vpad) * 4) <= budget):
+                hb *= 2
         grid = (bh // hb, lq_pad // block_q)
         qo_spec = pl.BlockSpec((hb, block_q, hd), lambda i, j: (i, j, 0))
         k_spec = pl.BlockSpec((hb, lk_pad, hd), lambda i, j: (i, 0, 0))

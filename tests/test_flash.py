@@ -73,3 +73,21 @@ def test_flash_sd15_head_dims(hd, heads):
                     interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("lq,lk,heads,hd", [
+    (512, 77, 4, 64),    # SDXL-style text KV, ragged -> masked pad cols
+    (640, 128, 2, 64),   # aligned kv, ragged q tile
+    (512, 77, 4, 40),    # SD1.5 head dim (lane slices off 128 alignment)
+])
+def test_cross_short_matches_dense(lq, lk, heads, hd):
+    from sduss_tpu.ops.flash import flash_cross_short
+
+    dm = heads * hd
+    q, k, v = _mk(3, lq, lk, dm, seed=5)
+    scale = 1.0 / math.sqrt(hd)
+    ref = _dense_masked(q, k, v, heads, None, scale)
+    out = flash_cross_short(q, k, v, heads, scale, block_q=256,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
