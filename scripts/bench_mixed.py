@@ -92,6 +92,52 @@ def main():
         "ms_per_step": round(ms, 1),
         "history_ms": {"coarse_buckets": 983, "finer_buckets": 516},
     }
+
+    # -- patch-compact block cache (gate_compact_patch) ----------------------
+    frac = float(os.environ.get("BENCH_COMPACT_FRACTION", "0.5"))
+    if frac > 0:
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cc = CacheConfig(enabled=True, mode="compact", compact_fraction=frac,
+                         mse_threshold=0.01, min_level=1)
+        cache = BlockCache(cc)
+        layout = unet.cache_layout(cells, cc.min_level)
+        state = {key: cache.init_rows(key, meta2.p_pad, s, ci, co,
+                                      jnp.bfloat16, with_mid=True)
+                 for key, (s, ci, co) in layout.items()}
+
+        def one_step_c(params, x, st, a1, a2):
+            ctx1 = PatchContext(meta, arrays=a1)
+            ctx2 = PatchContext(meta2, arrays=a2)
+            c0, c1 = coeffs[:, 0], coeffs[:, 1]
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            x2 = sampler.scale_model_input(
+                x2, jnp.concatenate([c0, c0])[ctx2.image_id])
+            added = {"text_embeds": pooled2, "time_ids": time_ids2}
+            out, st = unet.apply(params, x2, t2, ehs2, added_cond=added,
+                                 ctx=ctx2, cache=cache, cache_state=st)
+            u, c = jnp.split(out, 2, axis=0)
+            eps = u + guidance[ctx1.image_id].reshape(-1, 1, 1, 1) * (c - u)
+            return sampler.step(x, eps, c0[ctx1.image_id],
+                                c1[ctx1.image_id]), st
+
+        @jax.jit
+        def run_c(params, x, state, a1, a2):
+            for _ in range(n_steps):
+                x, state = one_step_c(params, x, state, a1, a2)
+            return jnp.sum(x.astype(jnp.float32))
+
+        np.asarray(run_c(params, x, state, a1, a2))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run_c(params, x, state, a1, a2))
+            best = min(best, time.perf_counter() - t0)
+        result["ms_per_step_compact"] = round(best / n_steps * 1e3, 1)
+        result["compact_fraction"] = frac
+
     print(json.dumps(result))
     with open("exp/bench_mixed_v5e.json", "w") as f:
         json.dump(result, f, indent=2)

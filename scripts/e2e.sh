@@ -14,12 +14,19 @@ case "$MODEL" in
 esac
 POLICIES=${POLICIES:-"esymred fcfs_mixed orca_resbyres"}
 
+# learned artifacts, used when present (reference e2e.sh:50-55 env-var analog)
+EXTRA=()
+[ -f "exp/predictor_${MODEL}_v5e.npz" ] && EXTRA+=(--predictor "exp/predictor_${MODEL}_v5e.npz")
+[ -f "exp/profile_${MODEL}_v5e.json" ] && EXTRA+=(--profile "exp/profile_${MODEL}_v5e.json")
+[ -f "exp/cache_classifiers_${MODEL}_v5e.npz" ] && \
+  EXTRA+=(--classifiers "exp/cache_classifiers_${MODEL}_v5e.npz")
+
 for qps in $QPS_LIST; do
   for pol in $POLICIES; do
     echo "== $MODEL qps=$qps policy=$pol =="
     python -m sduss_tpu.benchmark.replay \
       --model "$MODEL" --qps "$qps" --num-requests "$NUM" \
-      --policy "$pol" --slo "${SLO:-5}" \
+      --policy "$pol" --slo "${SLO:-5}" "${EXTRA[@]}" \
       --out "$OUT/client_${MODEL}_${pol}_${qps}.csv" \
       | tee "$OUT/metrics_${MODEL}_${pol}_${qps}.json"
   done

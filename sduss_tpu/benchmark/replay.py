@@ -85,6 +85,18 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
                     help="replay a saved trace CSV (exp/*/qps_*.csv) instead "
                          "of generating one")
     ap.add_argument("--out", default=None)
+    # learned artifacts (the reference wires these via env vars in
+    # scripts/paper/e2e.sh:50-55; here they are explicit flags)
+    ap.add_argument("--predictor", default=None,
+                    help="LatencyPredictor npz (scheduler/profiler.py)")
+    ap.add_argument("--profile", default=None,
+                    help="StageProfile JSON (scheduler/profiler.py)")
+    ap.add_argument("--classifiers", default=None,
+                    help="cache classifier npz (cache/train.py); enables "
+                         "the block cache")
+    ap.add_argument("--cache-mode", default="compact",
+                    choices=("block", "compact", "deep"))
+    ap.add_argument("--compact-fraction", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     from sduss_tpu.config import ModelConfig
@@ -95,6 +107,18 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
     config.scheduler.policy = args.policy
     config.scheduler.slo_scale = float(args.slo)
     config.parallel.dp = args.dp
+    if args.predictor:
+        config.scheduler.predictor_path = args.predictor
+    if args.profile:
+        import json as _json
+
+        with open(args.profile) as f:
+            config.scheduler.stage_latency_overrides = _json.load(f)
+    if args.classifiers:
+        config.cache.enabled = True
+        config.cache.mode = args.cache_mode
+        config.cache.compact_fraction = args.compact_fraction
+        config.cache.classifier_path = args.classifiers
 
     if args.trace:
         from sduss_tpu.benchmark.traces import load_trace

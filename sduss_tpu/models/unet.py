@@ -480,6 +480,9 @@ class UNet2DConditionModel:
                                               cache_state.get(key), fn,
                                               n_active, row_valid=row_valid)
             elif patch_compact and res_p is not None:
+                if cache_state.get(key) is None:  # ungated level (min_level)
+                    return compute_fn(x, temb, ehs)
+
                 def res_c(x_full, idx, mid1):
                     return _resnet_apply_compact(res_p, x_full, idx, temb,
                                                  cfg.norm_num_groups, ctx,

@@ -321,7 +321,7 @@ class TestCompactCachePatched:
     transformer recomputed on the spliced resnet output
     (cache.manager.gate_compact_patch)."""
 
-    def _pipe(self, fraction, threshold=0.01):
+    def _pipe(self, fraction, threshold=0.01, min_level=0):
         config = Config()
         config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
         config.scheduler = SchedulerConfig(use_mixed_resolution=True,
@@ -330,7 +330,7 @@ class TestCompactCachePatched:
         config.cache.mode = "compact"
         config.cache.compact_fraction = fraction
         config.cache.mse_threshold = threshold
-        config.cache.min_level = 0
+        config.cache.min_level = min_level
         return build_pipeline(config)
 
     def _mixed_reqs(self, steps=4):
@@ -360,6 +360,19 @@ class TestCompactCachePatched:
                 assert np.isfinite(np.asarray(rows["mid1"], np.float32)).all()
                 hits = max(hits, int(np.asarray(rows["hits"]).max()))
         assert hits >= 1
+
+    def test_min_level_leaves_shallow_blocks_ungated(self):
+        # min_level=1: level-0 blocks have no cache rows; the patch-compact
+        # gate must fall through to plain compute (regression: on-chip
+        # bench crashed on state None)
+        pipe = self._pipe(fraction=0.5, min_level=1)
+        reqs = self._mixed_reqs(steps=4)
+        run_denoise(pipe, reqs, 3)
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents)).all()
+            assert all(not k.startswith(("down0", "up1."))
+                       or "mid1" in rows
+                       for k, rows in r.cache_rows.items())
 
     def test_mode_flip_reinits_state(self):
         """block-mode rows (no mid1) must be re-initialized under compact."""
