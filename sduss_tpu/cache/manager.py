@@ -21,8 +21,9 @@ TPU-native design (SURVEY.md section 7 step 6):
   recompute** (compute all rows, select cached outputs back — exact splice,
   no compute saving); mode "compact" is **top-K gather-compute-scatter** at
   static capacity, giving REAL savings: `gate_compact` for independent rows
-  (dense image rows, MMDiT token rows) and `gate_compact_patch` for the
-  coupled UNet patch path (full-tensor GN/halos, compact 3x3 convs).
+  (dense image rows, MMDiT token rows) and `gate_compact_images` for the
+  coupled UNet patch path (whole drift-ranked images gathered per
+  resolution class into a static canonical sub-composition).
 
 Gated by ``CacheConfig.enabled`` (reference env ESYMRED_USE_CACHE,
 cache_manager.py:47-51): cache off must stay a correct, fast system.
@@ -61,22 +62,14 @@ class BlockCache:
     # -- state ----------------------------------------------------------------
 
     def init_rows(self, key: str, n_patches: int, s: int, c_in: int,
-                  c_out: int, dtype=jnp.bfloat16, with_mid: bool = False) -> dict:
-        """Fresh cache rows for ``n_patches`` patches of one request.
-
-        ``with_mid``: patch-compact mode also caches the resnet's conv1
-        output (``mid1``) so conv2's norm moments/halos stay defined for
-        stale rows (see gate_compact_patch).
-        """
-        rows = {
+                  c_out: int, dtype=jnp.bfloat16) -> dict:
+        """Fresh cache rows for ``n_patches`` patches of one request."""
+        return {
             "inp": jnp.zeros((n_patches, s, s, c_in), dtype),
             "out": jnp.zeros((n_patches, s, s, c_out), dtype),
             # start at max_hits so the first step always recomputes
             "hits": jnp.full((n_patches,), self.config.max_hits, jnp.int32),
         }
-        if with_mid:
-            rows["mid1"] = jnp.zeros((n_patches, s, s, c_out), dtype)
-        return rows
 
     def init_token_rows(self, key: str, n_rows: int, seq: int, dim: int,
                         dtype=jnp.bfloat16, ctx_seq: Optional[int] = None) -> dict:
@@ -156,8 +149,6 @@ class BlockCache:
             "out": y,
             "hits": jnp.where(fresh, 0, state_k["hits"] + 1),
         }
-        if "mid1" in state_k:  # blocks gated masked under patch-compact state
-            new_state["mid1"] = state_k["mid1"]
         stats = {"fresh": fresh, "rel_mse": rel}
         return y, new_state, stats
 
@@ -203,38 +194,62 @@ class BlockCache:
         }
         return y, new_state, {"idx": idx, "scores": scores}
 
-    def gate_compact_patch(self, key: str, x, t_norm, state_k: dict,
-                           compute_fn: Callable, n_active: int,
-                           row_valid=None):
-        """Compact recompute for COUPLED patch rows (the UNet patch path).
+    def gate_compact_images(self, key: str, x, t_norm, state_k: dict,
+                            compute_fn: Callable, ctx, caps):
+        """Image-granular compact recompute for the COUPLED patch path.
 
         Patch rows couple through per-image group-norm and grouped
-        attention, so a plain row gather (gate_compact) would corrupt the
-        norm moments and halos.  Instead ``compute_fn(x_full, idx,
-        mid1_cached) -> (y_rows, mid1_full)`` receives the FULL input — the
-        cheap coupled ops (per-image GN moments, halo rings) run over all
-        rows — and computes the block's flops (the two 3x3 convs) only on
-        the ``idx`` rows, splicing conv1's output into the cached ``mid1``
-        so conv2's moments/halos stay defined for stale rows.  The splice of
-        compact outputs back into the cached output preserves the
-        reference's semantics (stale rows keep cached values,
-        cache_manager.update_and_return:84-99); this is its static-shape,
-        real-compute-saving TPU counterpart for the patched path.
+        attention, so per-ROW gathering (gate_compact) would corrupt the
+        moments/halos/KV.  The coupling unit is the IMAGE: each step
+        recomputes the ``caps[ci]`` most-drifted images of every resolution
+        class — gathered with ALL their patches into the canonical
+        sub-composition of ops.patching.compact_submeta, where GN, halos and
+        grouped attention are EXACT — and the rest keep their cached block
+        outputs (the reference's splice semantics,
+        cache_manager.update_and_return:84-99, at image granularity; the
+        dense compact path's rows are whole images too).
+
+        ``compute_fn(x_sub, gather_idx, sel_images) -> y_sub`` runs the
+        block pair on the sub-batch (the caller binds the sub PatchContext
+        and gathers temb/encoder rows).  Per-image drift = mean of the
+        per-patch scores.  Class pad slots rank -inf; if capacity exceeds a
+        class's real images the surplus rows scatter out-of-bounds and are
+        dropped.
         """
         scores = self._scores(key, x, state_k, t_norm)
-        if row_valid is not None:
-            # bucket pad rows rank last (their outputs are discarded)
-            scores = jnp.where(row_valid, scores, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, n_active)
-        y_c, mid1 = compute_fn(x, idx, state_k["mid1"])
-        y = state_k["out"].astype(y_c.dtype).at[idx].set(y_c)
+        valid = ctx.patch_valid
+        p_pad = x.shape[0]
+        num = jax.ops.segment_sum(jnp.where(valid, scores, 0.0),
+                                  ctx.image_id, num_segments=ctx.meta.i_pad)
+        den = jax.ops.segment_sum(valid.astype(jnp.float32), ctx.image_id,
+                                  num_segments=ctx.meta.i_pad)
+        img_scores = num / jnp.maximum(den, 1.0)
+        gather_parts, img_parts, valid_parts = [], [], []
+        for ci, (g, ipc) in enumerate(ctx.meta.class_info):
+            rows = ctx.class_gather[ci].reshape(ipc, g * g)
+            slot_valid = ctx.class_kv[ci][:, 0]          # real image slots
+            img_ids = ctx.image_id[jnp.clip(rows[:, 0], 0)]
+            s_c = jnp.where(slot_valid, img_scores[img_ids], -jnp.inf)
+            _, sel = jax.lax.top_k(s_c, caps[ci])
+            gather_parts.append(rows[sel].reshape(-1))
+            img_parts.append(img_ids[sel])
+            valid_parts.append(
+                jnp.repeat(slot_valid[sel], g * g, total_repeat_length=caps[ci] * g * g))
+        gidx = jnp.concatenate(gather_parts)
+        row_ok = jnp.concatenate(valid_parts) & (gidx >= 0)
+        sel_imgs = jnp.concatenate(img_parts)
+        x_sub = x[jnp.clip(gidx, 0)]
+        y_sub = compute_fn(x_sub, jnp.clip(gidx, 0), sel_imgs)
+        # out-of-bounds scatter indices are dropped by XLA: surplus rows
+        # (beyond a class's real images) write nowhere
+        sidx = jnp.where(row_ok, gidx, p_pad)
+        y = state_k["out"].astype(y_sub.dtype).at[sidx].set(y_sub)
         new_state = {
-            "inp": state_k["inp"].astype(x.dtype).at[idx].set(x[idx]),
-            "mid1": mid1,
+            "inp": state_k["inp"].astype(x.dtype).at[sidx].set(x_sub),
             "out": y,
-            "hits": (state_k["hits"] + 1).at[idx].set(0),
+            "hits": (state_k["hits"] + 1).at[sidx].set(0),
         }
-        return y, new_state, {"idx": idx, "scores": scores}
+        return y, new_state, {"gather": gidx, "images": sel_imgs}
 
 
 def split_state(state: dict, counts: List[int]) -> List[dict]:

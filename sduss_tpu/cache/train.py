@@ -34,10 +34,8 @@ class TraceCache(BlockCache):
     non-leading axes, matching BlockCache._recompute_mask/_scores).
     """
 
-    def init_rows(self, key, n_patches, s, c_in, c_out, dtype=jnp.bfloat16,
-                  with_mid=False):
-        rows = super().init_rows(key, n_patches, s, c_in, c_out, dtype,
-                                 with_mid=with_mid)
+    def init_rows(self, key, n_patches, s, c_in, c_out, dtype=jnp.bfloat16):
+        rows = super().init_rows(key, n_patches, s, c_in, c_out, dtype)
         rows["rel_in"] = jnp.zeros((n_patches,), jnp.float32)
         rows["rel_out"] = jnp.zeros((n_patches,), jnp.float32)
         rows["t"] = jnp.zeros((n_patches,), jnp.float32)

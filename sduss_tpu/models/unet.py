@@ -110,32 +110,6 @@ def _resnet_apply(p, x, temb, groups, ctx, lvl):
     return x + h
 
 
-def _resnet_apply_compact(p, x, idx, temb, groups, ctx, lvl, mid1_cached):
-    """Patch-path resnet with compact conv recompute (cache mode "compact").
-
-    The coupled-but-cheap ops — per-image GroupNorm moments and halo rings —
-    run over ALL patch rows (exactly what the reference's fused kernel does
-    over the spliced tensor, norm_silu_concat.cu:361-438); the block's flops
-    (the two 3x3 convs) run only on the ``idx`` rows.  conv1's output is
-    spliced into the cached ``mid1`` so conv2's norm moments and halos are
-    defined for stale rows, mirroring how the reference feeds cached block
-    outputs to later normalizations.  Returns (y rows aligned to ``idx``,
-    full spliced mid1).
-    """
-    xh = ctx.gn_silu_halo(p["norm1"], x, groups, 1e-5, lvl)
-    h = L.conv2d(p["conv1"], xh[idx], stride=1, padding="VALID")
-    t = L.linear(p["time_emb_proj"],
-                 jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
-    h = h + t[idx][:, None, None, :].astype(h.dtype)
-    mid1 = mid1_cached.astype(h.dtype).at[idx].set(h)
-    hh = ctx.gn_silu_halo(p["norm2"], mid1, groups, 1e-5, lvl)
-    h2 = L.conv2d(p["conv2"], hh[idx], stride=1, padding="VALID")
-    xc = x[idx]
-    if "conv_shortcut" in p:
-        xc = _conv1x1(p["conv_shortcut"], xc)
-    return xc + h2, mid1
-
-
 def _attn_init(rng, query_dim, context_dim, heads):
     k = iter(jax.random.split(rng, 4))
     inner = query_dim
@@ -454,53 +428,50 @@ class UNet2DConditionModel:
             t_norm = ctx.per_patch(t_norm)
         new_state: dict = {}
         caching = cache is not None and cache_state is not None
-        # Compact top-K recompute, two row regimes (cache/manager.py):
-        # dense rows (images) are independent -> whole block pairs compact;
-        # patch rows couple through per-image group-norm/attention -> the
-        # resnet convs compact (gate_compact_patch) while norm moments/halos
-        # run full and the transformer recomputes fully.
+        # Compact top-K recompute, two row regimes (cache/manager.py): dense
+        # rows (images) are independent -> gate_compact gathers rows; patch
+        # rows couple through per-image group-norm/attention -> the coupling
+        # unit is the image, so gate_compact_images gathers whole
+        # drift-ranked images per resolution class into the static canonical
+        # sub-composition (ops.patching.compact_submeta) and runs the pair
+        # there EXACTLY (per-image GN/halo/attention all self-contained).
         compact = caching and cache.config.mode == "compact" and ctx is None
         patch_compact = (caching and cache.config.mode == "compact"
                          and ctx is not None)
-        if compact or patch_compact:
+        if compact:
             n_active = max(1, round(sample.shape[0]
                                     * cache.config.compact_fraction))
+        sub_ctx = caps = None
+        if patch_compact:
+            from sduss_tpu.ops.patch_ctx import PatchContext
+            from sduss_tpu.ops.patching import compact_submeta
+
+            sub_meta, caps = compact_submeta(
+                ctx.meta.patch_cells, ctx.meta.class_info,
+                cache.config.compact_fraction)
+            # static composition => its index arrays are trace constants
+            sub_ctx = PatchContext(sub_meta)
         ehs = encoder_hidden_states
 
-        def gated(key, x, compute_fn, res_p=None, attn_p=None, heads=0,
-                  lvl=0):
-            # compute_fn(x_rows, temb_rows, ehs_rows) — block pair body.
-            # res_p/attn_p: the pair's raw params for patch-compact gating
-            # (None => fall back to the masked splice, e.g. the mid block).
+        def gated(key, x, compute_fn):
+            # compute_fn(x_rows, temb_rows, ehs_rows, ctx_rows) — pair body
             if not caching:
-                return compute_fn(x, temb, ehs)
+                return compute_fn(x, temb, ehs, ctx)
+            st = cache_state.get(key)
+            if st is None:  # ungated level (below cache min_level)
+                return compute_fn(x, temb, ehs, ctx)
             if compact:
-                fn = lambda x_c, idx: compute_fn(x_c, temb[idx], ehs[idx])  # noqa: E731
-                y, ns, _ = cache.gate_compact(key, x, t_norm,
-                                              cache_state.get(key), fn,
+                fn = lambda x_c, idx: compute_fn(x_c, temb[idx], ehs[idx], None)  # noqa: E731
+                y, ns, _ = cache.gate_compact(key, x, t_norm, st, fn,
                                               n_active, row_valid=row_valid)
-            elif patch_compact and res_p is not None:
-                if cache_state.get(key) is None:  # ungated level (min_level)
-                    return compute_fn(x, temb, ehs)
-
-                def res_c(x_full, idx, mid1):
-                    return _resnet_apply_compact(res_p, x_full, idx, temb,
-                                                 cfg.norm_num_groups, ctx,
-                                                 lvl, mid1)
-
-                y, ns, _ = cache.gate_compact_patch(
-                    key, x, t_norm, cache_state.get(key), res_c, n_active,
-                    row_valid=ctx.patch_valid)
-                if attn_p is not None:
-                    # transformer recomputed fully on the spliced resnet
-                    # output (KV/norms need all rows; fresher than the
-                    # reference's cached-transformer splice)
-                    y = _transformer_apply(attn_p, y, ehs, heads,
-                                           cfg.norm_num_groups,
-                                           cfg.use_linear_projection, ctx, lvl)
+            elif patch_compact:
+                fn = lambda x_s, gidx, imgs: compute_fn(  # noqa: E731
+                    x_s, temb[gidx], ehs[imgs], sub_ctx)
+                y, ns, _ = cache.gate_compact_images(key, x, t_norm, st, fn,
+                                                     ctx, caps)
             else:
-                y, ns, _ = cache.gate(key, x, t_norm, cache_state.get(key),
-                                      lambda xx: compute_fn(xx, temb, ehs))
+                y, ns, _ = cache.gate(key, x, t_norm, st,
+                                      lambda xx: compute_fn(xx, temb, ehs, ctx))
             if ns is not None:
                 new_state[key] = ns
             return y
@@ -513,18 +484,17 @@ class UNet2DConditionModel:
                 break
             for j, res in enumerate(blk["resnets"]):
 
-                def down_pair(x, temb_l, ehs_l, res=res, blk=blk, i=i, j=j):
-                    y = _resnet_apply(res, x, temb_l, cfg.norm_num_groups, ctx, i)
+                def down_pair(x, temb_l, ehs_l, ctx_l, res=res, blk=blk,
+                              i=i, j=j):
+                    y = _resnet_apply(res, x, temb_l, cfg.norm_num_groups, ctx_l, i)
                     if blk["attentions"]:
                         y = _transformer_apply(blk["attentions"][j], y,
                                                ehs_l,
                                                cfg.num_heads[i], cfg.norm_num_groups,
-                                               cfg.use_linear_projection, ctx, i)
+                                               cfg.use_linear_projection, ctx_l, i)
                     return y
 
-                h = gated(f"down{i}.{j}", h, down_pair, res_p=res,
-                          attn_p=blk["attentions"][j] if blk["attentions"]
-                          else None, heads=cfg.num_heads[i], lvl=i)
+                h = gated(f"down{i}.{j}", h, down_pair)
                 skips.append(h)
             if "downsample" in blk:
                 # the level-(boundary-1) downsample feeds only the deep tail
@@ -540,12 +510,12 @@ class UNet2DConditionModel:
         else:
             mid = params["mid_block"]
 
-            def mid_fn(x, temb_l, ehs_l):
-                y = _resnet_apply(mid["resnets"][0], x, temb_l, cfg.norm_num_groups, ctx, n_levels - 1)
+            def mid_fn(x, temb_l, ehs_l, ctx_l):
+                y = _resnet_apply(mid["resnets"][0], x, temb_l, cfg.norm_num_groups, ctx_l, n_levels - 1)
                 y = _transformer_apply(mid["attentions"][0], y, ehs_l,
                                        cfg.num_heads[-1], cfg.norm_num_groups,
-                                       cfg.use_linear_projection, ctx, n_levels - 1)
-                return _resnet_apply(mid["resnets"][1], y, temb_l, cfg.norm_num_groups, ctx, n_levels - 1)
+                                       cfg.use_linear_projection, ctx_l, n_levels - 1)
+                return _resnet_apply(mid["resnets"][1], y, temb_l, cfg.norm_num_groups, ctx_l, n_levels - 1)
 
             h = gated("mid", h, mid_fn)
 
@@ -560,18 +530,17 @@ class UNet2DConditionModel:
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
 
-                def up_pair(x, temb_l, ehs_l, res=res, blk=blk, i=i, j=j, lvl=lvl):
-                    y = _resnet_apply(res, x, temb_l, cfg.norm_num_groups, ctx, lvl)
+                def up_pair(x, temb_l, ehs_l, ctx_l, res=res, blk=blk, i=i,
+                            j=j, lvl=lvl):
+                    y = _resnet_apply(res, x, temb_l, cfg.norm_num_groups, ctx_l, lvl)
                     if blk["attentions"]:
                         y = _transformer_apply(blk["attentions"][j], y,
                                                ehs_l,
                                                cfg.num_heads[lvl], cfg.norm_num_groups,
-                                               cfg.use_linear_projection, ctx, lvl)
+                                               cfg.use_linear_projection, ctx_l, lvl)
                     return y
 
-                h = gated(f"up{i}.{j}", h, up_pair, res_p=res,
-                          attn_p=blk["attentions"][j] if blk["attentions"]
-                          else None, heads=cfg.num_heads[lvl], lvl=lvl)
+                h = gated(f"up{i}.{j}", h, up_pair)
             if "upsample" in blk:
                 h = _upsample_2x(h, ctx, lvl)
                 h = _conv(blk["upsample"], h, ctx, lvl - 1)

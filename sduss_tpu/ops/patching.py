@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -186,6 +186,33 @@ def build_meta(grids: Tuple[int, ...], patch_cells: int,
         image_id=image_id, neighbors=neighbors, group_gather=group_gather,
         patch_pos=patch_pos, kv_mask=kv_mask, class_info=ci,
         class_gather=cg, class_pos=cp, class_member=cm, class_kv=ck)
+
+
+@functools.lru_cache(maxsize=256)
+def compact_submeta(patch_cells: int,
+                    class_info: Tuple[Tuple[int, int], ...],
+                    fraction: float):
+    """Static sub-composition for image-granular compact recompute.
+
+    For cache mode "compact" on the patch path: each step recomputes the
+    ``round(ipc * fraction)`` most-drifted IMAGES of every resolution class
+    (gathered with all their patches), the rest keep cached block outputs.
+    The sub-batch is a CANONICAL composition — per-class capacities are
+    static, so its PatchMeta (and every index array) is a compile-time
+    constant; only the gather/scatter row indices are runtime values.
+
+    Returns (sub_meta, caps) where ``caps[ci]`` is the image capacity of
+    class ci and sub_meta's grids are ordered class-major (largest class
+    first), matching the concatenation order of the per-class gathers.
+    """
+    caps = [max(1, int(round(ipc * fraction))) for (_, ipc) in class_info]
+    grids: List[int] = []
+    for (g, _), c in zip(class_info, caps):
+        grids += [g] * c
+    n_p = sum(g * g for g in grids)
+    # exact-fit buckets: the sub batch needs no padding of its own
+    sub = build_meta(tuple(grids), patch_cells, (n_p,), (len(grids),))
+    return sub, tuple(caps)
 
 
 @functools.lru_cache(maxsize=256)

@@ -477,10 +477,11 @@ class BasePipeline:
 
         Mode "block" gates the patch path with the masked-recompute splice
         (exact reference semantics, no compute saving); mode "compact" adds
-        real savings via gate_compact_patch — full-tensor GN moments/halos,
-        top-K compact 3x3 convs, transformer recomputed on the spliced
-        resnet output (cache/manager.py).  Lazily built when enabled and the
-        denoiser supports it.
+        real savings via gate_compact_images — whole drift-ranked images
+        gathered per resolution class into a static canonical
+        sub-composition, where the pair recomputes exactly
+        (cache/manager.py).  Lazily built when enabled and the denoiser
+        supports it.
         """
         if not self.config.cache.enabled \
                 or self.config.cache.mode not in ("block", "compact"):
@@ -507,20 +508,17 @@ class BasePipeline:
         layout = self.bundle.denoiser.cache_layout(cells, self.config.cache.min_level)
         dtype = self._latent_dtype()
         first = next(iter(layout))
-        # patch-compact rows carry the extra mid1 (conv1 output) leaf
-        with_mid = self.config.cache.mode == "compact"
         for r, g in zip(ordered, grids):
             rows = r.cache_rows
             # a request may flip between the dense-compact and patched paths
-            # (or cache modes) across steps; a layout mismatch forces re-init
+            # across steps; a layout mismatch forces re-init
             stale = (rows is None or first not in rows
                      or rows[first]["inp"].shape[0] != 2 * g * g
                      or isinstance(rows[first]["out"], dict)
-                     or ("mid1" in rows[first]) != with_mid)
+                     or "mid1" in rows[first])  # legacy conv-compact rows
             if stale:
                 r.cache_rows = {
-                    key: cache.init_rows(key, 2 * g * g, s, c_in, c_out,
-                                         dtype, with_mid=with_mid)
+                    key: cache.init_rows(key, 2 * g * g, s, c_in, c_out, dtype)
                     for key, (s, c_in, c_out) in layout.items()}
         state = {}
         pad_rows = meta.p_pad - sum(g * g for g in grids)
@@ -532,8 +530,7 @@ class BasePipeline:
                 halves[0].append(jax.tree.map(lambda a: a[:n], rows))
                 halves[1].append(jax.tree.map(lambda a: a[n:], rows))
             if pad_rows:
-                pad = cache.init_rows(key, pad_rows, s, c_in, c_out, dtype,
-                                      with_mid=with_mid)
+                pad = cache.init_rows(key, pad_rows, s, c_in, c_out, dtype)
                 halves[0].append(pad)
                 halves[1].append(pad)
             parts = halves[0] + halves[1]
