@@ -142,3 +142,30 @@ def test_patch_group_norm_exact():
         off += g * g
         np.testing.assert_allclose(np.asarray(merged), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestCompactSubmeta:
+    def test_exact_fit_and_class_order(self):
+        m = _meta([2, 2, 4, 4])
+        sub, caps = patching.compact_submeta(m.patch_cells, m.class_info, 0.5)
+        # classes largest first: (4, ipc4), (2, ipc2); capacity >= 1 each
+        assert caps == tuple(max(1, round(ipc * 0.5))
+                             for _, ipc in m.class_info)
+        grids = []
+        for (g, _), c in zip(m.class_info, caps):
+            grids += [g] * c
+        assert sub.grids == tuple(grids)
+        # exact fit: no patch padding, no dummy image
+        assert sub.p_pad == sub.n_patches == sum(g * g for g in grids)
+        assert sub.i_pad == sub.n_images == len(grids)
+
+    def test_full_fraction_covers_all_images(self):
+        m = _meta([2, 4])
+        sub, caps = patching.compact_submeta(m.patch_cells, m.class_info, 1.0)
+        assert sum(caps) == sum(ipc for _, ipc in m.class_info)
+
+    def test_cached_identity(self):
+        m = _meta([2, 4])
+        a = patching.compact_submeta(m.patch_cells, m.class_info, 0.5)
+        b = patching.compact_submeta(m.patch_cells, m.class_info, 0.5)
+        assert a[0] is b[0]  # lru-cached: stable trace constants
