@@ -189,11 +189,20 @@ def main() -> None:  # pragma: no cover
     config.cache.enabled = True
     pipe = build_pipeline(config)
     res = args.resolutions or list(config.model.resolutions)
-    reqs = [Request(f"train-{i}", SamplingParams(
-        prompt=f"training prompt {i}", resolution=r,
-        num_inference_steps=args.steps, seed=i))
-        for i, r in enumerate(res)]
-    data = collect_traces(pipe, reqs, steps=args.steps)
+    # One resolution per collection pass: the trace cache holds inp+out per
+    # gated block per request, and a full multi-resolution batch of those
+    # rows exceeds a 16 GB chip at SD3 scale (measured ResourceExhausted).
+    # Per-block (rel_in, t, rel_out) features are batch-composition
+    # independent, so the merged dataset trains the same classifiers.
+    data: dict = {}
+    for i, r in enumerate(res):
+        reqs = [Request(f"train-{i}", SamplingParams(
+            prompt=f"training prompt {i}", resolution=r,
+            num_inference_steps=args.steps, seed=i))]
+        part = collect_traces(pipe, reqs, steps=args.steps)
+        for k, rows in part.items():
+            data.setdefault(k, []).extend(rows)
+        print(f"res {r}: {sum(len(v) for v in part.values())} trace rows")
     out = fit_classifiers(data, args.reuse_threshold, args.out)
     print(f"fitted {len(out)} block classifiers -> {args.out}")
 
