@@ -221,6 +221,83 @@ def _cross_short_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
             (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _mha_fused_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
+                      kv_len: int, kv_pad: int):
+    """Model-layout self-attention: one cell = one (batch row, q tile).
+
+    q/k/v/o all stay in (B, L, D) model layout — the four per-head
+    reshape+transposes of the standard path (each a full HBM round trip;
+    ~0.7 ms of the 2.45 ms SDXL-l2 call) never happen.  Heads are lane
+    slices taken in VMEM; the per-head QK/PV matmuls are large enough at
+    self-attention KV lengths (>=1024) to amortize the slice relayouts —
+    unlike the 77-token cross case where the same structure lost to dense
+    (see _cross_short_kernel).  Softmax is two-pass; the row sum rides the
+    f32 probability tile on the VPU (no V augmentation possible in model
+    layout).
+    """
+    q = q_ref[0]                                     # (bq, D) pre-scaled
+    for h in range(nh):
+        qh = q[:, h * hd : (h + 1) * hd]
+        kh = k_ref[0][:, h * hd : (h + 1) * hd]      # (kv_pad, hd)
+        vh = v_ref[0][:, h * hd : (h + 1) * hd]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (bq, kv_pad)
+        if kv_len != kv_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(vh.dtype), vh,
+                        preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd : (h + 1) * hd] = \
+            (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "block_q", "interpret"))
+def flash_mha_fused(q, k, v, num_heads: int, scale: float,
+                    block_q: int = 512, interpret: bool = False):
+    """Self-attention over (B, L, D) with zero head transposes.
+
+    Aligned/unmasked only (the dense-path hot case); the grouped/masked
+    patch paths use flash_mha.  Requires the whole-row K/V (full D) plus the
+    f32 score tile to fit VMEM — the caller (ops/attention.py) checks.
+    """
+    b, lq, dm = q.shape
+    lk = k.shape[1]
+    hd = dm // num_heads
+    kv_pad = _ceil_to(lk, 128)
+    block_q = min(block_q, _ceil_to(lq, 128))
+    lq_pad = _ceil_to(lq, block_q)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if lq_pad != lq:
+        qs = jnp.pad(qs, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    if kv_pad != lk:
+        k = jnp.pad(k, ((0, 0), (0, kv_pad - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, kv_pad - lk), (0, 0)))
+
+    grid = (b, lq_pad // block_q)
+    qo_spec = pl.BlockSpec((1, block_q, dm), lambda i, j: (i, j, 0))
+    kv_spec = pl.BlockSpec((1, kv_pad, dm), lambda i, j: (i, 0, 0))
+    kernel = functools.partial(_mha_fused_kernel, nh=num_heads, hd=hd,
+                               kv_len=lk, kv_pad=kv_pad)
+    out = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec],
+        out_specs=qo_spec,
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, dm), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(qs, k, v)
+    return out[:, :lq, :]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "scale", "block_q", "interpret"))

@@ -91,3 +91,20 @@ def test_cross_short_matches_dense(lq, lk, heads, hd):
                             interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("b,lq,lk,heads,hd", [
+    (2, 512, 512, 4, 64),    # aligned multi-head
+    (2, 640, 250, 2, 64),    # ragged q and kv
+    (1, 256, 256, 8, 40),    # SD1.5 head dim
+])
+def test_mha_fused_matches_dense(b, lq, lk, heads, hd):
+    from sduss_tpu.ops.flash import flash_mha_fused
+
+    dm = heads * hd
+    q, k, v = _mk(b, lq, lk, dm, seed=7)
+    scale = 1.0 / math.sqrt(hd)
+    ref = _dense_masked(q, k, v, heads, None, scale)
+    out = flash_mha_fused(q, k, v, heads, scale, block_q=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
