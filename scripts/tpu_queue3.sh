@@ -1,0 +1,10 @@
+#!/bin/bash
+# Sequential TPU jobs, batch 3.
+set -x
+export PYTHONPATH="/root/repo:$PYTHONPATH"
+cd /root/repo
+timeout 3600 python scripts/bench_fused_attn.py
+# full-step A/B of the fused attention dispatch (cache off for clean signal)
+BENCH_DEEP=0 BENCH_REPEATS=2 timeout 5400 python bench.py
+SDUSS_FUSED_ATTN=1 BENCH_DEEP=0 BENCH_REPEATS=2 timeout 5400 python bench.py
+echo QUEUE3_DONE

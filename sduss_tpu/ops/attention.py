@@ -110,6 +110,18 @@ def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
     # faster there; the kernel needs a long KV axis to amortize.
     if _flash_available(prefer_flash) and lq >= _FLASH_MIN_SEQ \
             and k.shape[1] >= 512 and kv_vmem <= 12 * 2**20:
+        import os
+
+        # Model-layout fused variant (no Q/K/V/O head transposes); opt-in
+        # until the on-chip A/B (scripts/bench_fused_attn.py) lands.
+        # Whole-row K/V + f32 scores must fit VMEM.
+        fused_vmem = (2 * k.shape[1] * q.shape[-1] * 2      # K+V rows
+                      + 512 * k.shape[1] * 6)               # score tile
+        if os.environ.get("SDUSS_FUSED_ATTN") == "1" \
+                and kv_token_mask is None and fused_vmem <= 60 * 2**20:
+            from sduss_tpu.ops.flash import flash_mha_fused
+
+            return flash_mha_fused(q, k, v, num_heads, scale)
         return _flash_masked(q, k, v, num_heads, kv_token_mask, scale)
     # Short-KV cross-attention (77 text tokens) stays DENSE: the measured
     # XLA path is ~60% of its bandwidth floor, and both the flash grid and
