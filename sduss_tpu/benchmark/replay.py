@@ -97,6 +97,9 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
     ap.add_argument("--cache-mode", default="compact",
                     choices=("block", "compact", "deep"))
     ap.add_argument("--compact-fraction", type=float, default=0.5)
+    ap.add_argument("--deep-interval", type=int, default=0,
+                    help="enable temporal deep-block reuse at this interval "
+                         "(the headline bench's cache; no classifiers needed)")
     args = ap.parse_args(argv)
 
     from sduss_tpu.config import ModelConfig
@@ -119,6 +122,10 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
         config.cache.mode = args.cache_mode
         config.cache.compact_fraction = args.compact_fraction
         config.cache.classifier_path = args.classifiers
+    if args.deep_interval:
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_interval = args.deep_interval
 
     if args.trace:
         from sduss_tpu.benchmark.traces import load_trace
