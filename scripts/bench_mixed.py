@@ -103,8 +103,7 @@ def main():
                          mse_threshold=0.01, min_level=1)
         cache = BlockCache(cc)
         layout = unet.cache_layout(cells, cc.min_level)
-        state = {key: cache.init_rows(key, meta2.p_pad, s, ci, co,
-                                      jnp.bfloat16, with_mid=True)
+        state = {key: cache.init_rows(key, meta2.p_pad, s, ci, co, jnp.bfloat16)
                  for key, (s, ci, co) in layout.items()}
 
         def one_step_c(params, x, st, a1, a2):
