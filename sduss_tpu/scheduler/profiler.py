@@ -23,7 +23,7 @@ fitted LatencyPredictor npz (SchedulerConfig.predictor_path).
 from __future__ import annotations
 
 import argparse
-import itertools
+
 import json
 import time
 from typing import Dict, List, Sequence, Tuple
@@ -113,9 +113,13 @@ class Profiler:
             s = self.step_latency({res: 1})
             step_lat[str(res)] = s
             standalone_d[str(res)] = s * 50.0
-            tbl = [self.post_latency(res, b)
-                   for b in range(1, max_post_batch + 1)]
-            post_tbl[str(res)] = tbl
+            # measure power-of-two batch points, interpolate between (each
+            # decode batch shape is its own compile through the dev relay)
+            pts = sorted({b for b in (1, 2, 4, 8) if b <= max_post_batch})
+            meas = {b: self.post_latency(res, b) for b in pts}
+            tbl = list(np.interp(np.arange(1, max_post_batch + 1), pts,
+                                 [meas[b] for b in pts]))
+            post_tbl[str(res)] = [float(v) for v in tbl]
             standalone_p[str(res)] = tbl[0]
         return {
             "family": self.family,
@@ -125,18 +129,34 @@ class Profiler:
             "post_batch_latency": post_tbl,
         }
 
-    def predictor_samples(self, max_per_res: int = 3
-                          ) -> Tuple[List[List[int]], List[float]]:
-        """Measure step latency over a grid of resolution-count mixtures."""
+    def predictor_samples(self) -> Tuple[List[List[int]], List[float]]:
+        """Measure step latency over a curated set of resolution mixtures.
+
+        A full count grid (4^R mixtures) is a compile storm through the dev
+        relay (each new bucket composition recompiles the full mixed step,
+        ~15-25 min); the predictor is a 3-feature ridge fit
+        (scheduler/predictor.py), so ~10 well-spread mixtures determine it.
+        Singles and doubles per resolution, pairwise mixes of the extreme
+        resolutions, and one all-resolution mix.
+        """
         res = sorted(self.resolutions)
+        mixes: List[Dict[int, int]] = []
+        for r in res:
+            mixes.append({r: 1})
+            mixes.append({r: 2})
+        if len(res) >= 2:
+            lo, hi = res[0], res[-1]
+            mixes.append({lo: 1, hi: 1})
+            mixes.append({lo: 2, hi: 2})
+        if len(res) >= 3:
+            mixes.append({r: 1 for r in res})
+        maxb = self.config.scheduler.max_batch_size
         rows, ys = [], []
-        grid = itertools.product(*[range(max_per_res + 1)] * len(res))
-        for counts in grid:
-            if sum(counts) == 0 or sum(counts) > self.config.scheduler.max_batch_size:
+        for mix in mixes:
+            if sum(mix.values()) > maxb:
                 continue
-            mix = {r: c for r, c in zip(res, counts) if c > 0}
             y = self.step_latency(mix, iters=3)
-            rows.append(list(counts))
+            rows.append([mix.get(r, 0) for r in res])
             ys.append(y)
         return rows, ys
 
