@@ -412,3 +412,44 @@ class TestTraceTrainSD3:
         clf = fit_classifiers(data, reuse_threshold=0.01)
         for k, w in clf.items():
             assert w.shape == (4,)
+
+
+class TestGateCompactImagesUnit:
+    def test_surplus_capacity_drops_pad_slots(self):
+        """Class capacity beyond a class's real images must scatter nowhere
+        (out-of-bounds drop), never corrupt real rows."""
+        import jax.numpy as jnp
+
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+        from sduss_tpu.ops import patching
+        from sduss_tpu.ops.patch_ctx import PatchContext
+
+        meta = patching.build_meta((2, 2, 2), 8, (16,), (4,))
+        # one resolution class bucketed to 4 image slots, 3 real
+        (g, ipc), = meta.class_info
+        assert ipc == 4
+        ctx = PatchContext(meta)
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       compact_fraction=1.0))
+        caps = (4,)  # deliberately > 3 real images
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((meta.p_pad, 8, 8, 4)),
+                        jnp.float32)
+        state = cache.init_rows("k", meta.p_pad, 8, 4, 4, jnp.float32)
+
+        def fn(x_sub, gidx, sel_imgs):
+            assert x_sub.shape[0] == 4 * g * g
+            return x_sub * 2.0
+
+        y, ns, _ = cache.gate_compact_images(
+            "k", x, jnp.zeros((meta.p_pad,)), state, fn, ctx, caps)
+        y = np.asarray(y)
+        # all 12 real patches recomputed (capacity covers every real image)
+        np.testing.assert_allclose(y[:12], 2.0 * np.asarray(x)[:12],
+                                   rtol=1e-6)
+        # bucket-pad patch rows keep their cached value (zeros)
+        np.testing.assert_allclose(y[12:], 0.0)
+        hits = np.asarray(ns["hits"])
+        assert (hits[:12] == 0).all()          # refreshed
+        assert (hits[12:] > 0).all()           # never selected
