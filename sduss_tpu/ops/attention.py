@@ -112,12 +112,15 @@ def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
             and k.shape[1] >= 512 and kv_vmem <= 12 * 2**20:
         import os
 
-        # Model-layout fused variant (no Q/K/V/O head transposes); opt-in
-        # until the on-chip A/B (scripts/bench_fused_attn.py) lands.
-        # Whole-row K/V + f32 scores must fit VMEM.
+        # Model-layout fused variant (no Q/K/V/O head transposes) is the
+        # DEFAULT for the aligned unmasked case: measured 1.15x at SDXL l2,
+        # 1.10x at the SD3 joint shape, 0.99x (tie) at l1 in isolation and
+        # +10.2% on the cache-off SDXL full step (0.2921 -> 0.3218 img/s;
+        # exp/bench_fused_attn_v5e.json).  SDUSS_FUSED_ATTN=0 reverts to the
+        # head-transposed kernel.  Whole-row K/V + f32 scores must fit VMEM.
         fused_vmem = (2 * k.shape[1] * q.shape[-1] * 2      # K+V rows
                       + 512 * k.shape[1] * 6)               # score tile
-        if os.environ.get("SDUSS_FUSED_ATTN") == "1" \
+        if os.environ.get("SDUSS_FUSED_ATTN") != "0" \
                 and kv_token_mask is None and fused_vmem <= 60 * 2**20:
             from sduss_tpu.ops.flash import flash_mha_fused
 
