@@ -281,7 +281,7 @@ def main() -> None:
         "batch": best_b,
         "deep_reuse_interval": deep if mode == "scan" else 0,
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
-        "cache_off_img_s": 0.2257,  # measured same config, BENCH logs
+        "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 
 
