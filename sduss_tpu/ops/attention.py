@@ -113,15 +113,17 @@ def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
         import os
 
         # Model-layout fused variant (no Q/K/V/O head transposes) is the
-        # DEFAULT for the aligned unmasked case: measured 1.15x at SDXL l2,
-        # 1.10x at the SD3 joint shape, 0.99x (tie) at l1 in isolation and
-        # +10.2% on the cache-off SDXL full step (0.2921 -> 0.3218 img/s;
-        # exp/bench_fused_attn_v5e.json).  SDUSS_FUSED_ATTN=0 reverts to the
-        # head-transposed kernel.  Whole-row K/V + f32 scores must fit VMEM.
-        fused_vmem = (2 * k.shape[1] * q.shape[-1] * 2      # K+V rows
-                      + 512 * k.shape[1] * 6)               # score tile
+        # DEFAULT for the aligned unmasked case at SDXL/SD1.5 scales:
+        # measured 1.15x at l2, tie at l1, +10.2% on the cache-off SDXL
+        # full step (0.2921 -> 0.3218 img/s; exp/bench_fused_attn_v5e.json).
+        # Gate on the whole-row K size: the kernel holds full-D K/V rows
+        # plus f32 scores in VMEM, and at SD3's (4096, 1536) dual shape the
+        # real demand was 115 MB (>100 MB scoped limit -> compile OOM in
+        # the full model), so SD3-scale rows stay on the head-transposed
+        # kernel.  SDUSS_FUSED_ATTN=0 reverts everywhere.
+        k_row_bytes = k.shape[1] * q.shape[-1] * 2
         if os.environ.get("SDUSS_FUSED_ATTN") != "0" \
-                and kv_token_mask is None and fused_vmem <= 60 * 2**20:
+                and kv_token_mask is None and k_row_bytes <= 6 * 2**20:
             from sduss_tpu.ops.flash import flash_mha_fused
 
             return flash_mha_fused(q, k, v, num_heads, scale)
