@@ -181,11 +181,15 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--resolutions", type=int, nargs="+", default=None)
     ap.add_argument("--reuse-threshold", type=float, default=0.01)
     ap.add_argument("--out", default="cache_classifiers.npz")
+    ap.add_argument("--encoders-on-host", action="store_true",
+                    help="keep text encoders in host memory (HBM-limited "
+                         "chips; required for full-size SD3 on one v5e)")
     args = ap.parse_args()
 
     config = Config()
     config.model = ModelConfig(model=args.family, test_tiny=args.tiny,
-                               dtype=args.dtype)
+                               dtype=args.dtype,
+                               encoders_on_host=args.encoders_on_host)
     config.cache.enabled = True
     pipe = build_pipeline(config)
     res = args.resolutions or list(config.model.resolutions)

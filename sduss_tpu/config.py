@@ -55,6 +55,13 @@ class ModelConfig:
     # Safety checker: None = off; a HF safety_checker/ dir = load weights;
     # "random" = random weights (tests only).
     safety_checker_path: Optional[str] = None
+    # Keep text-encoder params in HOST memory and run text encoding on the
+    # CPU backend.  Stage-wise residency for HBM-limited chips: the SD3
+    # bundle (MMDiT + T5-XXL + CLIP-L/G) nearly fills a 16 GB v5e, leaving
+    # no room for step activations (measured ResourceExhausted); encoders
+    # are only needed at admission time and their compute is tiny (77/256
+    # tokens).  The reference keeps everything resident on 80 GB H100s.
+    encoders_on_host: bool = False
 
     def __post_init__(self) -> None:
         if not self.resolutions:

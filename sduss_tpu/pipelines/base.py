@@ -73,14 +73,38 @@ class BasePipeline:
 
     # -- device placement ----------------------------------------------------
 
+    # Text-encoder roles kept host-side under ModelConfig.encoders_on_host
+    # (stage-wise residency; see config.py).
+    ENCODER_ROLES = ("text_encoder", "text_encoder_2", "text_encoder_3")
+
     @property
     def params(self) -> dict:
+        """Device-resident params for the denoise/decode stages.
+
+        With ``encoders_on_host`` the text-encoder subtrees are EXCLUDED
+        (they would otherwise ride every jitted stage call onto the chip);
+        encode paths use :meth:`encoder_params` instead.
+        """
         if self._params_device is None:
             p = self.bundle.params
+            if self.config.model.encoders_on_host:
+                p = {k: v for k, v in p.items() if k not in self.ENCODER_ROLES}
             if self.placement is not None:
                 p = self.placement.put_params(p, self.bundle.denoiser_key)
             self._params_device = p
         return self._params_device
+
+    def encoder_params(self, role: str) -> dict:
+        """{role: params} for a text encoder, on chip or host per config."""
+        if not self.config.model.encoders_on_host:
+            return self.params
+        if not hasattr(self, "_host_encoder_params"):
+            self._host_encoder_params = {}
+        if role not in self._host_encoder_params:
+            host = jax.devices("cpu")[0]
+            self._host_encoder_params[role] = {
+                role: jax.device_put(self.bundle.params[role], host)}
+        return self._host_encoder_params[role]
 
     def _jit(self, name: str, fn: Callable) -> Callable:
         if name not in self._fns:
@@ -722,5 +746,9 @@ class BasePipeline:
             feats = out["hidden_states"][-2] if penultimate else out["last_hidden_state"]
             return feats, out["pooled"]
 
-        feats, pooled = self._jit(("clip", role, bb, penultimate), fn)(self.params, jnp.asarray(ids))
+        ep = self.encoder_params(role)
+        ids_a = jnp.asarray(ids)
+        if self.config.model.encoders_on_host:
+            ids_a = jax.device_put(ids_a, jax.devices("cpu")[0])
+        feats, pooled = self._jit(("clip", role, bb, penultimate), fn)(ep, ids_a)
         return np.asarray(feats), (np.asarray(pooled) if need_pooled else None)

@@ -28,9 +28,16 @@ class StableDiffusion3Pipeline(BasePipeline):
         def fn(params, ids, mask):
             return model.apply(params["text_encoder_3"], ids, attention_mask=mask)
 
+        import jax
         import jax.numpy as jnp
 
-        out = self._jit(("t5", bb), fn)(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        ep = self.encoder_params("text_encoder_3")
+        ids_a, mask_a = jnp.asarray(ids), jnp.asarray(mask)
+        if self.config.model.encoders_on_host:
+            cpu = jax.devices("cpu")[0]
+            ids_a = jax.device_put(ids_a, cpu)
+            mask_a = jax.device_put(mask_a, cpu)
+        out = self._jit(("t5", bb), fn)(ep, ids_a, mask_a)
         return np.asarray(out)
 
     def encode_conditioning(self, prompts: List[str], negatives: List[str],

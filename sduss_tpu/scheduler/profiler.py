@@ -43,12 +43,13 @@ def jax_leaves(x):
 
 class Profiler:
     def __init__(self, family: str, tiny: bool = False, dtype: str = "bfloat16",
-                 resolutions: Sequence[int] = ()):
+                 resolutions: Sequence[int] = (), encoders_on_host: bool = False):
         from sduss_tpu.config import Config, ModelConfig
         from sduss_tpu.pipelines import build_pipeline
 
         config = Config()
-        config.model = ModelConfig(model=family, test_tiny=tiny, dtype=dtype)
+        config.model = ModelConfig(model=family, test_tiny=tiny, dtype=dtype,
+                                   encoders_on_host=encoders_on_host)
         self.config = config
         self.pipe = build_pipeline(config)
         self.family = family
@@ -179,9 +180,13 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--out-profile", default="profile.json")
     ap.add_argument("--out-predictor", default="predictor.npz")
     ap.add_argument("--skip-predictor", action="store_true")
+    ap.add_argument("--encoders-on-host", action="store_true",
+                    help="keep text encoders in host memory (HBM-limited "
+                         "chips; required for full-size SD3 on one v5e)")
     args = ap.parse_args()
 
-    prof = Profiler(args.family, tiny=args.tiny, dtype=args.dtype)
+    prof = Profiler(args.family, tiny=args.tiny, dtype=args.dtype,
+                    encoders_on_host=args.encoders_on_host)
     profile = prof.build_profile()
     with open(args.out_profile, "w") as f:
         json.dump(profile, f, indent=2)

@@ -156,3 +156,29 @@ def test_vae_bf16_decode_close_to_f32():
     a = run("float32")
     b = run("bfloat16")
     assert np.abs(a - b).mean() < 3.0
+
+
+class TestEncodersOnHost:
+    def test_host_encoders_generate_and_param_split(self):
+        """encoders_on_host: device params exclude text encoders; generation
+        still works (stage-wise residency for HBM-limited chips)."""
+        from sduss_tpu.config import Config, ModelConfig, SchedulerConfig
+        from sduss_tpu.pipelines import build_pipeline
+        from sduss_tpu.request import Request, SamplingParams, Stage
+
+        config = Config()
+        config.model = ModelConfig(model="sd3", test_tiny=True,
+                                   dtype="float32", encoders_on_host=True)
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True)
+        pipe = build_pipeline(config)
+        assert all(role not in pipe.params for role in pipe.ENCODER_ROLES)
+        reqs = [Request("e0", SamplingParams(prompt="p", resolution=256,
+                                             num_inference_steps=2, seed=0))]
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        for _ in range(2):
+            pipe.denoise_step_mixed({256: reqs})
+        pipe.postprocess({256: reqs})
+        assert reqs[0].output is not None
+        assert np.isfinite(np.asarray(reqs[0].output, np.float32)).all()
