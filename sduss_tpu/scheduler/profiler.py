@@ -115,11 +115,26 @@ class Profiler:
             step_lat[str(res)] = s
             standalone_d[str(res)] = s * 50.0
             # measure power-of-two batch points, interpolate between (each
-            # decode batch shape is its own compile through the dev relay)
+            # decode batch shape is its own compile through the dev relay).
+            # Full-res decode activations are the pipeline's HBM peak
+            # (SD3 1024^2 at batch 8 ResourceExhausts a v5e); batch points
+            # that do not fit are extrapolated from those that do — the
+            # serving path chunks decodes anyway (SchedulerConfig
+            # decode_batch).
             pts = sorted({b for b in (1, 2, 4, 8) if b <= max_post_batch})
-            meas = {b: self.post_latency(res, b) for b in pts}
-            tbl = list(np.interp(np.arange(1, max_post_batch + 1), pts,
-                                 [meas[b] for b in pts]))
+            meas = {}
+            for b in pts:
+                try:
+                    meas[b] = self.post_latency(res, b)
+                except Exception as e:  # ResourceExhausted at HBM peak
+                    print(f"post {res} b{b}: skipped ({type(e).__name__})")
+                    break
+            ok = sorted(meas)
+            per_img = meas[ok[-1]] / ok[-1]  # linear extrapolation slope
+            tbl = list(np.interp(np.arange(1, max_post_batch + 1), ok,
+                                 [meas[b] for b in ok]))
+            for i in range(ok[-1], max_post_batch):
+                tbl[i] = tbl[ok[-1] - 1] + per_img * (i + 1 - ok[-1])
             post_tbl[str(res)] = [float(v) for v in tbl]
             standalone_p[str(res)] = tbl[0]
         return {
