@@ -62,6 +62,13 @@ class ModelConfig:
     # are only needed at admission time and their compute is tiny (77/256
     # tokens).  The reference keeps everything resident on 80 GB H100s.
     encoders_on_host: bool = False
+    # Spatially-tiled VAE decode: latent tile edge (0 = full-frame decode).
+    # Full-res decode activations are the pipeline HBM peak; the SD3
+    # 16-channel VAE at 1024^2 exhausts a 16 GB v5e without tiling
+    # (models/vae.py decode_tiled).  "auto" per family in __post_init__:
+    # 64 for sd3, off otherwise.
+    vae_tile_latent: int = -1
+    vae_tile_overlap: int = 16
 
     def __post_init__(self) -> None:
         if not self.resolutions:
@@ -72,6 +79,9 @@ class ModelConfig:
             }
             fam = self.family
             self.resolutions = tuple(defaults.get(fam, (256, 512)))
+        if self.vae_tile_latent < 0:  # auto: tile the HBM-heavy SD3 decode
+            self.vae_tile_latent = 64 if (self.family == "sd3"
+                                          and not self.test_tiny) else 0
 
     @property
     def family(self) -> str:

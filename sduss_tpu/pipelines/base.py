@@ -715,20 +715,29 @@ class BasePipeline:
 
     def _decode_fn(self, params, latents):
         dtype = self._vae_dtype()
+        vae = self.bundle.models["vae"]
+        tile = self.config.model.vae_tile_latent
+        if tile and latents.shape[1] > tile:
+            # HBM-bounded tiled decode (SD3 16-ch full-res peak; vae.py).
+            def decode(p, z, dtype=None):
+                return vae.decode_tiled(
+                    p, z, dtype=dtype, tile=tile,
+                    overlap=self.config.model.vae_tile_overlap)
+        else:
+            decode = vae.decode
         vae_params = params["vae"]
         if dtype == jnp.bfloat16:
             vae_params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 vae_params)
-            img = self.bundle.models["vae"].decode(
-                vae_params, latents.astype(jnp.float32), dtype=jnp.bfloat16)
+            img = decode(vae_params, latents.astype(jnp.float32),
+                         dtype=jnp.bfloat16)
         else:
             # float32 math at "high" precision (bf16_3x passes: ~f32-accurate,
             # ~2x the speed of "highest"/f32-native)
             with jax.default_matmul_precision("high"):
-                img = self.bundle.models["vae"].decode(
-                    vae_params, latents.astype(jnp.float32))
+                img = decode(vae_params, latents.astype(jnp.float32))
         img = jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
         return jnp.round(img * 255.0).astype(jnp.uint8)
 

@@ -43,17 +43,58 @@ def jax_leaves(x):
 
 class Profiler:
     def __init__(self, family: str, tiny: bool = False, dtype: str = "bfloat16",
-                 resolutions: Sequence[int] = (), encoders_on_host: bool = False):
+                 resolutions: Sequence[int] = (), encoders_on_host: bool = False,
+                 isolate: str = "none"):
         from sduss_tpu.config import Config, ModelConfig
-        from sduss_tpu.pipelines import build_pipeline
 
         config = Config()
         config.model = ModelConfig(model=family, test_tiny=tiny, dtype=dtype,
                                    encoders_on_host=encoders_on_host)
         self.config = config
-        self.pipe = build_pipeline(config)
         self.family = family
+        self.tiny = tiny
+        self.dtype = dtype
+        self.encoders_on_host = encoders_on_host
+        # "none" | "post" | "all": which measurements run in a one-shot
+        # subprocess.  A ResourceExhausted during a measurement through the
+        # dev relay poisons the device for every subsequent fetch in the
+        # same process (round-1 SD3 failure mode); isolation contains the
+        # blast radius to the failing point at the cost of re-placing
+        # params per subprocess.  NOTE on the single-slot axon dev relay,
+        # use "all" (the parent then never initializes jax and each child
+        # owns the chip alone); "post" keeps the parent on-device while
+        # children dial in, which only works on real locally-attached TPUs.
+        self.isolate = isolate
+        self._pipe = None
         self.resolutions = list(resolutions) or list(config.model.resolutions)
+
+    @property
+    def pipe(self):
+        if self._pipe is None:
+            from sduss_tpu.pipelines import build_pipeline
+
+            self._pipe = build_pipeline(self.config)
+        return self._pipe
+
+    def _measure_sub(self, spec: dict) -> float:
+        """Run one measurement in a fresh subprocess; returns the value."""
+        import subprocess
+        import sys
+
+        spec = dict(spec, family=self.family, tiny=self.tiny, dtype=self.dtype,
+                    encoders_on_host=self.encoders_on_host)
+        r = subprocess.run(
+            [sys.executable, "-m", "sduss_tpu.scheduler.profiler",
+             "--measure-one", json.dumps(spec)],
+            capture_output=True, text=True)
+        for line in reversed(r.stdout.splitlines()):
+            if line.startswith("{"):
+                out = json.loads(line)
+                if out.get("ok"):
+                    return float(out["value"])
+                raise RuntimeError(f"measurement failed: {out.get('error')}")
+        raise RuntimeError(
+            f"measurement subprocess rc={r.returncode}: {r.stderr[-2000:]}")
 
     # -- measurement ----------------------------------------------------------
 
@@ -76,6 +117,13 @@ class Profiler:
 
     def step_latency(self, counts: Dict[int, int], iters: int = 5) -> float:
         """Median per-step seconds for one denoiser step at this mix."""
+        if self.isolate == "all":
+            return self._measure_sub(
+                {"kind": "step", "counts": {str(k): v for k, v in counts.items()},
+                 "iters": iters})
+        return self._step_latency_local(counts, iters)
+
+    def _step_latency_local(self, counts: Dict[int, int], iters: int = 5) -> float:
         reqs = self._make_reqs(counts, steps=iters + 3)
         by_res: Dict[int, list] = {}
         for r in reqs:
@@ -95,6 +143,12 @@ class Profiler:
         return float(np.median(times))
 
     def post_latency(self, res: int, batch: int, iters: int = 3) -> float:
+        if self.isolate in ("post", "all"):
+            return self._measure_sub(
+                {"kind": "post", "res": res, "batch": batch, "iters": iters})
+        return self._post_latency_local(res, batch, iters)
+
+    def _post_latency_local(self, res: int, batch: int, iters: int = 3) -> float:
         reqs = self._make_reqs({res: batch}, steps=2)
         by_res = {res: reqs}
         self.pipe.postprocess(by_res)  # compile (+ sync: postprocess is host-blocking)
@@ -187,6 +241,25 @@ class Profiler:
         pred.save(out_path)
 
 
+def _measure_one(spec_json: str) -> None:
+    """Subprocess entry: run one measurement, print one JSON line."""
+    spec = json.loads(spec_json)
+    prof = Profiler(spec["family"], tiny=spec.get("tiny", False),
+                    dtype=spec.get("dtype", "bfloat16"),
+                    encoders_on_host=spec.get("encoders_on_host", False))
+    try:
+        if spec["kind"] == "step":
+            counts = {int(k): v for k, v in spec["counts"].items()}
+            v = prof._step_latency_local(counts, iters=spec.get("iters", 5))
+        else:
+            v = prof._post_latency_local(spec["res"], spec["batch"],
+                                         iters=spec.get("iters", 3))
+        print(json.dumps({"ok": True, "value": v}))
+    except Exception as e:
+        print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"[:500]}))
+        raise SystemExit(1)
+
+
 def main() -> None:  # pragma: no cover
     ap = argparse.ArgumentParser("sduss_tpu profiler")
     ap.add_argument("--family", default="sdxl")
@@ -198,10 +271,19 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--encoders-on-host", action="store_true",
                     help="keep text encoders in host memory (HBM-limited "
                          "chips; required for full-size SD3 on one v5e)")
+    ap.add_argument("--isolate", choices=["none", "post", "all"], default="none",
+                    help="run measurements in one-shot subprocesses so an "
+                         "OOM cannot poison the device for later points")
+    ap.add_argument("--measure-one", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.measure_one:
+        _measure_one(args.measure_one)
+        return
+
     prof = Profiler(args.family, tiny=args.tiny, dtype=args.dtype,
-                    encoders_on_host=args.encoders_on_host)
+                    encoders_on_host=args.encoders_on_host,
+                    isolate=args.isolate)
     profile = prof.build_profile()
     with open(args.out_profile, "w") as f:
         json.dump(profile, f, indent=2)

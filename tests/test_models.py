@@ -97,3 +97,33 @@ def test_mmdit_batch_independence():
     full = model.apply(params, x, t, ehs, pooled)
     solo = model.apply(params, x[:1], t[:1], ehs[:1], pooled[:1])
     np.testing.assert_allclose(np.asarray(full[0]), np.asarray(solo[0]), rtol=2e-4, atol=1e-5)
+
+
+def test_vae_tiled_decode_matches_full():
+    """Tiled decode (models/vae.py decode_tiled — the SD3 full-res HBM fix)
+    approximates full-frame decode: per-tile mid attention + conv pad context
+    bound the deviation; blending must keep it small and seam-free."""
+    model = AutoencoderKL(TINY_VAE)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    lat = jax.image.resize(base, (1, 32, 32, 4), "linear")  # smooth field
+    full = np.asarray(model.decode(params, lat), np.float32)
+    tiled = np.asarray(
+        jax.jit(lambda p, z: model.decode_tiled(p, z, tile=16, overlap=8))(
+            params, lat), np.float32)
+    assert tiled.shape == full.shape == (1, 64, 64, 3)
+    assert np.isfinite(tiled).all()
+    scale = np.abs(full).max()
+    assert np.abs(tiled - full).mean() / scale < 0.06
+    # borders renormalize to weight 1: no vignetting at the frame edge
+    assert np.abs(tiled[:, 0, :, :] - full[:, 0, :, :]).mean() / scale < 0.2
+
+
+def test_vae_tiled_decode_small_input_passthrough():
+    model = AutoencoderKL(TINY_VAE)
+    params = model.init(jax.random.key(0))
+    lat = jnp.ones((1, 8, 8, 4), jnp.float32) * 0.1
+    a = np.asarray(model.decode(params, lat))
+    b = np.asarray(model.decode_tiled(params, lat, tile=16))
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)

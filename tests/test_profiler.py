@@ -52,3 +52,15 @@ class TestProfiler:
         back = LatencyPredictor.load(p, get_profile("sd15"))
         for row, y in zip(rows, ys):
             assert abs(back.predict(row) - y) < 0.01
+
+    def test_isolated_measurement_subprocess(self):
+        """isolate="all" must never initialize jax in the parent and still
+        return valid numbers via the one-shot --measure-one subprocess."""
+        p = Profiler("sd15", tiny=True, dtype="float32",
+                     resolutions=(256,), isolate="all")
+        assert p._pipe is None
+        t = p.step_latency({256: 1}, iters=1)
+        assert t > 0
+        t2 = p.post_latency(256, 1, iters=1)
+        assert t2 > 0
+        assert p._pipe is None  # parent stayed off-device
