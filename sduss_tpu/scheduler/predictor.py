@@ -56,7 +56,10 @@ class LatencyPredictor:
             if c > 0:
                 any_active = True
                 step = self.profile.step_latency_s(r)
-                # marginal cost of additional same-res requests ~55% of solo
+                # Heuristic prior for the un-fitted fallback only: marginal
+                # cost of additional same-res requests assumed ~55% of solo
+                # (rough shape of the measured sdxl batch curve; fitted
+                # weights from the on-device profiler replace this).
                 total += step + max(c - 1, 0) * step * 0.55
         return total if any_active else 0.0
 

@@ -57,8 +57,8 @@ class RequestPool:
                    (Stage.WAITING, Stage.PREPARE, Stage.DENOISING, Stage.POSTPROCESSING))
 
     def pending_pixels(self) -> int:
-        """Workload proxy: sum of resolution^2 * remaining-step fraction
-        (reference dispatcher/request_pool.py:95-102 uses raw resolution^2)."""
+        """Workload proxy: sum of resolution^2 over unfinished requests,
+        matching the reference (dispatcher/request_pool.py:95-102)."""
         total = 0
         for s in (Stage.PREPARE, Stage.DENOISING, Stage.POSTPROCESSING):
             for req in self.in_stage(s):
