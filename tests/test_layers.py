@@ -121,3 +121,38 @@ class TestAttention:
         a, g = h.chunk(2, dim=-1)
         want = (a * F.gelu(g)).numpy()
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestFullSizeShapes:
+    """Primitive semantics at real deployment shapes (round-1 verdict #6:
+    torch spot-checks must also cover full-size conv/linear/norm shapes,
+    where padding/layout bugs can hide behind small-shape symmetry)."""
+
+    def test_conv2d_sdxl_shape_matches_torch(self):
+        # SDXL down_blocks.1 conv: 320->640 at 64x64 latent cells
+        x, w, b = rngs((1, 64, 64, 320), (3, 3, 320, 640), (640,))
+        got = np.asarray(L.conv2d({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+                                  jnp.asarray(x)))
+        want = F.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                        torch.from_numpy(w.transpose(3, 2, 0, 1)),
+                        torch.from_numpy(b), padding=1)
+        np.testing.assert_allclose(got, want.numpy().transpose(0, 2, 3, 1),
+                                   rtol=2e-4, atol=2e-3)
+
+    def test_linear_mmdit_shape_matches_torch(self):
+        # MMDiT qkv projection: 1536->1536 over 4096 joint tokens
+        x, w, b = rngs((1, 4096, 1536), (1536, 1536), (1536,))
+        got = np.asarray(L.linear({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+                                  jnp.asarray(x)))
+        want = torch.from_numpy(x) @ torch.from_numpy(w) + torch.from_numpy(b)
+        np.testing.assert_allclose(got, want.numpy(), rtol=2e-4, atol=2e-3)
+
+    def test_group_norm_unet_shape_matches_torch(self):
+        # UNet groupnorm: 32 groups over 1280 channels at 32x32
+        x, sc, b = rngs((2, 32, 32, 1280), (1280,), (1280,))
+        got = np.asarray(L.group_norm({"scale": jnp.asarray(sc), "bias": jnp.asarray(b)},
+                                      jnp.asarray(x), 32, 1e-5))
+        want = F.group_norm(torch.from_numpy(x.transpose(0, 3, 1, 2)), 32,
+                            torch.from_numpy(sc), torch.from_numpy(b), 1e-5)
+        np.testing.assert_allclose(got, want.numpy().transpose(0, 2, 3, 1),
+                                   rtol=2e-4, atol=2e-3)
