@@ -1,0 +1,318 @@
+"""Quality bounds for the serving caches: latent-trajectory divergence.
+
+Round-1 verdict item 4: the headline deep cache (interval 3) and the compact
+top-K cache shipped with no quality measurement.  This script measures the
+end-of-trajectory latent divergence each cache setting induces vs the exact
+cache-off trajectory — the weight-free analog of the reference's
+quality-validated thresholds (its classifiers are trained on MSE-vs-cache
+features at threshold 0.01, reference cache_manager.py:101-191): identical
+seeds/inputs, identical sampler table, only the cache differs.
+
+Metrics per (config, seed): relative MSE and cosine similarity of final
+latents vs cache-off.  Runs on CPU tiny models (fast sweep) or the real chip
+(full-size spot checks):
+
+    python scripts/cache_quality.py --family sdxl --tiny --steps 30 \
+        --out exp/cache_quality_sdxl_tiny.json
+    python scripts/cache_quality.py --family sdxl --steps 30 \
+        --out exp/cache_quality_sdxl_v5e.json       # on the chip
+
+Output JSON: {"configs": [{"kind": "deep", "param": 3, "rel_mse": ...,
+"cosine": ...}, ...]} — the production default should sit at the measured
+knee of rel_mse vs saving.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _metrics(a, b):
+    a = np.asarray(a, np.float32).ravel()
+    b = np.asarray(b, np.float32).ravel()
+    rel_mse = float(np.mean((a - b) ** 2) / (np.mean(b**2) + 1e-12))
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    return rel_mse, cos
+
+
+def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
+    """(run_plain, run_deep(interval), run_compact(fraction), make_inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sduss_tpu.models.unet import SDXL_UNET, TINY_SDXL_UNET, UNet2DConditionModel
+    from sduss_tpu.samplers import get_sampler
+
+    cfg = TINY_SDXL_UNET if tiny else SDXL_UNET
+    unet = UNet2DConditionModel(cfg)
+    sampler = get_sampler("euler")
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    b = batch
+    hw = res // 8
+    ctx_dim = cfg.cross_attention_dim
+    pooled_dim = 48 if tiny else 1280
+
+    table = sampler.make_table(n_steps)
+    ts = jnp.asarray(table.timesteps)
+    cs = jnp.asarray(table.coeffs)
+
+    if tiny:
+        params = unet.init(jax.random.key(0))
+    else:
+        from sduss_tpu.utils import random_params_bf16
+
+        params = random_params_bf16(unet)
+
+    def make_inputs(seed: int):
+        r = np.random.default_rng(seed)
+        lat = jnp.asarray(r.standard_normal((b, hw, hw, 4)), dtype)
+        ehs = jnp.asarray(0.3 * r.standard_normal((2 * b, 77, ctx_dim)), dtype)
+        pooled = jnp.asarray(0.3 * r.standard_normal((2 * b, pooled_dim)), dtype)
+        tid = jnp.tile(jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
+                       (2 * b, 1))
+        g = jnp.full((b,), 5.0)
+        return lat, g, ehs, pooled, tid
+
+    def one_step(params, lat, i, g, ehs, pooled, tid, **kw):
+        c0 = jnp.full((b,), cs[i, 0])
+        c1 = jnp.full((b,), cs[i, 1])
+        t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+        lat_in = sampler.scale_model_input(jnp.concatenate([lat, lat]),
+                                           jnp.concatenate([c0, c0]))
+        added = {"text_embeds": pooled, "time_ids": tid}
+        out = unet.apply(params, lat_in, t2, ehs, added_cond=added, **kw)
+        extra = None
+        if isinstance(out, tuple):
+            out, extra = out
+        u, c = jnp.split(out, 2)
+        eps = u + g.reshape(-1, 1, 1, 1) * (c - u)
+        return sampler.step(lat, eps, c0, c1), extra
+
+    import functools
+
+    @jax.jit
+    def run_plain(lat, g, ehs, pooled, tid):
+        def body(i, lat):
+            return one_step(params, lat, i, g, ehs, pooled, tid)[0]
+
+        return jax.lax.fori_loop(0, n_steps, body, lat)
+
+    @functools.lru_cache(maxsize=None)
+    def run_deep(interval: int):
+        n_lv = len(cfg.block_out_channels)
+        c_deep = cfg.block_out_channels[-1]
+        hw_deep = hw // (2 ** max(n_lv - 2, 0))
+
+        @jax.jit
+        def run(lat, g, ehs, pooled, tid):
+            deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
+
+            def full_f(args):
+                lat, deep, i = args
+                out, d2 = one_step(params, lat, i, g, ehs, pooled, tid,
+                                   deep_mode="full", deep_state=None)
+                return out, d2
+
+            def shallow_f(args):
+                lat, deep, i = args
+                out, d2 = one_step(params, lat, i, g, ehs, pooled, tid,
+                                   deep_mode="shallow", deep_state=deep)
+                return out, d2
+
+            def body(i, carry):
+                lat, deep = carry
+                return jax.lax.cond((i % interval) == 0, full_f, shallow_f,
+                                    (lat, deep, i))
+
+            lat, _ = jax.lax.fori_loop(0, n_steps, body, (lat, deep0))
+            return lat
+
+        return run
+
+    @functools.lru_cache(maxsize=None)
+    def run_compact(fraction: float):
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       compact_fraction=fraction, max_hits=4))
+        layout = unet.cache_layout(hw, min_level=1)
+        state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, dtype)
+                  for key, (s, cin, cout) in layout.items()}
+
+        @jax.jit
+        def run(lat, g, ehs, pooled, tid):
+            def body(i, carry):
+                lat, st = carry
+                out, st2 = one_step(params, lat, i, g, ehs, pooled, tid,
+                                    cache=cache, cache_state=st)
+                return out, st2
+
+            lat, _ = jax.lax.fori_loop(0, n_steps, body, (lat, state0))
+            return lat
+
+        return run
+
+    return run_plain, run_deep, run_compact, make_inputs
+
+
+def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
+    """SD3 compact token cache: (run_plain, None, run_compact, make_inputs)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sduss_tpu.models.mmdit import SD35_MEDIUM, TINY_MMDIT, SD3Transformer2DModel
+    from sduss_tpu.samplers import get_sampler
+
+    cfg = TINY_MMDIT if tiny else SD35_MEDIUM
+    model = SD3Transformer2DModel(cfg)
+    sampler = get_sampler("flow_match", shift=3.0)
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    b = batch
+    hw = res // 8
+    seq = (hw // cfg.patch_size) ** 2
+    ctx_len = 64 if tiny else 384
+
+    table = sampler.make_table(n_steps)
+    ts = jnp.asarray(table.timesteps)
+    cs = jnp.asarray(table.coeffs)
+
+    if tiny:
+        params = model.init(jax.random.key(0))
+    else:
+        from sduss_tpu.utils import random_params_bf16
+
+        params = random_params_bf16(model)
+
+    def make_inputs(seed: int):
+        r = np.random.default_rng(seed)
+        lat = jnp.asarray(r.standard_normal((b, hw, hw, cfg.in_channels)), dtype)
+        ehs = jnp.asarray(
+            0.3 * r.standard_normal((2 * b, ctx_len, cfg.joint_attention_dim)), dtype)
+        pooled = jnp.asarray(
+            0.3 * r.standard_normal((2 * b, cfg.pooled_projection_dim)), dtype)
+        g = jnp.full((b,), 4.5)
+        return lat, g, ehs, pooled, None
+
+    @jax.jit
+    def run_plain(lat, g, ehs, pooled, _tid):
+        def body(i, x):
+            c0 = jnp.full((b,), cs[i, 0])
+            c1 = jnp.full((b,), cs[i, 1])
+            t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+            out = model.apply(params, jnp.concatenate([x, x]), t2, ehs, pooled)
+            u, c = jnp.split(out, 2)
+            v = u + g.reshape(-1, 1, 1, 1) * (c - u)
+            return sampler.step(x, v.astype(x.dtype), c0, c1)
+
+        return jax.lax.fori_loop(0, n_steps, body, lat)
+
+    @functools.lru_cache(maxsize=None)
+    def run_compact(fraction: float):
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       compact_fraction=fraction, max_hits=4))
+        layout = model.token_cache_layout(seq)
+        state0 = {key: cache.init_token_rows(key, 2 * b, s, d, dtype,
+                                             ctx_seq=ctx_len)
+                  for key, (s, d) in layout.items()}
+
+        @jax.jit
+        def run(lat, g, ehs, pooled, _tid):
+            mask = jnp.ones((2 * b, seq), bool)
+
+            def body(i, carry):
+                x, st = carry
+                c0 = jnp.full((b,), cs[i, 0])
+                c1 = jnp.full((b,), cs[i, 1])
+                t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+                x2 = jnp.concatenate([x, x])
+                toks = model.embed_latents(
+                    params,
+                    sampler.scale_model_input(x2, jnp.concatenate([c0, c0])))
+                out, st = model.apply_tokens(params, toks, mask, t2, ehs,
+                                             pooled, cache=cache, cache_state=st)
+                out = model.unpatchify(out, hw // cfg.patch_size,
+                                       hw // cfg.patch_size)
+                u, c = jnp.split(out, 2)
+                v = u + g.reshape(-1, 1, 1, 1) * (c - u)
+                return sampler.step(x, v.astype(x.dtype), c0, c1), st
+
+            x, _ = jax.lax.fori_loop(0, n_steps, body, (lat, state0))
+            return x
+
+        return run
+
+    return run_plain, None, run_compact, make_inputs
+
+
+def main():
+    ap = argparse.ArgumentParser("cache quality sweep")
+    ap.add_argument("--family", choices=["sdxl", "sd3"], default="sdxl")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--res", type=int, default=0, help="0 = family default")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--deep", default="2,3,4")
+    ap.add_argument("--compact", default="0.3,0.5,0.7")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    res = args.res or (256 if args.tiny else 1024)
+    build = build_unet_runs if args.family == "sdxl" else build_mmdit_runs
+    run_plain, run_deep, run_compact, make_inputs = build(
+        args.tiny, args.batch, res, args.steps)
+
+    configs = []
+    if run_deep is not None:
+        configs += [("deep", int(v)) for v in args.deep.split(",") if v]
+    configs += [("compact", float(v)) for v in args.compact.split(",") if v]
+
+    results = []
+    for kind, param in configs:
+        rels, coss = [], []
+        for seed in range(args.seeds):
+            inputs = make_inputs(seed)
+            ref = np.asarray(run_plain(*inputs), np.float32)
+            run = run_deep(param) if kind == "deep" else run_compact(param)
+            got = np.asarray(run(*inputs), np.float32)
+            rel, cos = _metrics(got, ref)
+            rels.append(rel)
+            coss.append(cos)
+        row = {"kind": kind, "param": param,
+               "rel_mse": float(np.mean(rels)), "rel_mse_max": float(np.max(rels)),
+               "cosine": float(np.mean(coss))}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = {"family": args.family, "tiny": args.tiny, "res": res,
+           "steps": args.steps, "batch": args.batch, "seeds": args.seeds,
+           "configs": results}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
