@@ -58,11 +58,24 @@ class ESyMReDPolicy(Policy):
         self._resolutions: List[int] = []
 
     def _ensure_resolutions(self, pool: RequestPool) -> None:
+        if self.predictor.weights is not None:
+            # Fitted weights fix the feature axes at training time; pool
+            # resolutions outside them are mapped to the nearest trained
+            # axis in _counts_key (overwriting here would misalign the
+            # ridge feature dimension and crash predict()).
+            self._resolutions = list(self.predictor.resolutions)
+            return
         res = sorted(set(self._resolutions)
                      | {r.resolution for r in pool.in_stage(Stage.DENOISING)})
         if res != self._resolutions:
             self._resolutions = res
             self.predictor.resolutions = res
+
+    def _counts_key(self, resolution: int) -> int:
+        """Axis a request's resolution contributes to (nearest trained)."""
+        if resolution in self._resolutions or not self._resolutions:
+            return resolution
+        return min(self._resolutions, key=lambda r: abs(r - resolution))
 
     # -- slack --------------------------------------------------------------
 
@@ -121,12 +134,14 @@ class ESyMReDPolicy(Policy):
 
         counts: Dict[int, int] = {res: 0 for res in self._resolutions}
         for r in running:
-            counts[r.resolution] = counts.get(r.resolution, 0) + 1
+            key = self._counts_key(r.resolution)
+            counts[key] = counts.get(key, 0) + 1
 
         def predict_step(extra_res: Optional[int] = None) -> float:
             c = dict(counts)
             if extra_res is not None:
-                c[extra_res] = c.get(extra_res, 0) + 1
+                key = self._counts_key(extra_res)
+                c[key] = c.get(key, 0) + 1
             return self.predictor.predict([c.get(res, 0) for res in self._resolutions])
 
         batch = list(running)

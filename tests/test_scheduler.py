@@ -143,3 +143,45 @@ class TestESyMReD:
     def test_unknown_policy_raises(self):
         with pytest.raises(ValueError):
             get_policy("nope", cfg())
+
+
+class TestESyMReDFittedPredictor:
+    def test_fitted_predictor_survives_resolution_subset(self, tmp_path):
+        """Regression: a predictor fitted over (512,768,1024) must keep its
+        trained feature axes when the pool only contains one of them
+        (previously _ensure_resolutions overwrote predictor.resolutions and
+        predict() crashed on a dimension mismatch)."""
+        import numpy as np
+
+        from sduss_tpu.scheduler.predictor import LatencyPredictor
+        from sduss_tpu.scheduler.profiles import get_profile
+
+        pred = LatencyPredictor([512, 768, 1024], get_profile("sdxl"))
+        rows = [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1], [2, 0, 2]]
+        ys = [0.2, 0.4, 0.8, 1.3, 2.0]
+        pred.fit(rows, ys)
+        path = str(tmp_path / "pred.npz")
+        pred.save(path)
+
+        pool = make_pool([
+            ("a", 1024, Stage.DENOISING, 0),
+            ("b", 1024, Stage.DENOISING, 1),
+        ])
+        for r in pool.in_stage(Stage.DENOISING):
+            r.start_denoising_time = time.time()
+        pol = get_policy("esymred", cfg(predictor_path=path), "sdxl")
+        batch = pol.schedule(pool)
+        assert batch is not None and len(batch.requests) == 2
+
+    def test_fitted_predictor_maps_unseen_resolution_to_nearest(self, tmp_path):
+        from sduss_tpu.scheduler.predictor import LatencyPredictor
+        from sduss_tpu.scheduler.profiles import get_profile
+
+        pred = LatencyPredictor([512, 1024], get_profile("sdxl"))
+        pred.fit([[1, 0], [0, 1], [1, 1], [2, 1]], [0.2, 0.8, 1.0, 1.3])
+        path = str(tmp_path / "pred.npz")
+        pred.save(path)
+        pool = make_pool([("a", 768, Stage.DENOISING, 0)])
+        pol = get_policy("esymred", cfg(predictor_path=path), "sdxl")
+        batch = pol.schedule(pool)
+        assert batch is not None and len(batch.requests) == 1
