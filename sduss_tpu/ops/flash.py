@@ -39,6 +39,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
+# Softmax in base 2: fold log2(e) into the query scale and use exp2 —
+# exp lowers to exp2*mul on the VPU anyway, and d=64 attention is
+# VPU-bound on v5e (the score tile is S_q x S_k while the matmuls only
+# half-fill the 128-lane MXU at hd=64), so every elided VPU op counts.
+_LOG2E = 1.4426950408889634
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -78,7 +83,7 @@ def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int,
             preferred_element_type=jnp.float32)        # (block_q, S)
         s = s + bias_ref[pl.ds(row, 1), :]             # (1, S) broadcast
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m).astype(v.dtype)             # bf16 weights
+        p = jnp.exp2(s - m).astype(v.dtype)            # bf16 weights (base-2)
         av = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
         acc, l = av[:, :hd], av[:, hd : hd + 1]
         o_ref[h] = (acc * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
@@ -95,7 +100,7 @@ def _mha_kernel_2pass_nobias(q_ref, k_ref, v_ref, o_ref, *, hd: int, hb: int):
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m).astype(v.dtype)
+        p = jnp.exp2(s - m).astype(v.dtype)
         av = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
         acc, l = av[:, :hd], av[:, hd : hd + 1]
         o_ref[h] = (acc * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
@@ -119,14 +124,14 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_kv: int,
         v = v_ref[0, pl.ds(kt_start, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (block_q, block_kv)
+            preferred_element_type=jnp.float32) * (scale * _LOG2E)
         if masked_width is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < masked_width, s, _NEG)
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         acc_next = acc_prev * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -166,13 +171,13 @@ def _mha_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         v = v_ref[0, pl.ds(kt, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * (scale * _LOG2E)
         valid = mask_ref[pl.ds(row, 1), pl.ds(kt, block_kv)]
         s = jnp.where(valid > 0, s, _NEG)
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         acc_next = acc_prev * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -213,7 +218,7 @@ def _cross_short_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot(p.astype(vh.dtype), vh,
                         preferred_element_type=jnp.float32)
@@ -247,7 +252,7 @@ def _mha_fused_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot(p.astype(vh.dtype), vh,
                         preferred_element_type=jnp.float32)
@@ -273,7 +278,7 @@ def flash_mha_fused(q, k, v, num_heads: int, scale: float,
     block_q = min(block_q, _ceil_to(lq, 128))
     lq_pad = _ceil_to(lq, block_q)
 
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     if lq_pad != lq:
         qs = jnp.pad(qs, ((0, 0), (0, lq_pad - lq), (0, 0)))
     if kv_pad != lk:
@@ -316,7 +321,7 @@ def flash_cross_short(q, k, v, num_heads: int, scale: float,
     block_q = min(block_q, _ceil_to(lq, 128))
     lq_pad = _ceil_to(lq, block_q)
 
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     if lq_pad != lq:
         qs = jnp.pad(qs, ((0, 0), (0, lq_pad - lq), (0, 0)))
 
@@ -429,7 +434,7 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
         # scale folds into q (fused into the head transpose by XLA); V gains
         # a ones column at ``hd`` for the in-matmul row sums (free while
         # hd % 128 != 0; our models all use hd=64)
-        qs = (qh.astype(jnp.float32) * scale).astype(qh.dtype)
+        qs = (qh.astype(jnp.float32) * (scale * _LOG2E)).astype(qh.dtype)
         vpad = _ceil_to(hd + 1, 128)
         vh_aug = jnp.concatenate(
             [vh, jnp.ones((bh, lk_pad, 1), vh.dtype),
