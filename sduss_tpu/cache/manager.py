@@ -239,6 +239,31 @@ class BlockCache:
         row_ok = jnp.concatenate(valid_parts) & (gidx >= 0)
         sel_imgs = jnp.concatenate(img_parts)
         x_sub = x[jnp.clip(gidx, 0)]
+
+        frac2 = getattr(self.config, "patch_fraction", 1.0)
+        if frac2 < 1.0:
+            # Two-level: within the sub-composition, only the k_q most-
+            # drifted PATCH rows run the per-token transformer tail
+            # (reference finest granularity, cache_manager.py:101-191).
+            # ``compute_fn(x_sub, gather_idx, sel_images, tok_sel)`` returns
+            # outputs for tok_sel rows ONLY; the other rows of recomputed
+            # images keep their cached pair outputs (hits keep rising, so
+            # max_hits still forces an eventual refresh).
+            p_sub = int(gidx.shape[0])
+            k_q = max(1, int(round(p_sub * frac2)))
+            scores_sub = jnp.where(row_ok, scores[jnp.clip(gidx, 0)], -jnp.inf)
+            _, sel = jax.lax.top_k(scores_sub, k_q)
+            y_sel = compute_fn(x_sub, jnp.clip(gidx, 0), sel_imgs, sel)
+            sidx = jnp.where(row_ok[sel], gidx[sel], p_pad)
+            y = state_k["out"].astype(y_sel.dtype).at[sidx].set(y_sel)
+            new_state = {
+                "inp": state_k["inp"].astype(x.dtype).at[sidx].set(x_sub[sel]),
+                "out": y,
+                "hits": (state_k["hits"] + 1).at[sidx].set(0),
+            }
+            return y, new_state, {"gather": gidx, "images": sel_imgs,
+                                  "tok_sel": sel}
+
         y_sub = compute_fn(x_sub, jnp.clip(gidx, 0), sel_imgs)
         # out-of-bounds scatter indices are dropped by XLA: surplus rows
         # (beyond a class's real images) write nowhere

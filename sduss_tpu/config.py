@@ -193,6 +193,15 @@ class CacheConfig:
     mode: str = "block"
     # Fraction of rows each gated block recomputes in "compact" mode.
     compact_fraction: float = 0.5
+    # Second-level per-PATCH fraction inside recomputed images on the mixed
+    # patch path (the reference's finest granularity, cache_manager.py:
+    # 101-191): within the image-granular sub-composition, only the
+    # patch_fraction most-drifted patch rows run the per-token transformer
+    # tail (cross-attention + feed-forward + projection); the rest keep
+    # their cached pair outputs.  Self-attention/convs/group-norm still run
+    # all sub rows, so halos, moments and attention KV stay exact.
+    # 1.0 = off (image granularity only).
+    patch_fraction: float = 1.0
     deep_interval: int = 2
     # Always-full steps at the start of each trajectory (activation drift is
     # largest early in denoising; mirrors DistriFuser's warmup_steps idea).

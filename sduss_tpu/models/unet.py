@@ -149,8 +149,19 @@ def _transformer_init(rng, channels, context_dim, heads, depth, use_linear):
     return p
 
 
-def _transformer_apply(p, x, ehs, heads, groups, use_linear, ctx, lvl):
-    """Spatial transformer: x (B,H,W,C) dense or (P,ph,pw,C) patched."""
+def _transformer_apply(p, x, ehs, heads, groups, use_linear, ctx, lvl,
+                       tok_sel=None):
+    """Spatial transformer: x (B,H,W,C) dense or (P,ph,pw,C) patched.
+
+    ``tok_sel`` (patch path only): second-level per-patch compaction inside
+    an image-granular cache sub-composition (CacheConfig.patch_fraction).
+    Self-attention runs ALL rows (full-image KV stays exact); the per-token
+    tail (cross-attention + FF + proj_out) runs only the selected rows, and
+    the function returns ONLY those rows — the caller splices cached pair
+    outputs for the rest (reference finest granularity,
+    cache_manager.py:101-191, with the reference's own partial-KV
+    approximation replaced by exact KV + compacted queries).
+    """
     residual = x
     h = _gn(p["norm"], x, groups, 1e-6, None, ctx, lvl)
     if not use_linear:
@@ -160,7 +171,11 @@ def _transformer_apply(p, x, ehs, heads, groups, use_linear, ctx, lvl):
     if use_linear:
         h = L.linear(p["proj_in"], h)
     for blk in p["blocks"]:
-        h = _tblock_apply(blk, h, ehs, heads, ctx, lvl)
+        h = _tblock_apply(blk, h, ehs, heads, ctx, lvl, tok_sel=tok_sel)
+    if tok_sel is not None:
+        h = h[tok_sel]
+        n = h.shape[0]
+        residual = residual[tok_sel]
     if use_linear:
         h = L.linear(p["proj_out"], h)
     h = h.reshape(n, hh, ww, c)
@@ -169,15 +184,29 @@ def _transformer_apply(p, x, ehs, heads, groups, use_linear, ctx, lvl):
     return h + residual
 
 
-def _tblock_apply(p, h, ehs, heads, ctx, lvl):
-    """h: (N, S, C) token sequences; ehs: (B_img, L, D) text context."""
+def _tblock_apply(p, h, ehs, heads, ctx, lvl, tok_sel=None):
+    """h: (N, S, C) token sequences; ehs: (B_img, L, D) text context.
+
+    With ``tok_sel``: self-attention over all rows, then the cross-attn/FF
+    tail only on the selected rows (scattered back so deeper blocks see
+    their fresh values; unselected rows keep partially-updated states that
+    only ever serve as attention KV context — their own outputs are
+    replaced by cached rows at the gate)."""
     attn_in = L.layer_norm(p["norm1"], h)
     h = h + _self_attention(p["attn1"], attn_in, heads, ctx, lvl)
-    attn_in = L.layer_norm(p["norm2"], h)
-    h = h + _cross_attention(p["attn2"], attn_in, ehs, heads, ctx, lvl)
-    ff_in = L.layer_norm(p["norm3"], h)
-    h = h + L.linear(p["ff_out"], L.geglu(p["ff_geglu"], ff_in))
-    return h
+    if tok_sel is None:
+        attn_in = L.layer_norm(p["norm2"], h)
+        h = h + _cross_attention(p["attn2"], attn_in, ehs, heads, ctx, lvl)
+        ff_in = L.layer_norm(p["norm3"], h)
+        h = h + L.linear(p["ff_out"], L.geglu(p["ff_geglu"], ff_in))
+        return h
+    hs = h[tok_sel]
+    attn_in = L.layer_norm(p["norm2"], hs)
+    hs = hs + _cross_attention(p["attn2"], attn_in, ehs, heads, ctx, lvl,
+                               rows=tok_sel)
+    ff_in = L.layer_norm(p["norm3"], hs)
+    hs = hs + L.linear(p["ff_out"], L.geglu(p["ff_geglu"], ff_in))
+    return h.at[tok_sel].set(hs)
 
 
 def _downsample_init(rng, ch):
@@ -232,7 +261,7 @@ def _self_attention(p, h, heads, ctx, lvl):
     return L.linear(p["to_out"], out)
 
 
-def _cross_attention(p, h, ehs, heads, ctx, lvl):
+def _cross_attention(p, h, ehs, heads, ctx, lvl, rows=None):
     if ctx is None:
         from sduss_tpu.ops.attention import masked_attention
 
@@ -242,7 +271,7 @@ def _cross_attention(p, h, ehs, heads, ctx, lvl):
         v = L.linear(p["to_v"], ehs)
         out = masked_attention(L.linear(p["to_q"], h), k, v, heads)
     else:
-        out = ctx.cross_attention(p, h, ehs, heads, lvl)
+        out = ctx.cross_attention(p, h, ehs, heads, lvl, rows=rows)
     return L.linear(p["to_out"], out)
 
 
@@ -465,8 +494,14 @@ class UNet2DConditionModel:
                 y, ns, _ = cache.gate_compact(key, x, t_norm, st, fn,
                                               n_active, row_valid=row_valid)
             elif patch_compact:
-                fn = lambda x_s, gidx, imgs: compute_fn(  # noqa: E731
-                    x_s, temb[gidx], ehs[imgs], sub_ctx)
+                if cache.config.patch_fraction < 1.0:
+                    # two-level: per-patch tail compaction inside the
+                    # sub-composition (compute_fn returns tok_sel rows only)
+                    fn = lambda x_s, gidx, imgs, sel: compute_fn(  # noqa: E731
+                        x_s, temb[gidx], ehs[imgs], sub_ctx, tok_sel=sel)
+                else:
+                    fn = lambda x_s, gidx, imgs: compute_fn(  # noqa: E731
+                        x_s, temb[gidx], ehs[imgs], sub_ctx)
                 y, ns, _ = cache.gate_compact_images(key, x, t_norm, st, fn,
                                                      ctx, caps)
             else:
@@ -484,15 +519,16 @@ class UNet2DConditionModel:
                 break
             for j, res in enumerate(blk["resnets"]):
 
-                def down_pair(x, temb_l, ehs_l, ctx_l, res=res, blk=blk,
-                              i=i, j=j):
+                def down_pair(x, temb_l, ehs_l, ctx_l, tok_sel=None, res=res,
+                              blk=blk, i=i, j=j):
                     y = _resnet_apply(res, x, temb_l, cfg.norm_num_groups, ctx_l, i)
                     if blk["attentions"]:
-                        y = _transformer_apply(blk["attentions"][j], y,
-                                               ehs_l,
-                                               cfg.num_heads[i], cfg.norm_num_groups,
-                                               cfg.use_linear_projection, ctx_l, i)
-                    return y
+                        return _transformer_apply(blk["attentions"][j], y,
+                                                  ehs_l,
+                                                  cfg.num_heads[i], cfg.norm_num_groups,
+                                                  cfg.use_linear_projection, ctx_l, i,
+                                                  tok_sel=tok_sel)
+                    return y if tok_sel is None else y[tok_sel]
 
                 h = gated(f"down{i}.{j}", h, down_pair)
                 skips.append(h)
@@ -510,12 +546,17 @@ class UNet2DConditionModel:
         else:
             mid = params["mid_block"]
 
-            def mid_fn(x, temb_l, ehs_l, ctx_l):
+            def mid_fn(x, temb_l, ehs_l, ctx_l, tok_sel=None):
+                # conv follows attention here, so per-patch tail compaction
+                # cannot skip rows (halos need every patch); compute fully
+                # and return the selected rows (mid runs at the deepest,
+                # cheapest level).
                 y = _resnet_apply(mid["resnets"][0], x, temb_l, cfg.norm_num_groups, ctx_l, n_levels - 1)
                 y = _transformer_apply(mid["attentions"][0], y, ehs_l,
                                        cfg.num_heads[-1], cfg.norm_num_groups,
                                        cfg.use_linear_projection, ctx_l, n_levels - 1)
-                return _resnet_apply(mid["resnets"][1], y, temb_l, cfg.norm_num_groups, ctx_l, n_levels - 1)
+                y = _resnet_apply(mid["resnets"][1], y, temb_l, cfg.norm_num_groups, ctx_l, n_levels - 1)
+                return y if tok_sel is None else y[tok_sel]
 
             h = gated("mid", h, mid_fn)
 
@@ -530,15 +571,16 @@ class UNet2DConditionModel:
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
 
-                def up_pair(x, temb_l, ehs_l, ctx_l, res=res, blk=blk, i=i,
-                            j=j, lvl=lvl):
+                def up_pair(x, temb_l, ehs_l, ctx_l, tok_sel=None, res=res,
+                            blk=blk, i=i, j=j, lvl=lvl):
                     y = _resnet_apply(res, x, temb_l, cfg.norm_num_groups, ctx_l, lvl)
                     if blk["attentions"]:
-                        y = _transformer_apply(blk["attentions"][j], y,
-                                               ehs_l,
-                                               cfg.num_heads[lvl], cfg.norm_num_groups,
-                                               cfg.use_linear_projection, ctx_l, lvl)
-                    return y
+                        return _transformer_apply(blk["attentions"][j], y,
+                                                  ehs_l,
+                                                  cfg.num_heads[lvl], cfg.norm_num_groups,
+                                                  cfg.use_linear_projection, ctx_l, lvl,
+                                                  tok_sel=tok_sel)
+                    return y if tok_sel is None else y[tok_sel]
 
                 h = gated(f"up{i}.{j}", h, up_pair)
             if "upsample" in blk:

@@ -179,13 +179,19 @@ class PatchContext:
             out = jnp.where(self.class_member[ci][:, None, None], rows, out)
         return out
 
-    def cross_attention(self, p, h, ehs, heads: int, lvl: int) -> jnp.ndarray:
-        """h: (P, s^2, C); ehs: (I_pad, L, D) per-image text context."""
+    def cross_attention(self, p, h, ehs, heads: int, lvl: int,
+                        rows=None) -> jnp.ndarray:
+        """h: (P, s^2, C); ehs: (I_pad, L, D) per-image text context.
+
+        ``rows``: h holds only these patch rows (second-level compaction,
+        CacheConfig.patch_fraction) — per-row text KV follows their images.
+        """
         k = L.linear(p["to_k"], ehs)
         v = L.linear(p["to_v"], ehs)
         q = L.linear(p["to_q"], h)
-        k = k[self.image_id]  # (P, L, C)
-        v = v[self.image_id]
+        image_id = self.image_id if rows is None else self.image_id[rows]
+        k = k[image_id]  # (rows, L, C)
+        v = v[image_id]
         return masked_attention(q, k, v, heads)
 
 

@@ -453,3 +453,92 @@ class TestGateCompactImagesUnit:
         hits = np.asarray(ns["hits"])
         assert (hits[:12] == 0).all()          # refreshed
         assert (hits[12:] > 0).all()           # never selected
+
+
+class TestTwoLevelPatchCompact:
+    """Second-level per-patch compaction inside recomputed images
+    (CacheConfig.patch_fraction < 1; round-1 verdict item 7 — the
+    reference's finest cache granularity, cache_manager.py:101-191)."""
+
+    def _pipe(self, fraction, patch_fraction, min_level=0):
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True,
+                                           patch_size=256)
+        config.cache.enabled = True
+        config.cache.mode = "compact"
+        config.cache.compact_fraction = fraction
+        config.cache.patch_fraction = patch_fraction
+        config.cache.min_level = min_level
+        return build_pipeline(config)
+
+    def _mixed_reqs(self, steps=5):
+        reqs = make_reqs(n=2, res=512, steps=steps)
+        reqs[1] = Request("r1", SamplingParams(prompt="p1", resolution=256,
+                                               num_inference_steps=steps,
+                                               seed=1))
+        return reqs
+
+    def test_gate_unit_selected_rows_fresh_others_cached(self):
+        import jax.numpy as jnp
+
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+        from sduss_tpu.ops import patching
+        from sduss_tpu.ops.patch_ctx import PatchContext
+
+        meta = patching.build_meta((2, 2, 2), 8, (16,), (4,))
+        (g, ipc), = meta.class_info
+        ctx = PatchContext(meta)
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       compact_fraction=1.0,
+                                       patch_fraction=0.5))
+        caps = (ipc,)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((meta.p_pad, 8, 8, 4)), jnp.float32)
+        state = cache.init_rows("k", meta.p_pad, 8, 4, 4, jnp.float32)
+
+        got = {}
+
+        def fn(x_sub, gidx, sel_imgs, sel):
+            got["p_sub"] = int(x_sub.shape[0])
+            got["k_q"] = int(sel.shape[0])
+            return (x_sub * 2.0)[sel]
+
+        y, ns, stats = cache.gate_compact_images(
+            "k", x, jnp.zeros((meta.p_pad,)), state, fn, ctx, caps)
+        assert got["k_q"] == max(1, round(got["p_sub"] * 0.5))
+        y = np.asarray(y)
+        sel_rows = np.asarray(stats["tok_sel"])
+        gidx = np.asarray(stats["gather"])
+        fresh_global = {int(gidx[s]) for s in sel_rows if gidx[s] >= 0}
+        for r in range(12):  # 12 real patch rows
+            if r in fresh_global:
+                np.testing.assert_allclose(y[r], 2.0 * np.asarray(x)[r], rtol=1e-6)
+            else:
+                np.testing.assert_allclose(y[r], 0.0)  # cached (zeros)
+        hits = np.asarray(ns["hits"])
+        assert all(hits[r] == 0 for r in fresh_global)
+        assert all(hits[r] > 0 for r in range(12) if r not in fresh_global)
+
+    def test_patch_fraction_one_epsilon_matches_image_granular(self):
+        """k_q == all sub rows: the two-level wiring (top-k gather + tail on
+        permuted rows + scatter) must reproduce the image-granular result
+        exactly — validates the whole unet tok_sel path."""
+        reqs_a = self._mixed_reqs()
+        reqs_b = self._mixed_reqs()
+        a = run_denoise(self._pipe(1.0, 1.0), reqs_a, 3)
+        b = run_denoise(self._pipe(1.0, 0.9999), reqs_b, 3)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, atol=1e-4, rtol=1e-3)
+
+    def test_half_patch_fraction_runs_and_reuses(self):
+        pipe = self._pipe(1.0, 0.5)
+        reqs = make_reqs(n=3, res=512, steps=6)
+        run_denoise(pipe, reqs, 5)
+        hits = 0
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents)).all()
+            for rows in r.cache_rows.values():
+                hits = max(hits, int(np.asarray(rows["hits"]).max()))
+        assert hits >= 1  # some patches skipped the tail at least once
