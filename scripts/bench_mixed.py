@@ -95,12 +95,15 @@ def main():
 
     # -- patch-compact block cache (gate_compact_patch) ----------------------
     frac = float(os.environ.get("BENCH_COMPACT_FRACTION", "0.5"))
+    # BENCH_PATCH_FRACTION < 1: two-level per-patch tail compaction inside
+    # recomputed images (CacheConfig.patch_fraction)
+    pfrac = float(os.environ.get("BENCH_PATCH_FRACTION", "1.0"))
     if frac > 0:
         from sduss_tpu.cache.manager import BlockCache
         from sduss_tpu.config import CacheConfig
 
         cc = CacheConfig(enabled=True, mode="compact", compact_fraction=frac,
-                         mse_threshold=0.01, min_level=1)
+                         patch_fraction=pfrac, mse_threshold=0.01, min_level=1)
         cache = BlockCache(cc)
         layout = unet.cache_layout(cells, cc.min_level)
         state = {key: cache.init_rows(key, meta2.p_pad, s, ci, co, jnp.bfloat16)
@@ -136,9 +139,11 @@ def main():
             best = min(best, time.perf_counter() - t0)
         result["ms_per_step_compact"] = round(best / n_steps * 1e3, 1)
         result["compact_fraction"] = frac
+        result["patch_fraction"] = pfrac
 
     print(json.dumps(result))
-    with open("exp/bench_mixed_v5e.json", "w") as f:
+    out_path = os.environ.get("BENCH_MIXED_OUT", "exp/bench_mixed_v5e.json")
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 
 
