@@ -48,19 +48,29 @@ def main():
     g = jnp.full((b,), 4.5)
 
     # BENCH_SD3_CACHE=0.5 -> compact top-K token cache at that fraction
-    # (token path; cache state carried through the step loop)
+    # (request-granular rows); BENCH_SD3_FINE=0.5 -> per-TOKEN delta-skip
+    # compaction instead (gate_tokens_fine — the b1-meaningful granularity)
     frac = float(os.environ.get("BENCH_SD3_CACHE", "0"))
-    if frac > 0:
+    fine = float(os.environ.get("BENCH_SD3_FINE", "0"))
+    if frac > 0 or fine > 0:
         from sduss_tpu.cache.manager import BlockCache
         from sduss_tpu.config import CacheConfig
 
-        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
-                                       compact_fraction=frac, max_hits=4))
+        cache = BlockCache(CacheConfig(
+            enabled=True, mode="compact",
+            compact_fraction=frac if frac > 0 else 1.0,
+            patch_fraction=fine if fine > 0 else 1.0,
+            max_hits=4))
         seq = (hw // 2) ** 2
         layout = model.token_cache_layout(seq)
-        state0 = {key: cache.init_token_rows(key, 2 * b, s, d, jnp.bfloat16,
-                                             ctx_seq=ctx_len)
-                  for key, (s, d) in layout.items()}
+        if fine > 0:
+            state0 = {key: cache.init_token_rows_fine(key, 2 * b, s, d,
+                                                      jnp.bfloat16)
+                      for key, (s, d) in layout.items()}
+        else:
+            state0 = {key: cache.init_token_rows(key, 2 * b, s, d,
+                                                 jnp.bfloat16, ctx_seq=ctx_len)
+                      for key, (s, d) in layout.items()}
 
         @jax.jit
         def run(params, lat, g, ehs, pooled):
@@ -108,6 +118,7 @@ def main():
         "metric": "SD3.5-medium 1024^2 CFG step latency",
         "batch": b, "ms_per_step": round(ms, 1),
         "compact_cache_fraction": frac,
+        "token_fine_fraction": fine,
         "h100_anchor_ms": 65.0,
         "vs_anchor": round(65.0 / ms * b, 3),
     }))

@@ -217,16 +217,22 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
         return jax.lax.fori_loop(0, n_steps, body, lat)
 
     @functools.lru_cache(maxsize=None)
-    def run_compact(fraction: float):
+    def run_compact(fraction: float, fine: bool = False):
         from sduss_tpu.cache.manager import BlockCache
         from sduss_tpu.config import CacheConfig
 
-        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
-                                       compact_fraction=fraction, max_hits=4))
+        cache = BlockCache(CacheConfig(
+            enabled=True, mode="compact",
+            compact_fraction=1.0 if fine else fraction,
+            patch_fraction=fraction if fine else 1.0, max_hits=4))
         layout = model.token_cache_layout(seq)
-        state0 = {key: cache.init_token_rows(key, 2 * b, s, d, dtype,
-                                             ctx_seq=ctx_len)
-                  for key, (s, d) in layout.items()}
+        if fine:
+            state0 = {key: cache.init_token_rows_fine(key, 2 * b, s, d, dtype)
+                      for key, (s, d) in layout.items()}
+        else:
+            state0 = {key: cache.init_token_rows(key, 2 * b, s, d, dtype,
+                                                 ctx_seq=ctx_len)
+                      for key, (s, d) in layout.items()}
 
         @jax.jit
         def run(lat, g, ehs, pooled, _tid):
@@ -267,6 +273,8 @@ def main():
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--deep", default="2,3,4")
     ap.add_argument("--compact", default="0.3,0.5,0.7")
+    ap.add_argument("--fine", default="0.3,0.5,0.7",
+                    help="per-token fine fractions (sd3 only)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -287,6 +295,8 @@ def main():
     if run_deep is not None:
         configs += [("deep", int(v)) for v in args.deep.split(",") if v]
     configs += [("compact", float(v)) for v in args.compact.split(",") if v]
+    if args.family == "sd3":
+        configs += [("token_fine", float(v)) for v in args.fine.split(",") if v]
 
     results = []
     for kind, param in configs:
@@ -294,7 +304,12 @@ def main():
         for seed in range(args.seeds):
             inputs = make_inputs(seed)
             ref = np.asarray(run_plain(*inputs), np.float32)
-            run = run_deep(param) if kind == "deep" else run_compact(param)
+            if kind == "deep":
+                run = run_deep(param)
+            elif kind == "token_fine":
+                run = run_compact(param, fine=True)
+            else:
+                run = run_compact(param)
             got = np.asarray(run(*inputs), np.float32)
             rel, cos = _metrics(got, ref)
             rels.append(rel)

@@ -194,6 +194,61 @@ class BlockCache:
         }
         return y, new_state, {"idx": idx, "scores": scores}
 
+    def init_token_rows_fine(self, key: str, n_rows: int, seq: int, dim: int,
+                             dtype=jnp.bfloat16) -> dict:
+        """State for per-TOKEN delta-skip compaction (gate_tokens_fine):
+        only the last-recompute input (drift reference) and per-token hit
+        counts — residual blocks need no output cache, skipping a token's
+        update IS the reuse."""
+        return {
+            "inp": jnp.zeros((n_rows, seq, dim), dtype),
+            "hits": jnp.full((n_rows, seq), self.config.max_hits, jnp.int32),
+        }
+
+    def gate_tokens_fine(self, key: str, x, t_norm, state_k: dict,
+                         compute_fn: Callable, k_t: int, token_valid=None):
+        """Per-TOKEN compaction for residual token blocks (MMDiT).
+
+        The finest cache granularity on the token path (the reference's
+        per-patch cache for SD3, modules/SD3Transformer.py:25-262 — each
+        MMDiT token IS a 2x2 latent patch): every step, each request
+        recomputes exactly its ``k_t`` most-drifted tokens through the
+        block; the rest skip the block's residual deltas (identity), which
+        for a pure-residual block is the natural splice — the token stream
+        itself carries the reused values, so no output cache is needed.
+        Request-granular gate_compact degenerates at batch 1 CFG (it can
+        only alternate the cond/uncond pair); this is the meaningful
+        granularity there.
+
+        x: (B, S, D) block input; state_k from init_token_rows_fine;
+        ``compute_fn(sel)`` applies the block with query/FF compaction at
+        ``sel`` (B, k_t) and returns the full updated streams.
+        """
+        xf = x.astype(jnp.float32)
+        cf = state_k["inp"].astype(jnp.float32)
+        rel = jnp.mean((xf - cf) ** 2, axis=-1) / (
+            jnp.mean(xf * xf, axis=-1) + 1e-8)                    # (B, S)
+        clf = self.classifiers.get(key)
+        hits = state_k["hits"]
+        if clf is not None:
+            w_mse, w_t, w_hits, bias = [float(v) for v in clf]
+            score = (w_mse * rel + w_t * t_norm[:, None]
+                     + w_hits * hits.astype(jnp.float32) + bias)
+        else:
+            score = rel - self.config.mse_threshold
+        score = score + (hits >= self.config.max_hits).astype(jnp.float32) * 1e6
+        if token_valid is not None:
+            score = jnp.where(token_valid, score, -jnp.inf)
+        _, sel = jax.lax.top_k(score, k_t)                        # (B, k_t)
+        out = compute_fn(sel)
+        bix = jnp.arange(x.shape[0])[:, None]
+        x_sel = jnp.take_along_axis(x, sel[..., None], axis=1)
+        new_state = {
+            "inp": state_k["inp"].astype(x.dtype).at[bix, sel].set(x_sel),
+            "hits": (hits + 1).at[bix, sel].set(0),
+        }
+        return out, new_state, {"sel": sel}
+
     def gate_compact_images(self, key: str, x, t_norm, state_k: dict,
                             compute_fn: Callable, ctx, caps):
         """Image-granular compact recompute for the COUPLED patch path.

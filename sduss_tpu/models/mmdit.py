@@ -211,8 +211,24 @@ class SD3Transformer2DModel:
             v.reshape(b, v.shape[1], nh * hd), cfg.num_heads)
         return out
 
-    def _joint_block(self, p, x, c, temb, last: bool, dual: bool, ctx=None):
+    def _joint_block(self, p, x, c, temb, last: bool, dual: bool, ctx=None,
+                     tok_sel=None):
+        """One MMDiT joint block.
+
+        ``tok_sel`` (B, k_t): per-token fine compaction
+        (cache.manager.gate_tokens_fine) — attention queries and the FF run
+        only on these latent tokens and their residual deltas scatter back;
+        K/V and the context stream stay full, so attention context is exact.
+        Unsupported combined with a sharded ctx (displaced path asserts)."""
         cfg = self.cfg
+        if tok_sel is not None:
+            assert ctx is None or hasattr(ctx, "token_mask"), \
+                "per-token compaction is not supported on sharded contexts"
+        bix = None if tok_sel is None else jnp.arange(x.shape[0])[:, None]
+
+        def gather_tokens(arr):
+            return jnp.take_along_axis(arr, tok_sel[..., None], axis=1)
+
         silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype)
         mods = L.linear(p["norm1_proj"], silu_t)
         n_mod = 9 if dual else 6
@@ -237,7 +253,8 @@ class SD3Transformer2DModel:
             c_gate = c_gate_msa
 
         ap = p["attn"]
-        q = self._heads(L.linear(ap["to_q"], x_mod))
+        q_src = x_mod if tok_sel is None else gather_tokens(x_mod)
+        q = self._heads(L.linear(ap["to_q"], q_src))
         k = self._heads(L.linear(ap["to_k"], x_mod))
         v = self._heads(L.linear(ap["to_v"], x_mod))
         q, k = self._qk_norm(ap, q, k)
@@ -246,31 +263,45 @@ class SD3Transformer2DModel:
         cv = self._heads(L.linear(ap["add_v_proj"], c_mod))
         cq, ck = self._qk_norm(ap, cq, ck, "added_")
 
-        s_lat = q.shape[1]
+        s_q = q.shape[1]
         qj = jnp.concatenate([q, cq], axis=1)
         kj = jnp.concatenate([k, ck], axis=1)
         vj = jnp.concatenate([v, cv], axis=1)
-        attn_out = self._attention_seq(qj, kj, vj, ctx=ctx, s_lat=s_lat)
-        x_attn, c_attn = attn_out[:, :s_lat], attn_out[:, s_lat:]
+        attn_out = self._attention_seq(qj, kj, vj, ctx=ctx, s_lat=k.shape[1])
+        x_attn, c_attn = attn_out[:, :s_q], attn_out[:, s_q:]
 
-        x = x + gate_msa[:, None] * L.linear(ap["to_out"], x_attn)
+        x_delta = gate_msa[:, None] * L.linear(ap["to_out"], x_attn)
+        if tok_sel is None:
+            x = x + x_delta
+        else:
+            x = x.at[bix, tok_sel].add(x_delta)
 
         if dual:
             shift2, scale2, gate2 = mods[6:]
             x2 = xn * (1 + scale2[:, None]) + shift2[:, None]
             a2 = p["attn2"]
-            q2 = self._heads(L.linear(a2["to_q"], x2))
+            q2_src = x2 if tok_sel is None else gather_tokens(x2)
+            q2 = self._heads(L.linear(a2["to_q"], q2_src))
             k2 = self._heads(L.linear(a2["to_k"], x2))
             v2 = self._heads(L.linear(a2["to_v"], x2))
             q2, k2 = self._qk_norm(a2, q2, k2)
-            out2 = self._attention_seq(q2, k2, v2, ctx=ctx, s_lat=q2.shape[1])
-            x = x + gate2[:, None] * L.linear(a2["to_out"], out2)
+            out2 = self._attention_seq(q2, k2, v2, ctx=ctx, s_lat=k2.shape[1])
+            d2 = gate2[:, None] * L.linear(a2["to_out"], out2)
+            if tok_sel is None:
+                x = x + d2
+            else:
+                x = x.at[bix, tok_sel].add(d2)
 
-        xn2 = L.layer_norm(None, x, 1e-6)
+        x_ff_src = x if tok_sel is None else gather_tokens(x)
+        xn2 = L.layer_norm(None, x_ff_src, 1e-6)
         x_ff = xn2 * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         ff = L.linear(p["ff2"], jax.nn.gelu(
             L.linear(p["ff1"], x_ff).astype(jnp.float32), approximate=True).astype(x.dtype))
-        x = x + gate_mlp[:, None] * ff
+        ff = gate_mlp[:, None] * ff
+        if tok_sel is None:
+            x = x + ff
+        else:
+            x = x.at[bix, tok_sel].add(ff)
 
         if last:
             return x, None
@@ -297,12 +328,37 @@ class SD3Transformer2DModel:
         new_state: dict = {}
         caching = cache is not None and cache_state is not None
         compact = caching and cache.config.mode == "compact"
-        if compact:
+        token_fine = (compact
+                      and getattr(cache.config, "patch_fraction", 1.0) < 1.0)
+        if token_fine:
+            # Per-TOKEN delta-skip compaction (each token = one 2x2 latent
+            # patch — the reference's finest SD3 cache granularity).  At
+            # batch 1 CFG the request-granular gate below can only
+            # alternate the cond/uncond pair; this is the real granularity.
+            k_t = max(1, round(x.shape[1] * cache.config.patch_fraction))
+            token_valid = ctx.token_mask if hasattr(ctx, "token_mask") else None
+        elif compact:
             n_active = max(1, round(x.shape[0] * cache.config.compact_fraction))
         for i, blk in enumerate(params["blocks"]):
             last = i == cfg.num_layers - 1
             dual = i in cfg.dual_attention_layers
-            if compact:
+            if token_fine:
+                key = f"block{i}"
+                st = cache_state.get(key)
+                if st is None:
+                    x, c2 = self._joint_block(blk, x, c, temb, last, dual,
+                                              ctx=ctx)
+                else:
+                    def blk_fn(sel, blk=blk, last=last, dual=dual, c_in=c):
+                        return self._joint_block(blk, x, c_in, temb, last,
+                                                 dual, ctx=ctx, tok_sel=sel)
+
+                    (x, c2), ns, _ = cache.gate_tokens_fine(
+                        key, x, t_norm, st, blk_fn, k_t,
+                        token_valid=token_valid)
+                    new_state[key] = ns
+                c = c2 if c2 is not None else c
+            elif compact:
                 # Gather the n_active most-drifted requests, run the block on
                 # the compact sub-batch, scatter into cached outputs.  Both
                 # streams (x tokens AND the evolving context c) are cached —

@@ -213,34 +213,44 @@ class StableDiffusion3Pipeline(BasePipeline):
         tr = self.bundle.models["transformer"]
         layout = tr.token_cache_layout(s_pad)
         dtype = self._latent_dtype()
-        # compact mode also caches the evolving context stream
+        # per-token fine mode (patch_fraction < 1) keeps only inp+hits;
+        # request-granular compact mode also caches the evolving context
+        token_fine = (cache.config.mode == "compact"
+                      and cache.config.patch_fraction < 1.0)
         ctx_seq = None
-        if cache.config.mode == "compact":
+        if cache.config.mode == "compact" and not token_fine:
             ctx_seq = ordered[0].conditioning["embeds"].shape[1]
-        for r in ordered:
-            rows = r.cache_rows
-            stale = (rows is None
-                     or next(iter(rows.values()))["inp"].shape[1] != s_pad
-                     or isinstance(next(iter(rows.values()))["out"], dict)
-                     != (ctx_seq is not None))
-            if stale:
-                r.cache_rows = {
-                    key: cache.init_token_rows(key, 2, seq, dim, dtype,
+
+        def fresh_rows(n):
+            if token_fine:
+                return {key: cache.init_token_rows_fine(key, n, seq, dim, dtype)
+                        for key, (seq, dim) in layout.items()}
+            return {key: cache.init_token_rows(key, n, seq, dim, dtype,
                                                ctx_seq=ctx_seq)
                     for key, (seq, dim) in layout.items()}
+
+        for r in ordered:
+            rows = r.cache_rows
+            first = None if rows is None else next(iter(rows.values()))
+            stale = (rows is None
+                     or first["inp"].shape[1] != s_pad
+                     or ("out" not in first) != token_fine
+                     or (not token_fine
+                         and isinstance(first["out"], dict) != (ctx_seq is not None)))
+            if stale:
+                r.cache_rows = fresh_rows(2)
         state = {}
         pad = bb - len(ordered)
-        for key, (seq, dim) in layout.items():
+        pad_rows = fresh_rows(pad) if pad else None
+        for key in layout:
             # stacked batch [u..., pad, c..., pad]; entries may be pytrees
             parts_u = [jax.tree.map(lambda a: a[0:1], r.cache_rows[key])
                        for r in ordered]
             parts_c = [jax.tree.map(lambda a: a[1:2], r.cache_rows[key])
                        for r in ordered]
             if pad:
-                z = cache.init_token_rows(key, pad, seq, dim, dtype,
-                                          ctx_seq=ctx_seq)
-                parts_u.append(z)
-                parts_c.append(z)
+                parts_u.append(pad_rows[key])
+                parts_c.append(pad_rows[key])
             state[key] = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *(parts_u + parts_c))
         return cache, state

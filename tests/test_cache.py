@@ -542,3 +542,94 @@ class TestTwoLevelPatchCompact:
             for rows in r.cache_rows.values():
                 hits = max(hits, int(np.asarray(rows["hits"]).max()))
         assert hits >= 1  # some patches skipped the tail at least once
+
+
+class TestTokenFineSD3:
+    """Per-TOKEN delta-skip compaction on the MMDiT token path
+    (gate_tokens_fine; each token = one 2x2 latent patch — the reference's
+    finest SD3 cache granularity, modules/SD3Transformer.py:25-262)."""
+
+    def _pipe(self, patch_fraction):
+        config = Config()
+        config.model = ModelConfig(model="sd3", test_tiny=True, dtype="float32",
+                                   resolutions=(256, 512))
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True)
+        config.cache.enabled = True
+        config.cache.mode = "compact"
+        config.cache.compact_fraction = 1.0
+        config.cache.patch_fraction = patch_fraction
+        return build_pipeline(config)
+
+    def _reqs(self, steps=5):
+        return [Request(f"t{i}", SamplingParams(prompt="p", resolution=r,
+                                                num_inference_steps=steps,
+                                                seed=i))
+                for i, r in enumerate((256, 512))]
+
+    def test_gate_unit_delta_skip_semantics(self):
+        import jax.numpy as jnp
+
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       patch_fraction=0.5, max_hits=4))
+        rng = np.random.default_rng(0)
+        B, S, D = 2, 8, 4
+        x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        st = cache.init_token_rows_fine("k", B, S, D, jnp.float32)
+        # pre-seed: half the tokens match x exactly (zero drift), rest drift;
+        # hits low so nothing is forced
+        inp = np.asarray(x).copy()
+        inp[:, ::2] += 10.0  # odd-index... even tokens drift hard
+        st = {"inp": jnp.asarray(inp), "hits": jnp.zeros((B, S), jnp.int32)}
+
+        seen = {}
+
+        def fn(sel):
+            seen["sel"] = np.asarray(sel)
+            return ("computed", None)
+
+        out, ns, stats = cache.gate_tokens_fine("k", x, jnp.zeros((B,)), st,
+                                                fn, k_t=4)
+        sel = seen["sel"]
+        assert sel.shape == (B, 4)
+        # the drifted (even-index) tokens must be the selected ones
+        for b in range(B):
+            assert set(sel[b]) == {0, 2, 4, 6}
+        hits = np.asarray(ns["hits"])
+        for b in range(B):
+            assert all(hits[b, s] == 0 for s in sel[b])
+            assert all(hits[b, s] == 1 for s in range(S) if s not in sel[b])
+        # inp refreshed only at selected tokens
+        new_inp = np.asarray(ns["inp"])
+        np.testing.assert_allclose(new_inp[:, ::2], np.asarray(x)[:, ::2])
+        np.testing.assert_allclose(new_inp[:, 1::2], inp[:, 1::2])
+
+    def test_fraction_one_epsilon_matches_cache_off(self):
+        """k_t == S selects every token: the compacted-query attention and
+        scatter wiring must reproduce the cache-off trajectory (validates
+        _joint_block's tok_sel path end-to-end)."""
+        from sduss_tpu.config import Config as _C
+
+        base_cfg = _C()
+        base_cfg.model = ModelConfig(model="sd3", test_tiny=True,
+                                     dtype="float32", resolutions=(256, 512))
+        base_cfg.scheduler = SchedulerConfig(use_mixed_resolution=True)
+        base = build_pipeline(base_cfg)
+        a = run_denoise(base, self._reqs(), 3)
+        b = run_denoise(self._pipe(0.9999), self._reqs(), 3)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, atol=1e-4, rtol=1e-3)
+
+    def test_half_fraction_runs_and_reuses(self):
+        pipe = self._pipe(0.5)
+        reqs = self._reqs(steps=6)
+        run_denoise(pipe, reqs, 5)
+        hits = 0
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents)).all()
+            for rows in r.cache_rows.values():
+                assert "out" not in rows  # fine state is inp+hits only
+                hits = max(hits, int(np.asarray(rows["hits"]).max()))
+        assert hits >= 1
