@@ -96,6 +96,100 @@ class Profiler:
         raise RuntimeError(
             f"measurement subprocess rc={r.returncode}: {r.stderr[-2000:]}")
 
+    def _measure_group(self, specs: List[dict]) -> List:
+        """Run a LIST of measurements in ONE subprocess (param placement and
+        the CPU-hosted text encode are paid once per group, not per point).
+        Returns one value or None per spec; a mid-group failure (e.g. OOM)
+        yields None for that and typically the remaining points of the
+        group, without poisoning other groups."""
+        import subprocess
+        import sys
+
+        payload = [dict(s, family=self.family, tiny=self.tiny,
+                        dtype=self.dtype,
+                        encoders_on_host=self.encoders_on_host)
+                   for s in specs]
+        r = subprocess.run(
+            [sys.executable, "-u", "-m", "sduss_tpu.scheduler.profiler",
+             "--measure-many", json.dumps(payload)],
+            capture_output=True, text=True)
+        vals: List = [None] * len(specs)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                try:
+                    out = json.loads(line)
+                except ValueError:
+                    continue
+                if "i" in out:
+                    vals[out["i"]] = out["value"] if out.get("ok") else None
+                    if not out.get("ok"):
+                        print(f"  group point {out['i']}: "
+                              f"{out.get('error', '?')[:200]}", flush=True)
+        if all(v is None for v in vals):
+            print(f"group subprocess produced no values "
+                  f"(rc={r.returncode}): {r.stderr[-1500:]}", flush=True)
+        return vals
+
+    def profile_grouped(self, max_post_batch: int = 8):
+        """Grouped-isolation flow: ONE subprocess for every denoise-step mix
+        (predictor training set + profile singles), one subprocess per
+        resolution's VAE-decode table (the OOM-prone part stays contained).
+        Returns (profile_dict, mix_rows, mix_seconds)."""
+        res = sorted(self.resolutions)
+        mixes: List[Dict[int, int]] = [{r: 1} for r in res]
+        mixes += [{r: 2} for r in res]
+        if len(res) >= 2:
+            mixes.append({res[0]: 1, res[-1]: 1})
+            mixes.append({res[0]: 2, res[-1]: 2})
+        if len(res) >= 3:
+            mixes.append({r: 1 for r in res})
+        maxb = self.config.scheduler.max_batch_size
+        mixes = [m for m in mixes if sum(m.values()) <= maxb]
+        specs = [{"kind": "step", "counts": {str(k): v for k, v in m.items()},
+                  "iters": 3} for m in mixes]
+        print(f"step group: {len(specs)} mixes", flush=True)
+        step_vals = self._measure_group(specs)
+
+        pts = [b for b in (1, 2, 4, 8) if b <= max_post_batch]
+        post_meas: Dict[int, Dict[int, float]] = {}
+        for r in res:
+            print(f"post group: res {r}", flush=True)
+            vals = self._measure_group(
+                [{"kind": "post", "res": r, "batch": b, "iters": 3}
+                 for b in pts])
+            post_meas[r] = {b: v for b, v in zip(pts, vals) if v is not None}
+
+        # assemble the StageProfile
+        standalone_d, standalone_p, step_lat, post_tbl = {}, {}, {}, {}
+        for r in res:
+            v = step_vals[mixes.index({r: 1})]
+            if v is None:
+                raise RuntimeError(f"step mix {{{r}:1}} failed; no profile")
+            step_lat[str(r)] = v
+            standalone_d[str(r)] = v * 50.0
+            meas = post_meas[r]
+            if not meas:
+                raise RuntimeError(f"all post points failed at res {r}")
+            ok = sorted(meas)
+            per_img = meas[ok[-1]] / ok[-1]
+            tbl = list(np.interp(np.arange(1, max_post_batch + 1), ok,
+                                 [meas[b] for b in ok]))
+            for i in range(ok[-1], max_post_batch):
+                tbl[i] = tbl[ok[-1] - 1] + per_img * (i + 1 - ok[-1])
+            post_tbl[str(r)] = [float(x) for x in tbl]
+            standalone_p[str(r)] = tbl[0]
+        profile = {
+            "family": self.family,
+            "standalone": {"denoising": standalone_d,
+                           "postprocessing": standalone_p},
+            "step_latency": step_lat,
+            "post_batch_latency": post_tbl,
+        }
+        rows = [[m.get(r, 0) for r in res]
+                for m, v in zip(mixes, step_vals) if v is not None]
+        ys = [v for v in step_vals if v is not None]
+        return profile, rows, ys
+
     # -- measurement ----------------------------------------------------------
 
     def _make_reqs(self, counts: Dict[int, int], steps: int = 8):
@@ -241,6 +335,35 @@ class Profiler:
         pred.save(out_path)
 
 
+def _measure_many(specs_json: str) -> None:
+    """Subprocess entry: run a LIST of measurements sequentially, printing
+    one JSON line per point ({"i": n, "ok": ..., "value"/"error": ...}).
+    A failing point (e.g. ResourceExhausted) reports and continues — later
+    points in the same process may fail fast if the device is poisoned, but
+    every successful value still reaches the parent."""
+    specs = json.loads(specs_json)
+    prof = None
+    for i, spec in enumerate(specs):
+        if prof is None:
+            prof = Profiler(spec["family"], tiny=spec.get("tiny", False),
+                            dtype=spec.get("dtype", "bfloat16"),
+                            encoders_on_host=spec.get("encoders_on_host",
+                                                      False))
+        try:
+            if spec["kind"] == "step":
+                counts = {int(k): v for k, v in spec["counts"].items()}
+                v = prof._step_latency_local(counts,
+                                             iters=spec.get("iters", 3))
+            else:
+                v = prof._post_latency_local(spec["res"], spec["batch"],
+                                             iters=spec.get("iters", 3))
+            print(json.dumps({"i": i, "ok": True, "value": v}), flush=True)
+        except Exception as e:
+            print(json.dumps({"i": i, "ok": False,
+                              "error": f"{type(e).__name__}: {e}"[:400]}),
+                  flush=True)
+
+
 def _measure_one(spec_json: str) -> None:
     """Subprocess entry: run one measurement, print one JSON line."""
     spec = json.loads(spec_json)
@@ -271,19 +394,42 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--encoders-on-host", action="store_true",
                     help="keep text encoders in host memory (HBM-limited "
                          "chips; required for full-size SD3 on one v5e)")
-    ap.add_argument("--isolate", choices=["none", "post", "all"], default="none",
-                    help="run measurements in one-shot subprocesses so an "
-                         "OOM cannot poison the device for later points")
+    ap.add_argument("--isolate", choices=["none", "post", "all", "group"],
+                    default="none",
+                    help="run measurements in subprocesses so an OOM cannot "
+                         "poison the device for later points; 'group' = one "
+                         "subprocess for all step mixes + one per post table "
+                         "(placement/encode paid per group, not per point)")
     ap.add_argument("--measure-one", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--measure-many", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.measure_one:
         _measure_one(args.measure_one)
         return
+    if args.measure_many:
+        _measure_many(args.measure_many)
+        return
 
     prof = Profiler(args.family, tiny=args.tiny, dtype=args.dtype,
                     encoders_on_host=args.encoders_on_host,
                     isolate=args.isolate)
+
+    if args.isolate == "group":
+        profile, rows, ys = prof.profile_grouped()
+        with open(args.out_profile, "w") as f:
+            json.dump(profile, f, indent=2)
+        print(f"wrote {args.out_profile}")
+        if not args.skip_predictor:
+            from sduss_tpu.scheduler.predictor import LatencyPredictor
+            from sduss_tpu.scheduler.profiles import get_profile
+
+            pred = LatencyPredictor(sorted(prof.resolutions),
+                                    get_profile(args.family))
+            pred.fit(rows, ys)
+            pred.save(args.out_predictor)
+            print(f"wrote {args.out_predictor}")
+        return
     profile = prof.build_profile()
     with open(args.out_profile, "w") as f:
         json.dump(profile, f, indent=2)
