@@ -87,8 +87,11 @@ def _load_tokenizer(snapshot: Optional[str], subdir: str, fallback_vocab: int,
 
 
 def load_bundle(family: str, snapshot: Optional[str] = None, tiny: bool = False,
-                dtype=None, seed: int = 0) -> ModelBundle:
-    """Build a ModelBundle; load weights from ``snapshot`` if given."""
+                dtype=None, seed: int = 0, host_roles=()) -> ModelBundle:
+    """Build a ModelBundle; load weights from ``snapshot`` if given.
+
+    ``host_roles``: components to place (or generate) on the CPU host
+    instead of the accelerator (ModelConfig.encoders_on_host)."""
     bundle = get_bundle(family, tiny=tiny)
 
     # Tokenizers (HF snapshot dirs are tokenizer/, tokenizer_2/, tokenizer_3/).
@@ -101,7 +104,7 @@ def load_bundle(family: str, snapshot: Optional[str] = None, tiny: bool = False,
         bundle.tokenizers[key] = _load_tokenizer(snapshot, sub, vocab, t5=(role == "t5"))
 
     if snapshot is None:
-        bundle.init_random(seed=seed, dtype=dtype)
+        bundle.init_random(seed=seed, dtype=dtype, host_roles=host_roles)
         return bundle
 
     with open(os.path.join(snapshot, "model_index.json")) as f:
@@ -125,9 +128,16 @@ def load_bundle(family: str, snapshot: Optional[str] = None, tiny: bool = False,
         else:  # pragma: no cover
             raise ValueError(name)
 
+    import jax
     import jax.numpy as jnp
 
-    bundle.params = {k: _to_jnp(v) for k, v in bundle.params.items()}
+    def _place(name, tree):
+        if name in host_roles:
+            with jax.default_device(jax.devices("cpu")[0]):
+                return _to_jnp(tree)
+        return _to_jnp(tree)
+
+    bundle.params = {k: _place(k, v) for k, v in bundle.params.items()}
     if dtype is not None:
         bundle.cast(dtype)
     return bundle

@@ -133,24 +133,36 @@ class ModelBundle:
             return self.models["transformer"].cfg.in_channels
         return self.models["unet"].cfg.in_channels
 
-    def init_random(self, seed: int = 0, dtype=None) -> None:
+    def init_random(self, seed: int = 0, dtype=None, host_roles=()) -> None:
         """Random-init all params (tests / benchmarks without weights).
 
         With a target dtype, params are GENERATED in that dtype on device —
         an fp32 staging copy of a full-size SDXL bundle would transiently
         exceed a 16 GB chip (sduss_tpu/utils.random_params).
+
+        ``host_roles``: generate these components directly on the CPU host
+        (ModelConfig.encoders_on_host).  Generating on the accelerator and
+        copying to host afterwards would leave the device copy referenced
+        by this bundle — the full-size SD3 encoder set (T5-XXL ~9.4 GB
+        bf16 + CLIP-G) then fills a 16 GB chip before the first denoise
+        step (the round-2 cache.train/profiler OOM).
         """
+        import contextlib
+
         rng = jax.random.key(seed)
         for i, (name, model) in enumerate(sorted(self.models.items())):
             tgt = dtype
             if name == "vae" and self.models["vae"].cfg.force_upcast:
                 tgt = None  # VAE params stay float32
-            if tgt is None:
-                self.params[name] = model.init(jax.random.fold_in(rng, i))
-            else:
-                from sduss_tpu.utils import random_params
+            cm = (jax.default_device(jax.devices("cpu")[0])
+                  if name in host_roles else contextlib.nullcontext())
+            with cm:
+                if tgt is None:
+                    self.params[name] = model.init(jax.random.fold_in(rng, i))
+                else:
+                    from sduss_tpu.utils import random_params
 
-                self.params[name] = random_params(model, seed + i, tgt)
+                    self.params[name] = random_params(model, seed + i, tgt)
 
     def cast(self, dtype) -> None:
         import jax.numpy as jnp

@@ -39,5 +39,7 @@ def build_pipeline(config: Config, device=None, bundle: ModelBundle | None = Non
             tiny=config.model.test_tiny,
             dtype=dtype,
             seed=config.model.seed,
+            host_roles=(BasePipeline.ENCODER_ROLES
+                        if config.model.encoders_on_host else ()),
         )
     return get_pipeline_cls(family)(bundle, config, device=device)
