@@ -270,6 +270,10 @@ def _cross_attention(p, h, ehs, heads, ctx, lvl, rows=None):
         k = L.linear(p["to_k"], ehs)
         v = L.linear(p["to_v"], ehs)
         out = masked_attention(L.linear(p["to_q"], h), k, v, heads)
+    elif rows is None:
+        # keep the plain call shape: sharded contexts (displaced path)
+        # don't take rows — two-level compaction never runs there
+        out = ctx.cross_attention(p, h, ehs, heads, lvl)
     else:
         out = ctx.cross_attention(p, h, ehs, heads, lvl, rows=rows)
     return L.linear(p["to_out"], out)
