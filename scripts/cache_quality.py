@@ -98,7 +98,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
     import functools
 
     @jax.jit
-    def run_plain(lat, g, ehs, pooled, tid):
+    def run_plain(params, lat, g, ehs, pooled, tid):
         def body(i, lat):
             return one_step(params, lat, i, g, ehs, pooled, tid)[0]
 
@@ -111,7 +111,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         hw_deep = hw // (2 ** max(n_lv - 2, 0))
 
         @jax.jit
-        def run(lat, g, ehs, pooled, tid):
+        def run(params, lat, g, ehs, pooled, tid):
             deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
 
             def full_f(args):
@@ -148,7 +148,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
                   for key, (s, cin, cout) in layout.items()}
 
         @jax.jit
-        def run(lat, g, ehs, pooled, tid):
+        def run(params, lat, g, ehs, pooled, tid):
             def body(i, carry):
                 lat, st = carry
                 out, st2 = one_step(params, lat, i, g, ehs, pooled, tid,
@@ -160,7 +160,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
-    return run_plain, run_deep, run_compact, make_inputs
+    return run_plain, run_deep, run_compact, make_inputs, params
 
 
 def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
@@ -204,7 +204,7 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
         return lat, g, ehs, pooled, None
 
     @jax.jit
-    def run_plain(lat, g, ehs, pooled, _tid):
+    def run_plain(params, lat, g, ehs, pooled, _tid):
         def body(i, x):
             c0 = jnp.full((b,), cs[i, 0])
             c1 = jnp.full((b,), cs[i, 1])
@@ -235,7 +235,7 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
                       for key, (s, d) in layout.items()}
 
         @jax.jit
-        def run(lat, g, ehs, pooled, _tid):
+        def run(params, lat, g, ehs, pooled, _tid):
             mask = jnp.ones((2 * b, seq), bool)
 
             def body(i, carry):
@@ -260,7 +260,7 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
-    return run_plain, None, run_compact, make_inputs
+    return run_plain, None, run_compact, make_inputs, params
 
 
 def main():
@@ -288,7 +288,11 @@ def main():
 
     res = args.res or (256 if args.tiny else 1024)
     build = build_unet_runs if args.family == "sdxl" else build_mmdit_runs
-    run_plain, run_deep, run_compact, make_inputs = build(
+    # params threads through as an explicit jit argument: closing over the
+    # full-size bundle captured it as 5.13 GB of lowered CONSTANTS (shipped
+    # with the program through the relay on every compile; measured warning
+    # in the r2 chip queue).
+    run_plain, run_deep, run_compact, make_inputs, params = build(
         args.tiny, args.batch, res, args.steps)
 
     configs = []
@@ -298,19 +302,27 @@ def main():
     if args.family == "sd3":
         configs += [("token_fine", float(v)) for v in args.fine.split(",") if v]
 
+    # cache-off reference trajectories: one per seed, shared by all configs
+    refs = {}
+
+    def ref_for(seed, inputs):
+        if seed not in refs:
+            refs[seed] = np.asarray(run_plain(params, *inputs), np.float32)
+        return refs[seed]
+
     results = []
     for kind, param in configs:
         rels, coss = [], []
         for seed in range(args.seeds):
             inputs = make_inputs(seed)
-            ref = np.asarray(run_plain(*inputs), np.float32)
+            ref = ref_for(seed, inputs)
             if kind == "deep":
                 run = run_deep(param)
             elif kind == "token_fine":
                 run = run_compact(param, fine=True)
             else:
                 run = run_compact(param)
-            got = np.asarray(run(*inputs), np.float32)
+            got = np.asarray(run(params, *inputs), np.float32)
             rel, cos = _metrics(got, ref)
             rels.append(rel)
             coss.append(cos)
