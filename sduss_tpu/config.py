@@ -206,6 +206,14 @@ class CacheConfig:
     # Always-full steps at the start of each trajectory (activation drift is
     # largest early in denoising; mirrors DistriFuser's warmup_steps idea).
     deep_warmup: int = 3
+    # Deep-phase-aligned admission (serving): the deep cache is
+    # batch-synchronized (one full/shallow mode per jitted step), so a newly
+    # admitted request — whose warmup forces full passes — degrades the whole
+    # batch to cache-off under rolling arrivals.  When True, ESyMReD defers
+    # admissions to full-pass boundaries (every full pass refreshes ALL rows'
+    # deep features, re-synchronizing the batch); a candidate whose SLO slack
+    # cannot afford the wait is admitted immediately (SLO beats cache).
+    phase_admission: bool = True
     # Deep boundary level; None => deepest level + mid.
     deep_boundary: Optional[int] = None
     # Force recompute after this many consecutive cache hits (reference uses

@@ -17,10 +17,14 @@ from sduss_tpu.scheduler.request_pool import RequestPool
 
 
 class WorkerScheduler:
-    def __init__(self, config: SchedulerConfig, family: str):
+    def __init__(self, config: SchedulerConfig, family: str,
+                 cache_config=None):
         self.config = config
         self.pool = RequestPool()
         self.policy = get_policy(config.policy, config, family)
+        # Cache settings inform admission timing (deep-phase alignment);
+        # None (tests / cache-off) disables the gate.
+        self.policy.cache_config = cache_config
 
     def add_request(self, req: Request) -> None:
         req.stage = Stage.PREPARE

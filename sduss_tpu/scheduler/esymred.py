@@ -123,6 +123,40 @@ class ESyMReDPolicy(Policy):
                 break
         return ScheduledBatch(Stage.POSTPROCESSING, batch)
 
+    def _deep_defer(self, running: List[Request], urgent: Request, now: float,
+                    step_s: float) -> bool:
+        """True when admissions should wait for the next full-pass boundary.
+
+        Mirrors the pipeline's mode choice (pipelines/base.py
+        _denoise_group_deep): the upcoming step is full iff any running row
+        lacks a fresh deep feature, is at the end of its interval, or is in
+        trajectory warmup.  Admitting DURING a shallow phase would force
+        fulls for `deep_warmup` consecutive steps across the whole batch.
+        """
+        cc = self.cache_config
+        if cc is None or not getattr(cc, "enabled", False) \
+                or getattr(cc, "mode", None) != "deep" \
+                or not getattr(cc, "phase_admission", True):
+            return False
+        interval = max(cc.deep_interval, 1)
+        if interval <= 1:
+            return False
+        full_next = any(
+            r.deep_state is None or r.deep_age >= interval - 1
+            or (r.sampler_table is not None
+                and r.sampler_table.step < cc.deep_warmup)
+            for r in running)
+        if full_next:
+            return False
+        steps_to_full = max(
+            min(interval - 1 - r.deep_age for r in running), 1)
+        wait_s = steps_to_full * max(step_s, 1e-3)
+        rem = self.predictor.single_request_step_s(urgent.resolution) \
+            * urgent.remain_steps
+        # SLO beats cache: admit now if waiting would sink the candidate.
+        return self._denoise_slack(urgent, now, rem) \
+            > wait_s + MIN_RUNNING_SLACK_S
+
     def _schedule_denoising(self, pool: RequestPool, now: float) -> Optional[ScheduledBatch]:
         den = pool.in_stage(Stage.DENOISING)
         if not den:
@@ -153,6 +187,22 @@ class ESyMReDPolicy(Policy):
             return self._denoise_slack(r, now, rem)
 
         waiting = sorted(waiting, key=cand_slack)
+
+        # Deep-phase-aligned admission: the deep cache runs one full/shallow
+        # mode per batch step, and a new member's warmup forces full passes
+        # for everyone — rolling admissions degrade the cache to off.  Defer
+        # admissions until the step that will be a full pass anyway (it
+        # refreshes every row's deep feature, so the batch re-synchronizes),
+        # unless the most urgent candidate's slack cannot afford the wait.
+        if waiting and running and self._deep_defer(running, waiting[0], now,
+                                                    predict_step()):
+            if not batch:
+                return None
+            step_s = predict_step()
+            for r in batch:
+                r.predicted_step_ms = step_s * 1000.0
+            mixed = len({r.resolution for r in batch}) > 1
+            return ScheduledBatch(Stage.DENOISING, batch, mixed=mixed)
 
         while budget > 0 and waiting:
             target = waiting[0]

@@ -40,6 +40,9 @@ class Policy:
     """Base: subclasses implement schedule(pool) -> ScheduledBatch | None."""
 
     supports_mixed_resolution = False
+    # CacheConfig of the serving pipeline (set by WorkerScheduler); policies
+    # may use it to align admissions with cache phases.  None = cache-off.
+    cache_config = None
 
     def __init__(self, config: SchedulerConfig, family: str = "sd15"):
         self.config = config

@@ -145,6 +145,73 @@ class TestESyMReD:
             get_policy("nope", cfg())
 
 
+class TestDeepPhaseAdmission:
+    """Deep-cache phase-aligned admission (esymred._deep_defer).
+
+    The deep cache runs one full/shallow mode per jitted batch step
+    (pipelines/base.py _denoise_group_deep), so admitting a new member
+    mid-phase forces full passes for the whole batch; ESyMReD defers
+    admissions to full-pass boundaries unless the candidate's slack cannot
+    afford the wait."""
+
+    def _pol(self, interval=3):
+        from sduss_tpu.config import CacheConfig
+
+        pol = get_policy("esymred", cfg(), family="sdxl")
+        pol.cache_config = CacheConfig(enabled=True, mode="deep",
+                                       deep_interval=interval, deep_warmup=0)
+        return pol
+
+    @staticmethod
+    def _mark_running(pool, rid, deep_age):
+        import types
+
+        r = pool.get(rid)
+        r.start_denoising_time = time.time()
+        r.deep_age = deep_age
+        r.deep_state = object()
+        r.sampler_table = types.SimpleNamespace(step=5)
+        return r
+
+    def test_defers_admission_mid_phase(self):
+        pool = make_pool([
+            ("run", 512, Stage.DENOISING, 0, 10),
+            ("new", 512, Stage.DENOISING, 0, 10),
+        ])
+        self._mark_running(pool, "run", deep_age=0)  # next step is shallow
+        batch = self._pol().schedule(pool)
+        assert [r.request_id for r in batch.requests] == ["run"]
+        assert not batch.aborts
+
+    def test_admits_at_full_boundary(self):
+        pool = make_pool([
+            ("run", 512, Stage.DENOISING, 0, 10),
+            ("new", 512, Stage.DENOISING, 0, 10),
+        ])
+        self._mark_running(pool, "run", deep_age=2)  # interval 3: full next
+        batch = self._pol().schedule(pool)
+        assert {r.request_id for r in batch.requests} == {"run", "new"}
+
+    def test_hopeless_candidate_still_aborts_mid_phase(self):
+        pool = make_pool([
+            ("run", 512, Stage.DENOISING, 0, 10),
+            ("late", 1024, Stage.DENOISING, -10_000, 50),
+        ])
+        self._mark_running(pool, "run", deep_age=0)
+        batch = self._pol().schedule(pool)
+        assert [r.request_id for r in batch.aborts] == ["late"]
+
+    def test_cache_off_admits_immediately(self):
+        pool = make_pool([
+            ("run", 512, Stage.DENOISING, 0, 10),
+            ("new", 512, Stage.DENOISING, 0, 10),
+        ])
+        self._mark_running(pool, "run", deep_age=0)
+        pol = get_policy("esymred", cfg(), family="sdxl")  # no cache_config
+        batch = pol.schedule(pool)
+        assert {r.request_id for r in batch.requests} == {"run", "new"}
+
+
 class TestESyMReDFittedPredictor:
     def test_fitted_predictor_survives_resolution_subset(self, tmp_path):
         """Regression: a predictor fitted over (512,768,1024) must keep its
