@@ -108,3 +108,58 @@ def test_mha_fused_matches_dense(b, lq, lk, heads, hd):
     out = flash_mha_fused(q, k, v, heads, scale, block_q=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+class TestHeadPipelining:
+    """The head-software-pipelined schedules (pipe=True) are pure
+    instruction reorderings — results must be bit-identical in value to the
+    sequential schedule and equal to dense."""
+
+    @pytest.mark.parametrize("lq,lk,heads", [
+        (256, 256, 4),       # aligned -> nobias kernel, hb>1
+        (384, 250, 4),       # ragged kv -> bias kernel
+    ])
+    def test_flash_mha_pipeline_matches_dense(self, lq, lk, heads):
+        dm = heads * 64
+        q, k, v = _mk(2, lq, lk, dm, seed=11)
+        scale = 1.0 / math.sqrt(64)
+        ref = _dense_masked(q, k, v, heads, None, scale)
+        out = flash_mha(q, k, v, heads, scale, block_q=128, block_kv=128,
+                        heads_per_cell=4, interpret=True, pipeline=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        seq = flash_mha(q, k, v, heads, scale, block_q=128, block_kv=128,
+                        heads_per_cell=4, interpret=True, pipeline=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))
+
+    def test_flash_mha_runtime_mask_pipeline(self):
+        heads, dm = 4, 256
+        q, k, v = _mk(2, 256, 256, dm, seed=12)
+        rng = np.random.default_rng(13)
+        mask = jnp.asarray(rng.random((2, 256)) > 0.3)
+        scale = 1.0 / math.sqrt(64)
+        ref = _dense_masked(q, k, v, heads, mask, scale)
+        out = flash_mha(q, k, v, heads, scale, kv_mask=mask, block_q=128,
+                        block_kv=128, heads_per_cell=2, interpret=True,
+                        pipeline=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("b,lq,lk,heads,hd", [
+        (2, 512, 512, 4, 64),
+        (2, 640, 250, 2, 64),
+    ])
+    def test_mha_fused_pipeline_matches_dense(self, b, lq, lk, heads, hd):
+        from sduss_tpu.ops.flash import flash_mha_fused
+
+        dm = heads * hd
+        q, k, v = _mk(b, lq, lk, dm, seed=14)
+        scale = 1.0 / math.sqrt(hd)
+        ref = _dense_masked(q, k, v, heads, None, scale)
+        out = flash_mha_fused(q, k, v, heads, scale, block_q=256,
+                              interpret=True, pipeline=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        seq = flash_mha_fused(q, k, v, heads, scale, block_q=256,
+                              interpret=True, pipeline=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))
