@@ -52,15 +52,23 @@ async def _run(args):
     if args.tiny:
         config.model.dtype = "float32"
     config.scheduler.policy = args.policy
-    if args.predictor and os.path.exists(args.predictor):
-        config.scheduler.predictor_path = args.predictor
-    if args.profile and os.path.exists(args.profile):
-        with open(args.profile) as f:
+    predictor = (args.predictor if args.predictor is not None
+                 else f"exp/predictor_{args.model}_v5e.npz")
+    profile = (args.profile if args.profile is not None
+               else f"exp/profile_{args.model}_v5e.json")
+    if predictor and os.path.exists(predictor):
+        config.scheduler.predictor_path = predictor
+    if profile and os.path.exists(profile):
+        with open(profile) as f:
             config.scheduler.stage_latency_overrides = json.load(f)
     if args.deep_interval:
         config.cache.enabled = True
         config.cache.mode = "deep"
         config.cache.deep_interval = args.deep_interval
+
+    if args.batch_buckets:
+        config.scheduler.batch_buckets = tuple(
+            int(b) for b in args.batch_buckets.split(","))
 
     resolutions = tuple(int(r) for r in args.resolutions.split(","))
     engine = AsyncEngine(config)
@@ -75,42 +83,59 @@ async def _run(args):
         "passes": {},
     }
     try:
-        # -- warmup pass: absorb placement + compiles/loads ------------------
+        # -- warmup: compile every (res x bucket x mode) key ----------------
+        # Engine.prewarm drives the PRODUCTION loop, so measured passes
+        # never hit a cold XLA key mid-request (the round-1 probe's latency
+        # pathology: rolling admissions kept minting new batch-size keys,
+        # each a 20-65s executable load through the relay).
         t0 = time.time()
-        rows = generate_trace(2.0, args.warmup, resolutions, "uniform",
-                              steps=args.steps, seed=123)
-        await replay(engine, rows, config.model.family, slo=100,
-                     time_scale=args.time_scale)
+        if args.prewarm:
+            engine.engine.prewarm(resolutions=resolutions)
+        else:
+            rows = generate_trace(2.0, args.warmup, resolutions, "uniform",
+                                  steps=args.steps, seed=123)
+            await replay(engine, rows, config.model.family, slo=100,
+                         time_scale=args.time_scale)
         out["warmup_s"] = round(time.time() - t0, 1)
-        print(f"# warmup {args.warmup} reqs done in {out['warmup_s']}s",
-              flush=True)
+        print(f"# warmup done in {out['warmup_s']}s", flush=True)
 
-        # -- direct warm step probe -----------------------------------------
+        # -- direct warm step probe: STEADY-STATE window --------------------
+        # Routed like the worker (engine/worker.py:101-105): a uniform
+        # single-resolution batch takes the DENSE path (the patched path
+        # costs ~2.5x dense and is only for actual mixes) — the round-1
+        # probe forced the mixed path and overstated the step 2.5x.  Steps
+        # past deep warmup first, then times full interval windows so the
+        # reported ms/step is the production full+shallow mix.
         pipe = engine.engine.workers[0].pipeline
         from sduss_tpu.request import Request, SamplingParams, Stage
 
+        cc = config.cache
+        interval = max(cc.deep_interval, 1) if (cc.enabled and
+                                                cc.mode == "deep") else 1
+        warm_steps = cc.deep_warmup if cc.enabled else 1
+        n_timed = 2 * interval
         probe_reqs = [
             Request(f"probe-{i}", SamplingParams(
                 prompt="probe", resolution=max(resolutions),
-                num_inference_steps=8, seed=i))
+                num_inference_steps=warm_steps + n_timed + 2, seed=i))
             for i in range(args.probe_batch)]
         pipe.prepare(probe_reqs)
         for r in probe_reqs:
             r.stage = Stage.DENOISING
         by_res = {max(resolutions): probe_reqs}
-        step = (pipe.denoise_step_mixed
-                if config.scheduler.use_mixed_resolution else pipe.denoise_step)
-        step(by_res)
-        np.asarray(probe_reqs[0].latents)  # force
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        step = pipe.denoise_step  # uniform batch => dense path, like worker
+        for _ in range(warm_steps + 1):
             step(by_res)
-            np.asarray(probe_reqs[0].latents)
-            times.append(time.perf_counter() - t0)
-        out["warm_step_ms"] = round(float(np.median(times)) * 1e3, 1)
-        print(f"# warm {args.probe_batch}x{max(resolutions)} step: "
-              f"{out['warm_step_ms']} ms", flush=True)
+        np.asarray(probe_reqs[0].latents)  # force
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            step(by_res)
+        np.asarray(probe_reqs[0].latents)
+        out["warm_step_ms"] = round(
+            (time.perf_counter() - t0) / n_timed * 1e3, 1)
+        print(f"# warm {args.probe_batch}x{max(resolutions)} steady step "
+              f"({n_timed}-step window): {out['warm_step_ms']} ms",
+              flush=True)
 
         # -- measured passes -------------------------------------------------
         for qps in [float(q) for q in args.qps.split(",")]:
@@ -144,10 +169,17 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--slo", type=int, default=5)
     ap.add_argument("--probe-batch", type=int, default=8)
+    ap.add_argument("--prewarm", action="store_true", default=True)
+    ap.add_argument("--no-prewarm", dest="prewarm", action="store_false")
+    ap.add_argument("--batch-buckets", default="",
+                    help="override scheduler batch buckets, e.g. '2,4,8' "
+                         "(bounds the compile-key set on the relay)")
     ap.add_argument("--time-scale", type=float, default=1.0)
     ap.add_argument("--deep-interval", type=int, default=3)
-    ap.add_argument("--predictor", default="exp/predictor_sdxl_v5e.npz")
-    ap.add_argument("--profile", default="exp/profile_sdxl_v5e.json")
+    ap.add_argument("--predictor", default=None,
+                    help="default exp/predictor_<model>_v5e.npz if present")
+    ap.add_argument("--profile", default=None,
+                    help="default exp/profile_<model>_v5e.json if present")
     ap.add_argument("--out", default="exp/serving_sdxl_v5e_r2.json")
     args = ap.parse_args()
 

@@ -233,6 +233,10 @@ class EngineConfig:
     """Front-end engine + dispatcher settings (reference config.py:145-175)."""
 
     dispatcher_policy: str = "greedy"
+    # Compile-warm every (resolution x batch-bucket x cache-mode) step
+    # program at startup (Engine.prewarm) so no serving request ever hits a
+    # cold XLA key.  Opt-in: full-size compiles take minutes per key.
+    prewarm: bool = False
     # Seconds between background engine-loop polls when idle.
     poll_interval_s: float = 0.01
     log_requests: bool = True

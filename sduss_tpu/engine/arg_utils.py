@@ -53,6 +53,9 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g = parser.add_argument_group("engine")
     g.add_argument("--dispatcher-policy", type=str, default="greedy")
     g.add_argument("--collect-data", action="store_true")
+    g.add_argument("--prewarm", action="store_true",
+                   help="compile-warm all (res x bucket x mode) step "
+                        "programs before serving (Engine.prewarm)")
     return parser
 
 
@@ -75,5 +78,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
                           compact_fraction=args.compact_fraction,
                           classifier_path=args.cache_classifier_path),
         engine=EngineConfig(
-            dispatcher_policy=args.dispatcher_policy, collect_data=args.collect_data),
+            dispatcher_policy=args.dispatcher_policy,
+            collect_data=args.collect_data,
+            prewarm=getattr(args, "prewarm", False)),
     )

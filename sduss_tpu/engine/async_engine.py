@@ -57,6 +57,10 @@ class AsyncEngine:
     def __init__(self, config: Config, engine: Optional[Engine] = None):
         self.config = config
         self.engine = engine or Engine(config)
+        if config.engine.prewarm:
+            # Blocking by design: serving must not start answering with cold
+            # XLA keys (Engine.prewarm docstring).
+            self.engine.prewarm()
         self._streams: Dict[str, AsyncStream] = {}
         self._new_ids: set = set()
         self._loop_task: Optional[asyncio.Task] = None

@@ -127,6 +127,50 @@ class Engine:
                 outputs.append(out)
         return outputs
 
+    def prewarm(self, resolutions: Optional[Sequence[int]] = None,
+                buckets: Optional[Sequence[int]] = None,
+                steps: Optional[int] = None) -> float:
+        """Compile-warm every (resolution x batch-bucket x cache-mode) step
+        program by running throwaway requests through the production loop.
+
+        XLA serving needs this where the reference's eager CUDA engine does
+        not: each distinct (bucket, mode, res) combination is a separately
+        compiled program, and a cold key hit mid-serving stalls the whole
+        batch for the compile (pipelines/base.py:16 bucket rationale).  With
+        the deep cache on, ``steps`` defaults to deep_warmup + interval + 1
+        so both the full and shallow step programs compile.  Returns elapsed
+        seconds; engine stats are reset afterwards so the throwaway requests
+        don't pollute serving metrics.
+        """
+        t0 = time.time()
+        sc = self.config.scheduler
+        cc = self.config.cache
+        res_list = list(resolutions or self.config.model.resolutions)
+        if steps is None:
+            steps = 2
+            if cc.enabled and cc.mode == "deep":
+                steps = cc.deep_warmup + max(cc.deep_interval, 1) + 1
+        bks = [b for b in (buckets or sc.batch_buckets)
+               if b <= sc.max_batch_size]
+        n = 0
+        for res in res_list:
+            for b in bks:
+                self.add_requests([
+                    Request(f"prewarm-{res}-{b}-{i}", SamplingParams(
+                        prompt="", resolution=res,
+                        num_inference_steps=steps, seed=0))
+                    for i in range(b)])
+                while self.has_unfinished_requests():
+                    self.step()
+                n += b
+                logger.info("prewarm: res %d bucket %d done (%.1fs elapsed)",
+                            res, b, time.time() - t0)
+        self.stats = EngineStats()
+        dt = time.time() - t0
+        logger.info("prewarm: %d resolutions x %d buckets (%d requests) "
+                    "in %.1fs", len(res_list), len(bks), n, dt)
+        return dt
+
     # -- data collection (reference SDUSS_COLLECT_DATA CSVs,
     #    engine/engine.py:327-373) ---------------------------------------------
 

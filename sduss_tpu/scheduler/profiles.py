@@ -62,19 +62,40 @@ class StageProfile:
 
     # -- deadlines (reference esymred_utils.py:14-44) ------------------------
 
+    @staticmethod
+    def _lookup(table: Dict[str, float], resolution: int) -> float:
+        """Table lookup with pixel-count extrapolation for unseen
+        resolutions: scale the nearest measured entry by the pixel ratio
+        (denoise/VAE cost is ~linear in latent pixels).  A deployment
+        serving a resolution outside its profile (e.g. an sdxl profile
+        asked about 256) must degrade to an estimate, not KeyError."""
+        key = str(resolution)
+        if key in table:
+            return table[key]
+        nearest = min(table, key=lambda r: abs(int(r) - resolution))
+        return table[nearest] * (resolution / int(nearest)) ** 2
+
     def denoising_ddl_s(self, resolution: int) -> float:
-        return self.standalone["denoising"][str(resolution)] * self.slo_scale
+        return self._lookup(self.standalone["denoising"],
+                            resolution) * self.slo_scale
 
     def e2e_ddl_s(self, resolution: int) -> float:
-        r = str(resolution)
-        return (self.standalone["denoising"][r]
-                + self.standalone["postprocessing"][r]) * self.slo_scale
+        return (self._lookup(self.standalone["denoising"], resolution)
+                + self._lookup(self.standalone["postprocessing"],
+                               resolution)) * self.slo_scale
 
     def step_latency_s(self, resolution: int) -> float:
-        return self.step_latency[str(resolution)]
+        return self._lookup(self.step_latency, resolution)
 
     def post_latency_s(self, resolution: int, batch_size: int = 1) -> float:
-        tbl = self.post_batch_latency[str(resolution)]
+        key = str(resolution)
+        if key not in self.post_batch_latency:
+            nearest = min(self.post_batch_latency,
+                          key=lambda r: abs(int(r) - resolution))
+            tbl = [t * (resolution / int(nearest)) ** 2
+                   for t in self.post_batch_latency[nearest]]
+        else:
+            tbl = self.post_batch_latency[key]
         if batch_size <= len(tbl):
             return tbl[batch_size - 1]
         return tbl[-1] * batch_size / len(tbl)

@@ -113,6 +113,29 @@ class TestEngine:
         ranks = {r.dp_rank for r in reqs}
         assert ranks == {0, 1}
 
+    def test_prewarm_covers_buckets_and_resets_stats(self):
+        """Engine.prewarm runs throwaway requests through the production
+        loop at every (resolution x bucket) and leaves stats clean."""
+        c = _cfg(policy="esymred")
+        c.scheduler.batch_buckets = (1, 2)
+        c.scheduler.max_batch_size = 2
+        c.cache.enabled = True
+        c.cache.mode = "deep"
+        c.cache.deep_interval = 2
+        c.cache.deep_warmup = 1
+        eng = Engine(c)
+        dt = eng.prewarm(resolutions=(128,))
+        assert dt >= 0
+        assert not eng.has_unfinished_requests()
+        assert eng.stats.summary()["finished"] == 0  # stats reset
+        # Serving after prewarm works and reuses the warmed paths.
+        reqs = [_req(f"post{i}", res=128, steps=4) for i in range(2)]
+        eng.add_requests(reqs)
+        outs = []
+        while eng.has_unfinished_requests():
+            outs.extend(eng.step())
+        assert len(outs) == 2 and all(o.finished for o in outs)
+
     def test_abort_waiting_and_running(self):
         eng = Engine(_cfg())
         reqs = [_req("a", steps=5), _req("b", steps=5)]
