@@ -93,7 +93,25 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
             out, extra = out
         u, c = jnp.split(out, 2)
         eps = u + g.reshape(-1, 1, 1, 1) * (c - u)
-        return sampler.step(lat, eps, c0, c1), extra
+        return sampler.step(lat, eps, c0, c1), extra, eps
+
+    @jax.jit
+    def run_drift(params, lat, g, ehs, pooled, tid):
+        """Mean step-to-step relative MSE of the model output along the
+        cache-off trajectory — the temporal smoothness every reuse cache
+        banks on.  Context metric: random weights have no trained
+        smoothness, so cache divergence measured here is an upper bound."""
+        def body(i, carry):
+            lat, prev, acc = carry
+            lat2, _, eps = one_step(params, lat, i, g, ehs, pooled, tid)
+            rel = jnp.mean((eps - prev) ** 2) / (jnp.mean(prev**2) + 1e-12)
+            acc = acc + jnp.where(i > 0, rel, 0.0)
+            return lat2, eps, acc
+
+        lat0, _, eps0 = one_step(params, lat, 0, g, ehs, pooled, tid)
+        _, _, acc = jax.lax.fori_loop(
+            1, n_steps, body, (lat0, eps0, jnp.float32(0.0)))
+        return acc / max(n_steps - 1, 1)
 
     import functools
 
@@ -116,14 +134,14 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
             def full_f(args):
                 lat, deep, i = args
-                out, d2 = one_step(params, lat, i, g, ehs, pooled, tid,
-                                   deep_mode="full", deep_state=None)
+                out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
+                                      deep_mode="full", deep_state=None)
                 return out, d2
 
             def shallow_f(args):
                 lat, deep, i = args
-                out, d2 = one_step(params, lat, i, g, ehs, pooled, tid,
-                                   deep_mode="shallow", deep_state=deep)
+                out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
+                                      deep_mode="shallow", deep_state=deep)
                 return out, d2
 
             def body(i, carry):
@@ -151,8 +169,8 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         def run(params, lat, g, ehs, pooled, tid):
             def body(i, carry):
                 lat, st = carry
-                out, st2 = one_step(params, lat, i, g, ehs, pooled, tid,
-                                    cache=cache, cache_state=st)
+                out, st2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
+                                       cache=cache, cache_state=st)
                 return out, st2
 
             lat, _ = jax.lax.fori_loop(0, n_steps, body, (lat, state0))
@@ -160,7 +178,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
-    return run_plain, run_deep, run_compact, make_inputs, params
+    return run_plain, run_deep, run_compact, make_inputs, params, run_drift
 
 
 def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
@@ -203,18 +221,34 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
         g = jnp.full((b,), 4.5)
         return lat, g, ehs, pooled, None
 
+    def _plain_step(params, x, i, g, ehs, pooled):
+        c0 = jnp.full((b,), cs[i, 0])
+        c1 = jnp.full((b,), cs[i, 1])
+        t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+        out = model.apply(params, jnp.concatenate([x, x]), t2, ehs, pooled)
+        u, c = jnp.split(out, 2)
+        v = u + g.reshape(-1, 1, 1, 1) * (c - u)
+        return sampler.step(x, v.astype(x.dtype), c0, c1), v
+
     @jax.jit
     def run_plain(params, lat, g, ehs, pooled, _tid):
         def body(i, x):
-            c0 = jnp.full((b,), cs[i, 0])
-            c1 = jnp.full((b,), cs[i, 1])
-            t2 = jnp.full((2 * b,), ts[i], jnp.float32)
-            out = model.apply(params, jnp.concatenate([x, x]), t2, ehs, pooled)
-            u, c = jnp.split(out, 2)
-            v = u + g.reshape(-1, 1, 1, 1) * (c - u)
-            return sampler.step(x, v.astype(x.dtype), c0, c1)
+            return _plain_step(params, x, i, g, ehs, pooled)[0]
 
         return jax.lax.fori_loop(0, n_steps, body, lat)
+
+    @jax.jit
+    def run_drift(params, lat, g, ehs, pooled, _tid):
+        def body(i, carry):
+            x, prev, acc = carry
+            x2, v = _plain_step(params, x, i, g, ehs, pooled)
+            rel = jnp.mean((v - prev) ** 2) / (jnp.mean(prev**2) + 1e-12)
+            return x2, v, acc + rel
+
+        x0, v0 = _plain_step(params, lat, 0, g, ehs, pooled)
+        _, _, acc = jax.lax.fori_loop(
+            1, n_steps, body, (x0, v0, jnp.float32(0.0)))
+        return acc / max(n_steps - 1, 1)
 
     @functools.lru_cache(maxsize=None)
     def run_compact(fraction: float, fine: bool = False):
@@ -260,7 +294,7 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
-    return run_plain, None, run_compact, make_inputs, params
+    return run_plain, None, run_compact, make_inputs, params, run_drift
 
 
 def main():
@@ -292,8 +326,8 @@ def main():
     # full-size bundle captured it as 5.13 GB of lowered CONSTANTS (shipped
     # with the program through the relay on every compile; measured warning
     # in the r2 chip queue).
-    run_plain, run_deep, run_compact, make_inputs, params = build(
-        args.tiny, args.batch, res, args.steps)
+    (run_plain, run_deep, run_compact, make_inputs, params,
+     run_drift) = build(args.tiny, args.batch, res, args.steps)
 
     configs = []
     if run_deep is not None:
@@ -332,8 +366,21 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    # Context: the temporal smoothness every reuse cache exploits.  A
+    # trained model's step-to-step output drift is small (the paper
+    # premise; reference classifiers act at rel-drift ~0.01); RANDOM
+    # weights have none, so the cache divergences above are upper bounds —
+    # pessimistic by roughly the drift ratio.
+    drift = float(np.asarray(run_drift(params, *make_inputs(0))))
+    print(json.dumps({"stepwise_output_drift": drift}), flush=True)
+
     out = {"family": args.family, "tiny": args.tiny, "res": res,
            "steps": args.steps, "batch": args.batch, "seeds": args.seeds,
+           "stepwise_output_drift": drift,
+           "note": ("random-weight models lack trained temporal smoothness; "
+                    "cache divergence here is an upper bound (see "
+                    "stepwise_output_drift vs the ~0.01 rel-drift scale "
+                    "trained models exhibit)"),
            "configs": results}
     if args.out:
         with open(args.out, "w") as f:
