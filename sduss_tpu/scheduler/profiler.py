@@ -222,8 +222,14 @@ class Profiler:
         by_res: Dict[int, list] = {}
         for r in reqs:
             by_res.setdefault(r.resolution, []).append(r)
+        # Route like the worker (engine/worker.py:101-105): the patched path
+        # only for ACTUAL mixes — uniform compositions run dense in
+        # production, and profiling them through the patch path overstated
+        # singleton steps ~1.8x (the round-1 "768-singleton ~= 1024" anomaly
+        # was this: a 768 singleton pays 12-patch padding + grouped-attention
+        # masking the dense path never sees).
         run = (self.pipe.denoise_step_mixed
-               if self.config.scheduler.use_mixed_resolution
+               if len(by_res) > 1 and self.config.scheduler.use_mixed_resolution
                else self.pipe.denoise_step)
         run(by_res)  # compile
         run(by_res)  # warm
