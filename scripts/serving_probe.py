@@ -69,6 +69,10 @@ async def _run(args):
     if args.batch_buckets:
         config.scheduler.batch_buckets = tuple(
             int(b) for b in args.batch_buckets.split(","))
+        # re-apply the post-init invariant after mutating buckets
+        config.scheduler.max_batch_size = min(
+            config.scheduler.max_batch_size,
+            config.scheduler.batch_buckets[-1])
 
     resolutions = tuple(int(r) for r in args.resolutions.split(","))
     engine = AsyncEngine(config)

@@ -175,6 +175,15 @@ class SchedulerConfig:
     patch_buckets: Tuple[int, ...] = (4, 8, 12, 16, 20, 24, 32, 40, 48, 64,
                                       80, 96, 128, 160, 192, 256)
 
+    def __post_init__(self) -> None:
+        # The largest bucket is the hard batch ceiling: every stage pads to
+        # a bucket, so a policy batch above buckets[-1] would need a
+        # negative pad.  Deployments that narrow the bucket list (fewer XLA
+        # keys to prewarm) implicitly narrow max_batch_size with it.
+        if self.batch_buckets:
+            self.max_batch_size = min(self.max_batch_size,
+                                      self.batch_buckets[-1])
+
 
 @dataclass
 class CacheConfig:
@@ -273,8 +282,16 @@ class Config:
 
 
 def bucket_for(value: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket >= value; the largest bucket if value exceeds all."""
+    """Smallest bucket >= value.
+
+    A value above the largest bucket is a scheduling bug (padding it DOWN
+    produced a negative-dimension crash mid-serving in round 2):
+    SchedulerConfig clamps max_batch_size to buckets[-1], so raise loudly
+    if a batch slips past that invariant.
+    """
     for b in buckets:
         if value <= b:
             return b
-    return buckets[-1]
+    raise ValueError(
+        f"batch of {value} exceeds the largest bucket {buckets[-1]}; "
+        "max_batch_size must be <= batch_buckets[-1]")

@@ -268,9 +268,16 @@ def _mha_fused_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
     slices taken in VMEM; the per-head QK/PV matmuls are large enough at
     self-attention KV lengths (>=1024) to amortize the slice relayouts —
     unlike the 77-token cross case where the same structure lost to dense
-    (see _cross_short_kernel).  Softmax is two-pass; the row sum rides the
-    f32 probability tile on the VPU (no V augmentation possible in model
-    layout).
+    (see _cross_short_kernel).
+
+    Softmax is two-pass, and the row sum rides the PV matmul: the V lane
+    slice gains a ones column IN VMEM (cheap — an (S, hd+1) copy vs the
+    (bq, S) f32 sum pass it replaces, ~8x fewer bytes at bq=512) and the
+    MXU pads N=hd+1 to 128 output lanes regardless, so ``p @ [V | 1]``
+    yields output and normalizer in one pass.  Short-S shapes are
+    VPU-bound (l2: softmax VPU time ~ MXU time and they don't overlap —
+    measured 40 vs the 77 TF/s the VPU-light l1 shape reaches,
+    exp/bench_attn_pipe_v5e.json), so every elided full-tile pass counts.
 
     ``pipe``: software-pipeline heads — issue head h+1's QK matmul before
     head h's softmax so MXU and VPU passes of adjacent heads can overlap
@@ -291,11 +298,13 @@ def _mha_fused_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
 
     def sm_pv(h, s):
         vh = v_ref[0][:, h * hd : (h + 1) * hd]
+        v_aug = jnp.concatenate(
+            [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot(p.astype(vh.dtype), vh,
-                        preferred_element_type=jnp.float32)
+        av = jax.lax.dot(p.astype(vh.dtype), v_aug,
+                         preferred_element_type=jnp.float32)
+        o, l = av[:, :hd], av[:, hd : hd + 1]
         o_ref[0, :, h * hd : (h + 1) * hd] = \
             (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
@@ -437,7 +446,13 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
     block_q = min(block_q, _ceil_to(lq, 128))
     block_kv = min(block_kv, _ceil_to(lk, 128))
     lq_pad = _ceil_to(lq, block_q)
-    lk_pad = _ceil_to(lk, block_kv)
+    # Two-pass K/V live whole in VMEM, so they need only LANE (128)
+    # alignment — block_kv alignment there minted pad columns that forced
+    # the bias kernel at otherwise-aligned shapes (SD3 joint 4480 is
+    # 35x128: padding it to 4608 cost a full-tile bias VPU pass, 54.3 vs
+    # the nobias kernel's 76.7 TF/s at SDXL l1; exp/bench_attn_pipe_v5e
+    # .json).  The online kernel keeps block_kv alignment for its kv loop.
+    lk_pad = _ceil_to(lk, 128)
 
     def heads(x, l, l_pad):
         x = x.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
@@ -446,9 +461,6 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
             x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         return x
 
-    qh = heads(q, lq, lq_pad)
-    kh = heads(k, lk, lk_pad)
-    vh = heads(v, lk, lk_pad)
     bh = b * num_heads
 
     # Two-pass kernel wants the (block_q, lk_pad) f32 score tile + bf16 copy
@@ -461,10 +473,12 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
         bq //= 2
     two_pass = bq * lk_pad * 6 + kv_bytes <= budget and not force_online
     block_q = bq if two_pass else block_q
+    if not two_pass:
+        lk_pad = _ceil_to(lk, block_kv)
     lq_pad = _ceil_to(lq, block_q)
-    if qh.shape[1] != lq_pad:
-        qh = qh[:, :lq_pad] if qh.shape[1] > lq_pad else jnp.pad(
-            qh, ((0, 0), (0, lq_pad - qh.shape[1]), (0, 0)))
+    qh = heads(q, lq, lq_pad)
+    kh = heads(k, lk, lk_pad)
+    vh = heads(v, lk, lk_pad)
     grid = (bh, lq_pad // block_q)
 
     q_spec = pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0))

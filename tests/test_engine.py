@@ -177,6 +177,20 @@ def test_collect_data_writes_csvs(tmp_path):
     assert "stage" in lines[0]
 
 
+def test_batch_ceiling_is_largest_bucket():
+    """Round-2 serving crash regression: a policy batch above the largest
+    bucket padded DOWN (negative dimensions).  max_batch_size clamps to
+    buckets[-1] at construction; bucket_for raises if the invariant is
+    somehow violated."""
+    from sduss_tpu.config import bucket_for
+
+    c = SchedulerConfig(max_batch_size=12, batch_buckets=(2, 4, 8))
+    assert c.max_batch_size == 8
+    assert bucket_for(3, (2, 4, 8)) == 4
+    with pytest.raises(ValueError):
+        bucket_for(9, (2, 4, 8))
+
+
 def test_config_from_args_roundtrip():
     import argparse
 

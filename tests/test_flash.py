@@ -22,6 +22,9 @@ def _mk(b, lq, lk, dm, seed=0, dtype=jnp.float32):
     (256, 256, 2),      # aligned, multi-tile
     (384, 250, 2),      # ragged kv -> masked epilogue tile
     (130, 130, 1),      # ragged q and kv, single partial tile
+    (256, 384, 2),      # 128-aligned kv NOT block_kv-aligned: two-pass pads
+                        # to 384 (nobias), online to 512 (SD3-joint shape
+                        # class — 4480 = 35x128)
 ])
 @pytest.mark.parametrize("online", [False, True])
 def test_flash_matches_dense(lq, lk, heads, online):
