@@ -83,7 +83,9 @@ def main():
                 print(f"{tag}: {t*1e3:7.3f} ms ({flops/t/1e12:5.1f} TF/s)",
                       flush=True)
 
-    # fused model-layout variants (default SDXL aligned self-attention path)
+    # fused model-layout variants (default SDXL aligned self-attention
+    # path): pipe on/off x f32/bf16 score tiles (the short-S shapes are
+    # VPU-bound; bf16 halves softmax-pass bytes)
     fused_cases = [
         ("sdxl_l2_fused", 16, 20, 1024, 1280),
         ("sdxl_l1_fused", 16, 10, 4096, 640),
@@ -93,19 +95,41 @@ def main():
         scale = (dm // h) ** -0.5
         flops = 4 * b * h * s * s * (dm // h)
         for pipe in (False, True):
-            tag = f"{name}/pipe{int(pipe)}"
-            try:
-                t = timeit(lambda x, h=h, scale=scale, pipe=pipe:
-                           flash_mha_fused(x, x, x, h, scale, pipeline=pipe),
-                           q)
-            except Exception as e:
-                print(f"{tag}: FAIL {type(e).__name__}: {str(e)[:140]}",
+            for bf16s in (False, True):
+                tag = f"{name}/pipe{int(pipe)}_bf16s{int(bf16s)}"
+                try:
+                    t = timeit(lambda x, h=h, scale=scale, pipe=pipe,
+                               bf16s=bf16s:
+                               flash_mha_fused(x, x, x, h, scale,
+                                               pipeline=pipe,
+                                               bf16_scores=bf16s), q)
+                except Exception as e:
+                    print(f"{tag}: FAIL {type(e).__name__}: {str(e)[:140]}",
+                          flush=True)
+                    results[tag] = None
+                    continue
+                results[tag] = round(t * 1e3, 3)
+                print(f"{tag}: {t*1e3:7.3f} ms ({flops/t/1e12:5.1f} TF/s)",
                       flush=True)
-                results[tag] = None
-                continue
-            results[tag] = round(t * 1e3, 3)
-            print(f"{tag}: {t*1e3:7.3f} ms ({flops/t/1e12:5.1f} TF/s)",
+
+    # nobias per-head kernel with bf16 scores at the SD3 joint shape (the
+    # alignment change routes 4480 through nobias now)
+    q = mk((2, 4480, 1536))
+    flops = 4 * 2 * 24 * 4480 * 4480 * 64
+    for bf16s in (False, True):
+        tag = f"sd3_joint_nobias/bf16s{int(bf16s)}"
+        try:
+            t = timeit(lambda x, bf16s=bf16s:
+                       flash_mha(x, x, x, 24, 64 ** -0.5,
+                                 bf16_scores=bf16s), q)
+        except Exception as e:
+            print(f"{tag}: FAIL {type(e).__name__}: {str(e)[:140]}",
                   flush=True)
+            results[tag] = None
+            continue
+        results[tag] = round(t * 1e3, 3)
+        print(f"{tag}: {t*1e3:7.3f} ms ({flops/t/1e12:5.1f} TF/s)",
+              flush=True)
 
     with open("exp/bench_attn_pipe_v5e.json", "w") as f:
         json.dump(results, f, indent=2)

@@ -110,14 +110,19 @@ def _mha_kernel_2pass(bias_ref, q_ref, k_ref, v_ref, o_ref, *, hd: int,
 
 
 def _mha_kernel_2pass_nobias(q_ref, k_ref, v_ref, o_ref, *, hd: int, hb: int,
-                             pipe: bool = False):
+                             pipe: bool = False, sdtype=jnp.float32):
     """Two-pass variant with no key padding/mask (kv_len == kv_pad):
     skips the bias add entirely — the common aligned SDXL self-attention.
-    ``pipe`` as in _mha_kernel_2pass."""
+    ``pipe`` as in _mha_kernel_2pass.
+
+    ``sdtype``: score-tile dtype.  bfloat16 halves the bytes of every
+    softmax VPU pass (the binding resource at short-S shapes — see
+    _mha_fused_kernel) at ~8-bit-mantissa logit precision; opt-in via
+    SDUSS_ATTN_BF16_SCORES until quality is bounded."""
     def qk(h):
         return jax.lax.dot_general(
             q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=sdtype)
 
     def sm_pv(h, s):
         m = jnp.max(s, axis=1, keepdims=True)
@@ -259,7 +264,8 @@ def _cross_short_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
 
 
 def _mha_fused_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
-                      kv_len: int, kv_pad: int, pipe: bool = False):
+                      kv_len: int, kv_pad: int, pipe: bool = False,
+                      sdtype=jnp.float32):
     """Model-layout self-attention: one cell = one (batch row, q tile).
 
     q/k/v/o all stay in (B, L, D) model layout — the four per-head
@@ -290,10 +296,11 @@ def _mha_fused_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
         kh = k_ref[0][:, h * hd : (h + 1) * hd]      # (kv_pad, hd)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (bq, kv_pad)
+            preferred_element_type=sdtype)           # (bq, kv_pad)
         if kv_len != kv_pad:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_len, s, _NEG)
+            s = jnp.where(col < kv_len, jnp.asarray(s, jnp.float32),
+                          _NEG).astype(sdtype)
         return s
 
     def sm_pv(h, s):
@@ -323,10 +330,11 @@ def _mha_fused_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "scale", "block_q", "interpret",
-                     "pipeline"))
+                     "pipeline", "bf16_scores"))
 def flash_mha_fused(q, k, v, num_heads: int, scale: float,
                     block_q: int = 512, interpret: bool = False,
-                    pipeline: Optional[bool] = None):
+                    pipeline: Optional[bool] = None,
+                    bf16_scores: Optional[bool] = None):
     """Self-attention over (B, L, D) with zero head transposes.
 
     Aligned/unmasked only (the dense-path hot case); the grouped/masked
@@ -352,8 +360,11 @@ def flash_mha_fused(q, k, v, num_heads: int, scale: float,
             if pipeline is None else pipeline)
     qo_spec = pl.BlockSpec((1, block_q, dm), lambda i, j: (i, j, 0))
     kv_spec = pl.BlockSpec((1, kv_pad, dm), lambda i, j: (i, 0, 0))
+    bf16s = (os.environ.get("SDUSS_ATTN_BF16_SCORES", "0") == "1"
+             if bf16_scores is None else bf16_scores)
     kernel = functools.partial(_mha_fused_kernel, nh=num_heads, hd=hd,
-                               kv_len=lk, kv_pad=kv_pad, pipe=pipe)
+                               kv_len=lk, kv_pad=kv_pad, pipe=pipe,
+                               sdtype=jnp.bfloat16 if bf16s else jnp.float32)
     out = pl.pallas_call(
         kernel, grid=grid,
         in_specs=[qo_spec, kv_spec, kv_spec],
@@ -419,14 +430,15 @@ def flash_cross_short(q, k, v, num_heads: int, scale: float,
     jax.jit,
     static_argnames=("num_heads", "scale", "block_q", "block_kv", "kv_len",
                      "interpret", "force_online", "heads_per_cell",
-                     "pipeline"))
+                     "pipeline", "bf16_scores"))
 def flash_mha(q, k, v, num_heads: int, scale: float,
               kv_mask: Optional[jax.Array] = None,
               kv_len: Optional[int] = None,
               block_q: int = 512, block_kv: int = 512,
               interpret: bool = False, force_online: bool = False,
               heads_per_cell: Optional[int] = None,
-              pipeline: Optional[bool] = None):
+              pipeline: Optional[bool] = None,
+              bf16_scores: Optional[bool] = None):
     """Fused MHA over (B, Lq, D_model) tensors.
 
     * ``kv_mask`` (B, Lk) bool/int: runtime key-validity (mixed-token
@@ -536,8 +548,11 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
         v_aug_spec = pl.BlockSpec((hb, lk_pad, vpad), lambda i, j: (i, 0, 0))
         if kv_mask is None and kv_len == lk_pad:
             # aligned, unmasked: no bias input at all
+            bf16s = (os.environ.get("SDUSS_ATTN_BF16_SCORES", "0") == "1"
+                     if bf16_scores is None else bf16_scores)
+            sdtype = jnp.bfloat16 if bf16s else jnp.float32
             kernel = functools.partial(_mha_kernel_2pass_nobias, hd=hd, hb=hb,
-                                       pipe=pipe)
+                                       pipe=pipe, sdtype=sdtype)
             out = pl.pallas_call(
                 kernel, grid=grid,
                 in_specs=[qo_spec, k_spec, v_aug_spec],

@@ -166,3 +166,30 @@ class TestHeadPipelining:
         seq = flash_mha_fused(q, k, v, heads, scale, block_q=256,
                               interpret=True, pipeline=False)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))
+
+
+class TestBf16Scores:
+    """Opt-in bf16 score tiles: ~8-bit-mantissa logits, so outputs track
+    the f32 kernel to ~1e-2 — bounded here; perf measured on chip."""
+
+    def test_nobias_bf16_scores_close(self):
+        heads, dm = 4, 256
+        q, k, v = _mk(2, 256, 256, dm, seed=21)
+        scale = 1.0 / math.sqrt(64)
+        ref = _dense_masked(q, k, v, heads, None, scale)
+        out = flash_mha(q, k, v, heads, scale, block_q=128, block_kv=128,
+                        interpret=True, bf16_scores=True)
+        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+        assert err < 0.05, err
+
+    def test_fused_bf16_scores_close(self):
+        from sduss_tpu.ops.flash import flash_mha_fused
+
+        heads, dm = 4, 256
+        q, k, v = _mk(2, 512, 250, dm, seed=22)  # ragged -> masked cols
+        scale = 1.0 / math.sqrt(64)
+        ref = _dense_masked(q, k, v, heads, None, scale)
+        out = flash_mha_fused(q, k, v, heads, scale, block_q=256,
+                              interpret=True, bf16_scores=True)
+        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+        assert err < 0.05, err
