@@ -74,6 +74,8 @@ async def _run(args):
             config.scheduler.max_batch_size,
             config.scheduler.batch_buckets[-1])
 
+    if args.collect:
+        config.engine.collect_data = True
     resolutions = tuple(int(r) for r in args.resolutions.split(","))
     engine = AsyncEngine(config)
     out: dict = {
@@ -145,6 +147,9 @@ async def _run(args):
         for qps in [float(q) for q in args.qps.split(",")]:
             rows = generate_trace(qps, args.num, resolutions, "uniform",
                                   steps=args.steps, seed=int(qps * 100))
+            if args.collect:
+                for w in engine.engine.workers:
+                    w.schedule_log.clear()
             t0 = time.time()
             records = await replay(engine, rows, config.model.family,
                                    slo=args.slo, time_scale=args.time_scale)
@@ -155,6 +160,19 @@ async def _run(args):
             m["makespan_s"] = round(span, 1)
             out["passes"][f"qps_{qps}"] = m
             print(f"# qps {qps}: {json.dumps(m)}", flush=True)
+            if args.collect:
+                log = engine.engine.workers[0].schedule_log
+                t_first = log[0]["time"] if log else t0
+                sched = [{
+                    "t": round(row["time"] - t_first, 3),
+                    "stage": row["stage"], "bs": row["batch_size"],
+                    "pred_ms": round(row.get("predicted_step_ms") or 0.0, 1),
+                } for row in log]
+                out[f"schedule_qps_{qps}"] = sched
+                for row in sched:
+                    print(f"#   t={row['t']:8.3f} {row['stage']:<14s} "
+                          f"bs={row['bs']} pred={row['pred_ms']}ms",
+                          flush=True)
     finally:
         await engine.stop()
     return out
@@ -179,6 +197,8 @@ def main():
                     help="override scheduler batch buckets, e.g. '2,4,8' "
                          "(bounds the compile-key set on the relay)")
     ap.add_argument("--time-scale", type=float, default=1.0)
+    ap.add_argument("--collect", action="store_true",
+                    help="record + dump the per-iteration schedule log")
     ap.add_argument("--deep-interval", type=int, default=3)
     ap.add_argument("--predictor", default=None,
                     help="default exp/predictor_<model>_v5e.npz if present")
