@@ -246,6 +246,12 @@ class EngineConfig:
     # program at startup (Engine.prewarm) so no serving request ever hits a
     # cold XLA key.  Opt-in: full-size compiles take minutes per key.
     prewarm: bool = False
+    # Max denoise steps the host may dispatch ahead of the device (see
+    # engine/worker.py module docstring).  0 disables throttling (the host
+    # races arbitrarily far ahead; serving latencies then serialize behind
+    # postprocess fetches).  2 hides one sync round-trip while keeping the
+    # scheduler's wall-clock slack math honest.
+    max_inflight_steps: int = 2
     # Seconds between background engine-loop polls when idle.
     poll_interval_s: float = 0.01
     log_requests: bool = True

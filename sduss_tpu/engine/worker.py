@@ -8,12 +8,29 @@ pipelining (issue this round's GPU work, then collect LAST round's result,
 worker.py:107-115) comes free from JAX async dispatch: stage calls return
 futures (device arrays), and the host only blocks when the postprocess stage
 materializes images.
+
+Async dispatch must be DEPTH-BOUNDED, though: unthrottled, the host loop
+races the device by dozens of steps — a request "finishes" in host time,
+enters postprocess, and the image fetch blocks the loop for the whole
+queued backlog, freezing admissions for every later arrival (measured on
+chip: sparse qps 0.25 arrivals serialized completely, p50 131 s while the
+steady step was 518 ms; clustered arrivals were admitted before the first
+freeze and behaved).  It also makes the scheduler's slack math blind: wall
+clock runs at device speed while scheduling state advances at host speed.
+After each denoise iteration the worker enqueues a 4-byte probe of the
+batch output and, beyond ``engine.max_inflight_steps``, materializes the
+oldest — keeping the host a bounded number of steps ahead (the CUDA
+analog would be a stream-depth watermark; the reference syncs implicitly
+when it collects each round's outputs, worker.py:107-115).
 """
 
 from __future__ import annotations
 
+import collections
 import time
 from typing import Dict, List
+
+import numpy as np
 
 from sduss_tpu.config import Config
 from sduss_tpu.logger import init_logger
@@ -36,6 +53,9 @@ class Worker:
         # Per-step schedule log (reference schedule.csv, engine/engine.py:
         # 327-373), populated when engine.collect_data is on.
         self.schedule_log: List[Dict] = []
+        # Bounded async-dispatch runahead (module docstring): 4-byte probes
+        # of in-flight denoise outputs, oldest forced past the watermark.
+        self._inflight: collections.deque = collections.deque()
 
     # -- request management --------------------------------------------------
 
@@ -106,10 +126,30 @@ class Worker:
             for r in batch.requests:
                 if r.start_denoising_time is None:
                     r.start_denoising_time = time.time()
+            self._throttle(batch.requests[0].latents)
         elif batch.stage is Stage.POSTPROCESSING:
+            self._drain_inflight()
             by_res = {}
             for r in batch.requests:
                 by_res.setdefault(r.resolution, []).append(r)
             pipe.postprocess(by_res)
         else:  # pragma: no cover
             raise ValueError(batch.stage)
+
+    def _throttle(self, latents) -> None:
+        """Bound async-dispatch runahead to engine.max_inflight_steps.
+
+        ``latents`` is a per-request view of this iteration's batched step
+        output; a (1,) slice keeps only a 4-byte fetch per sync while still
+        waiting on the whole step (the slice depends on it).
+        """
+        depth = self.config.engine.max_inflight_steps
+        if depth <= 0:
+            return
+        self._inflight.append(latents[0, 0, 0, 0:1])
+        while len(self._inflight) > depth:
+            np.asarray(self._inflight.popleft())
+
+    def _drain_inflight(self) -> None:
+        while self._inflight:
+            np.asarray(self._inflight.popleft())

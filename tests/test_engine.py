@@ -136,6 +136,21 @@ class TestEngine:
             outs.extend(eng.step())
         assert len(outs) == 2 and all(o.finished for o in outs)
 
+    def test_inflight_throttle_bounded(self):
+        """Async-dispatch runahead stays within max_inflight_steps and the
+        deque drains before postprocess (engine/worker.py docstring)."""
+        c = _cfg()
+        c.engine.max_inflight_steps = 1
+        eng = Engine(c)
+        reqs = [_req(f"t{i}", res=128, steps=3) for i in range(2)]
+        eng.add_requests(reqs)
+        outs = []
+        while eng.has_unfinished_requests():
+            outs.extend(eng.step())
+            assert len(eng.workers[0]._inflight) <= 1
+        assert len(outs) == 2 and all(o.finished for o in outs)
+        assert not eng.workers[0]._inflight  # drained at postprocess
+
     def test_abort_waiting_and_running(self):
         eng = Engine(_cfg())
         reqs = [_req("a", steps=5), _req("b", steps=5)]
