@@ -155,6 +155,18 @@ async def _run(args):
                                    slo=args.slo, time_scale=args.time_scale)
             span = time.time() - t0
             m = compute_metrics(records, config.model.family, slo=args.slo)
+            # Machine-true SLO view: the default deadline table is the
+            # reference's H100 e2e table (metrics.py:17-22); also score
+            # against THIS machine's profiled standalone latencies x scale,
+            # the reference's own deadline construction (esymred_utils.py).
+            prof = engine.engine.workers[0].scheduler.policy.profile
+            m["slo_attainment_machine"] = compute_metrics(
+                records, config.model.family, slo=args.slo,
+                deadline_overrides={
+                    # table semantics are "deadline at SLO scale 5"
+                    # (metrics.slo_deadline_s applies the slo factor on top)
+                    r: prof.e2e_ddl_s(r) / prof.slo_scale * 5.0
+                    for r in resolutions})["slo_attainment"]
             done = sum(1 for r in records if not r.aborted)
             m["img_s_chip_30step"] = round(done / span * args.steps / 30.0, 4)
             m["makespan_s"] = round(span, 1)
