@@ -120,11 +120,15 @@ async def _run(args):
                                                 cc.mode == "deep") else 1
         warm_steps = cc.deep_warmup if cc.enabled else 1
         n_timed = 2 * interval
+        # The probe bypasses the scheduler, so clamp to the batch ceiling
+        # itself (production admission can never exceed buckets[-1]).
+        probe_batch = min(args.probe_batch,
+                          config.scheduler.batch_buckets[-1])
         probe_reqs = [
             Request(f"probe-{i}", SamplingParams(
                 prompt="probe", resolution=max(resolutions),
                 num_inference_steps=warm_steps + n_timed + 2, seed=i))
-            for i in range(args.probe_batch)]
+            for i in range(probe_batch)]
         pipe.prepare(probe_reqs)
         for r in probe_reqs:
             r.stage = Stage.DENOISING
@@ -139,7 +143,7 @@ async def _run(args):
         np.asarray(probe_reqs[0].latents)
         out["warm_step_ms"] = round(
             (time.perf_counter() - t0) / n_timed * 1e3, 1)
-        print(f"# warm {args.probe_batch}x{max(resolutions)} steady step "
+        print(f"# warm {probe_batch}x{max(resolutions)} steady step "
               f"({n_timed}-step window): {out['warm_step_ms']} ms",
               flush=True)
 

@@ -15,7 +15,7 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, ClassVar, Dict, List, Optional, Sequence, Tuple, Union
 
 
 def _positive(name: str, value: int) -> None:
@@ -65,7 +65,14 @@ class ModelConfig:
     # no room for step activations (measured ResourceExhausted); encoders
     # are only needed at admission time and their compute is tiny (77/256
     # tokens).  The reference keeps everything resident on 80 GB H100s.
-    encoders_on_host: bool = False
+    # "auto" (default) spills the encoders iff the analytic bundle size
+    # exceeds SPILL_FRACTION of the accelerator's HBM (resolved to a bool
+    # by pipelines.build_pipeline once the device is known: SD3 full-size
+    # on a 16 GB v5e -> True; SDXL/SD1.5 and all tiny configs -> False).
+    encoders_on_host: Union[bool, str] = "auto"
+    # "auto" residency spills encoders when bundle bytes exceed this
+    # fraction of device memory (leaves room for step activations).
+    SPILL_FRACTION: ClassVar[float] = 0.6
     # Spatially-tiled VAE decode: latent tile edge (0 = full-frame decode).
     # Full-res decode activations are the pipeline HBM peak; the SD3
     # 16-channel VAE at 1024^2 exhausts a 16 GB v5e without tiling

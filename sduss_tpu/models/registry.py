@@ -133,6 +133,32 @@ class ModelBundle:
             return self.models["transformer"].cfg.in_channels
         return self.models["unet"].cfg.in_channels
 
+    def param_bytes(self, dtype=None, roles=None) -> int:
+        """Analytic parameter size (bytes) WITHOUT allocating anything.
+
+        ``jax.eval_shape`` traces each model's init abstractly; leaves are
+        counted at the target serving itemsize (``dtype``), except the VAE
+        when its family forces fp32 (force_upcast).  Used by the "auto"
+        stage-wise residency policy (ModelConfig.encoders_on_host) to
+        decide host-vs-HBM placement before any weight is materialized.
+        """
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        total = 0
+        for name, model in self.models.items():
+            if roles is not None and name not in roles:
+                continue
+            if dtype is None or (name == "vae" and model.cfg.force_upcast):
+                itemsize = 4
+            else:
+                itemsize = jnp.dtype(dtype).itemsize
+            shapes = jax.eval_shape(model.init, jax.ShapeDtypeStruct((2,), jnp.uint32))
+            total += sum(int(np.prod(l.shape)) * itemsize
+                         for l in jax.tree.leaves(shapes))
+        return total
+
     def init_random(self, seed: int = 0, dtype=None, host_roles=()) -> None:
         """Random-init all params (tests / benchmarks without weights).
 

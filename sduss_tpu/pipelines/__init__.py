@@ -24,9 +24,45 @@ def get_pipeline_cls(family: str):
         raise ValueError(f"unknown family {family!r}; available: {sorted(PIPELINES)}") from None
 
 
+def _resolve_encoders_on_host(config: Config) -> bool:
+    """Resolve ModelConfig.encoders_on_host == "auto" to a bool.
+
+    Spill the text encoders to host memory iff the analytic bundle size
+    (bf16 serving dtype, fp32 force-upcast VAE) exceeds SPILL_FRACTION of
+    the accelerator's reported memory.  No weights are materialized — the
+    decision must precede generation/loading so spilled encoders are
+    created host-side (registry.init_random host_roles).  CPU backends and
+    tiny test configs resolve False (memory is not the constraint there).
+    """
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform == "cpu" or config.model.test_tiny:
+        return False
+    try:
+        limit = (dev.memory_stats() or {}).get("bytes_limit")
+    except Exception:
+        limit = None
+    if not limit:
+        # v5e HBM as the conservative default for TPU platforms that don't
+        # report memory_stats (e.g. through the axon relay).
+        limit = 16 * 1024**3 if dev.platform == "tpu" else None
+    if not limit:
+        return False
+    import jax.numpy as jnp
+
+    from sduss_tpu.models.registry import ModelBundle
+
+    probe = ModelBundle(config.model.family, tiny=config.model.test_tiny)
+    dtype = jnp.bfloat16 if config.model.dtype == "bfloat16" else None
+    return probe.param_bytes(dtype) > config.model.SPILL_FRACTION * limit
+
+
 def build_pipeline(config: Config, device=None, bundle: ModelBundle | None = None) -> BasePipeline:
     """Load weights (or random-init) and construct the family pipeline."""
     family = config.model.family
+    if config.model.encoders_on_host == "auto":
+        config.model.encoders_on_host = _resolve_encoders_on_host(config)
     if bundle is None:
         import jax.numpy as jnp
 

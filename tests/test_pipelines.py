@@ -182,3 +182,51 @@ class TestEncodersOnHost:
         pipe.postprocess({256: reqs})
         assert reqs[0].output is not None
         assert np.isfinite(np.asarray(reqs[0].output, np.float32)).all()
+
+
+class TestAutoResidency:
+    """"auto" encoders_on_host resolves from analytic bundle bytes vs HBM."""
+
+    def test_param_bytes_analytic(self):
+        import jax.numpy as jnp
+
+        from sduss_tpu.models.registry import ModelBundle
+
+        b = ModelBundle("sd15", tiny=True)
+        total = b.param_bytes(jnp.bfloat16)
+        enc = b.param_bytes(jnp.bfloat16, roles=("text_encoder",))
+        assert 0 < enc < total
+        # bf16 leaves are half the fp32 estimate except the fp32 VAE subtree
+        assert b.param_bytes(None) > total
+
+    def test_auto_resolves_false_on_cpu(self):
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True,
+                                   dtype="float32")
+        assert config.model.encoders_on_host == "auto"
+        pipe = build_pipeline(config)
+        assert config.model.encoders_on_host is False
+        assert "text_encoder" in pipe.params
+
+    def test_auto_threshold_logic(self, monkeypatch):
+        """Spill iff bundle bytes exceed SPILL_FRACTION of device memory."""
+        import sduss_tpu.pipelines as P
+        from sduss_tpu.models.registry import ModelBundle
+
+        class FakeDev:
+            platform = "tpu"
+
+            def memory_stats(self):
+                return {"bytes_limit": 16 * 1024**3}
+
+        monkeypatch.setattr("jax.devices", lambda *a: [FakeDev()])
+        config = Config()
+        config.model = ModelConfig(model="sd3", test_tiny=False)
+        monkeypatch.setattr(ModelBundle, "__init__",
+                            lambda self, *a, **k: None)
+        monkeypatch.setattr(ModelBundle, "param_bytes",
+                            lambda self, dtype=None, roles=None: 15 * 1024**3)
+        assert P._resolve_encoders_on_host(config) is True
+        monkeypatch.setattr(ModelBundle, "param_bytes",
+                            lambda self, dtype=None, roles=None: 7 * 1024**3)
+        assert P._resolve_encoders_on_host(config) is False
