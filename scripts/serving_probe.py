@@ -61,10 +61,24 @@ async def _run(args):
     if profile and os.path.exists(profile):
         with open(profile) as f:
             config.scheduler.stage_latency_overrides = json.load(f)
-    if args.deep_interval:
+    if args.cache_mode == "deep" and args.deep_interval:
         config.cache.enabled = True
         config.cache.mode = "deep"
         config.cache.deep_interval = args.deep_interval
+    elif args.cache_mode == "compact":
+        # Request-granular top-K rows (MMDiT token path / dense rows).
+        config.cache.enabled = True
+        config.cache.mode = "compact"
+        config.cache.compact_fraction = args.cache_fraction
+    elif args.cache_mode == "fine":
+        # Per-token delta-skip compaction (gate_tokens_fine — the SD3
+        # b1-meaningful granularity; near-lossless per cache_quality).
+        config.cache.enabled = True
+        config.cache.mode = "compact"
+        config.cache.patch_fraction = args.cache_fraction
+    clf = f"exp/cache_classifiers_{args.model}_v5e.npz"
+    if config.cache.enabled and os.path.exists(clf):
+        config.cache.classifier_path = clf
 
     if args.batch_buckets:
         config.scheduler.batch_buckets = tuple(
@@ -96,7 +110,14 @@ async def _run(args):
         # each a 20-65s executable load through the relay).
         t0 = time.time()
         if args.prewarm:
-            engine.engine.prewarm(resolutions=resolutions)
+            comps = None
+            if args.mixed_prewarm:
+                comps = [
+                    {int(p.split(":")[0]): int(p.split(":")[1])
+                     for p in group.split(",")}
+                    for group in args.mixed_prewarm.split(";")]
+            engine.engine.prewarm(resolutions=resolutions,
+                                  compositions=comps)
         else:
             rows = generate_trace(2.0, args.warmup, resolutions, "uniform",
                                   steps=args.steps, seed=123)
@@ -216,6 +237,16 @@ def main():
     ap.add_argument("--collect", action="store_true",
                     help="record + dump the per-iteration schedule log")
     ap.add_argument("--deep-interval", type=int, default=3)
+    ap.add_argument("--cache-mode", default="deep",
+                    choices=("deep", "compact", "fine", "off"),
+                    help="serving cache: deep (UNet temporal reuse), compact "
+                         "(top-K request rows), fine (per-token delta-skip; "
+                         "SD3), off")
+    ap.add_argument("--cache-fraction", type=float, default=0.5)
+    ap.add_argument("--mixed-prewarm", default="",
+                    help="comma list of res:count pairs per composition, "
+                         "';'-separated, e.g. '512:2,1024:2;512:4,1024:4' — "
+                         "warms the PATCHED-path jit keys a mixed trace hits")
     ap.add_argument("--predictor", default=None,
                     help="default exp/predictor_<model>_v5e.npz if present")
     ap.add_argument("--profile", default=None,

@@ -28,7 +28,15 @@ _SLO_FACTORS = {3: 0.6, 5: 1.0, 10: 2.0}
 def slo_deadline_s(family: str, resolution: int, slo: int = 5,
                    overrides: Optional[Dict[int, float]] = None) -> float:
     table = overrides or _SLO5_DEADLINES[family]
-    return table[resolution] * _SLO_FACTORS.get(slo, slo / 5.0)
+    if resolution not in table:
+        # Resolution outside the published table (e.g. SD3 at 256 in tiny
+        # tests): scale the nearest entry by pixel count — deadlines track
+        # per-step cost, which is ~linear in pixels.
+        near = min(table, key=lambda r: abs(r - resolution))
+        ddl = table[near] * (resolution / near) ** 2
+    else:
+        ddl = table[resolution]
+    return ddl * _SLO_FACTORS.get(slo, slo / 5.0)
 
 
 @dataclasses.dataclass

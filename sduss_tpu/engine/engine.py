@@ -129,7 +129,8 @@ class Engine:
 
     def prewarm(self, resolutions: Optional[Sequence[int]] = None,
                 buckets: Optional[Sequence[int]] = None,
-                steps: Optional[int] = None) -> float:
+                steps: Optional[int] = None,
+                compositions: Optional[Sequence[Dict[int, int]]] = None) -> float:
         """Compile-warm every (resolution x batch-bucket x cache-mode) step
         program by running throwaway requests through the production loop.
 
@@ -141,6 +142,12 @@ class Engine:
         so both the full and shallow step programs compile.  Returns elapsed
         seconds; engine stats are reset afterwards so the throwaway requests
         don't pollute serving metrics.
+
+        ``compositions``: mixed-resolution batch shapes ({res: count}, e.g.
+        {512: 2, 1024: 2}) to warm through the PATCHED path.  These are
+        driven directly on each replica's pipeline (denoise_step_mixed) —
+        not through the scheduler, whose policy may serve the resolutions
+        as separate uniform batches and never mint the mixed jit key.
         """
         t0 = time.time()
         sc = self.config.scheduler
@@ -165,6 +172,26 @@ class Engine:
                 n += b
                 logger.info("prewarm: res %d bucket %d done (%.1fs elapsed)",
                             res, b, time.time() - t0)
+        for comp in compositions or ():
+            for worker in self.workers:
+                pipe = worker.pipeline
+                reqs_by_res: Dict[int, List[Request]] = {}
+                flat: List[Request] = []
+                for res, count in sorted(comp.items()):
+                    rs = [Request(f"prewarm-mix-{res}-{i}", SamplingParams(
+                        prompt="", resolution=res,
+                        num_inference_steps=steps, seed=0))
+                        for i in range(count)]
+                    reqs_by_res[res] = rs
+                    flat.extend(rs)
+                pipe.prepare(flat)
+                for r in flat:
+                    r.stage = Stage.DENOISING
+                for _ in range(steps):
+                    pipe.denoise_step_mixed(reqs_by_res)
+                n += len(flat)
+            logger.info("prewarm: mixed composition %s done (%.1fs elapsed)",
+                        dict(sorted(comp.items())), time.time() - t0)
         self.stats = EngineStats()
         dt = time.time() - t0
         logger.info("prewarm: %d resolutions x %d buckets (%d requests) "

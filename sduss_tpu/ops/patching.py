@@ -74,10 +74,20 @@ class PatchMeta:
 
 
 def _bucket(value: int, buckets: Sequence[int]) -> int:
+    """Round up to a bucket; values beyond the largest bucket stay EXACT.
+
+    Inside patch metadata, counts legitimately exceed the admission buckets
+    even though real request counts never do: the dummy image slot adds one
+    on a full-ceiling batch, and CFG doubling doubles a class's slot count
+    (a 5+3 mixed batch doubles the 5-class to 10 > buckets[-1]=8).  Exact
+    oversize values mint at most a handful of extra compile keys at the
+    batch ceiling; raising here crashed full-ceiling mixed batches
+    mid-serving.  Request-count validation stays strict in
+    config.bucket_for."""
     for b in buckets:
         if value <= b:
             return b
-    raise ValueError(f"{value} exceeds largest bucket {buckets[-1]}")
+    return value
 
 
 def _class_arrays(slot_grid: dict, image_id: np.ndarray, patch_pos: np.ndarray,

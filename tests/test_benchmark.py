@@ -86,3 +86,13 @@ class TestReplayEndToEnd:
         m = compute_metrics(records, "sd15", slo=5)
         assert m["num_requests"] == 4
         assert m["abort_rate"] == 0.0
+
+
+def test_slo_deadline_out_of_table_scales_by_pixels():
+    """Resolutions outside the published H100 table (e.g. tiny 256) scale
+    the nearest entry by pixel count instead of raising."""
+    from sduss_tpu.benchmark.metrics import slo_deadline_s
+
+    d256 = slo_deadline_s("sd3", 256, slo=5)
+    d512 = slo_deadline_s("sd3", 512, slo=5)
+    assert abs(d256 - d512 * 0.25) < 1e-9

@@ -265,3 +265,24 @@ def test_engine_dp2_tp2():
                          num_inference_steps=2)
     assert len(outs) == 3
     assert all(o.image is not None for o in outs)
+
+
+class TestPrewarmCompositions:
+    def test_prewarm_mixed_composition(self):
+        """prewarm(compositions=...) drives the PATCHED path directly on each
+        replica so the mixed jit key exists before a mixed trace hits it."""
+        c = _cfg(policy="esymred")
+        c.scheduler.use_mixed_resolution = True
+        c.scheduler.patch_size = 128  # cells=16: res 128 -> 1x1, 256 -> 2x2
+        c.scheduler.batch_buckets = (1, 2)
+        c.scheduler.max_batch_size = 2
+        eng = Engine(c)
+        dt = eng.prewarm(resolutions=(128,), buckets=(1,), steps=2,
+                         compositions=[{128: 1, 256: 1}])
+        assert dt >= 0
+        assert not eng.has_unfinished_requests()
+        assert eng.stats.summary()["finished"] == 0
+        # the mixed-step jit cache now holds a patched-path program
+        pipe = eng.workers[0].pipeline
+        assert any(isinstance(k, tuple) and k and k[0] == "denoise_mixed"
+                   for k in pipe._fns), sorted(map(str, pipe._fns))

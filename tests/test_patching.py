@@ -169,3 +169,18 @@ class TestCompactSubmeta:
         a = patching.compact_submeta(m.patch_cells, m.class_info, 0.5)
         b = patching.compact_submeta(m.patch_cells, m.class_info, 0.5)
         assert a[0] is b[0]  # lru-cached: stable trace constants
+
+
+def test_meta_full_ceiling_overflow_is_loose():
+    """Full-ceiling mixed batches must not crash meta construction: the
+    dummy slot (+1 image) and CFG class doubling legitimately exceed the
+    admission buckets (engine clamps real request counts elsewhere)."""
+    from sduss_tpu.ops import patching
+
+    # 2 images at the bucket ceiling 2, patch padding forces a dummy slot
+    m = patching.build_meta((1, 2), 16, (4, 8, 16, 32), (1, 2))
+    assert m.i_pad >= 3
+    # doubled: the 5-slot class becomes 10 > buckets[-1] = 8
+    grids = (2, 2, 2, 2, 2, 1, 1, 1)
+    d = patching.double_meta(grids, 16, (4, 8, 16, 32, 64), (2, 4, 8))
+    assert d.n_images == 16
