@@ -286,3 +286,24 @@ class TestPrewarmCompositions:
         pipe = eng.workers[0].pipeline
         assert any(isinstance(k, tuple) and k and k[0] == "denoise_mixed"
                    for k in pipe._fns), sorted(map(str, pipe._fns))
+
+
+class TestDp8ScaleOut:
+    def test_engine_dp8_uses_all_replicas(self):
+        """Serving scale-out across the full 8-device virtual mesh: greedy
+        dispatch spreads load over every replica (reference Fig-14 GPU
+        scaling axis, scripts/paper/scalibility.sh)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        eng = Engine(_cfg(dp=8))
+        reqs = [_req(f"s{i}", res=128, steps=2) for i in range(16)]
+        eng.add_requests(reqs)
+        outs = []
+        while eng.has_unfinished_requests():
+            outs.extend(eng.step())
+        assert len(outs) == 16 and all(o.finished for o in outs)
+        assert {r.dp_rank for r in reqs} == set(range(8))
