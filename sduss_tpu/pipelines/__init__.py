@@ -44,11 +44,11 @@ def _resolve_encoders_on_host(config: Config) -> bool:
     except Exception:
         limit = None
     if not limit:
-        # v5e HBM as the conservative default for TPU platforms that don't
-        # report memory_stats (e.g. through the axon relay).
-        limit = 16 * 1024**3 if dev.platform == "tpu" else None
-    if not limit:
-        return False
+        # v5e HBM as the conservative default for any accelerator that
+        # doesn't report memory_stats (the axon relay's device may expose a
+        # non-"tpu" platform string; guessing small only costs host-side
+        # text encoding, guessing large OOMs a 16 GB chip).
+        limit = 16 * 1024**3
     import jax.numpy as jnp
 
     from sduss_tpu.models.registry import ModelBundle
