@@ -43,11 +43,11 @@ class ModelConfig:
     # float32 elsewhere.
     vae_dtype: str = "auto"
     # Sampler override ("euler" | "flow_match" | "ddim" | "pndm");
-    # None => family default.  NOTE: stateful multistep samplers (pndm)
-    # keep per-request history on the DENSE latent, so the mixed-resolution
-    # patch path silently falls back to dense per-resolution groups
-    # (pipelines/base.py denoise_step_mixed); deployments that need the
-    # mixed path should use a stateless sampler (euler/ddim/flow_match).
+    # None => family default.  Stateful multistep samplers (pndm) ride the
+    # mixed patch path too (per-patch state slicing is exact — the update
+    # is element-wise; pipelines/base.py _sampler_state_to_patches); the
+    # one remaining dense fallback is pndm COMBINED WITH a block/deep
+    # cache, which shares the step's extra-state slot.
     sampler: Optional[str] = None
     seed: int = 0
     # Use the ESyMReD mixed-resolution patch pipeline (vs plain per-res batch).

@@ -413,9 +413,11 @@ class BasePipeline:
         """
         from sduss_tpu.ops import patching
 
-        if self.sampler.needs_state:
-            # Multistep history is kept per dense latent; patch-slicing it is
-            # not supported yet — dense per-resolution groups instead.
+        if self.sampler.needs_state and self.config.cache.enabled:
+            # Stateful samplers compose with the patch path (state is
+            # element-wise; see _sampler_state_to_patches) but not with the
+            # block/deep caches' extra_state slot — dense fallback for the
+            # rare PNDM+cache combination.
             return self.denoise_step(reqs_by_res)
 
         ordered: List[Request] = []
@@ -470,13 +472,23 @@ class BasePipeline:
         from sduss_tpu.ops.patch_ctx import ctx_arrays
 
         a1, a2 = ctx_arrays(meta), ctx_arrays(meta2)
-        cache_tag = type(cache).__name__ if cache is not None else None
+        stateful = self.sampler.needs_state
+        cache_tag = type(cache).__name__ if cache is not None else (
+            "sampler_state" if stateful else None)
         fn = self._jit(("denoise_mixed", cache_tag, deep_mode) + meta.compile_key,
-                       self._make_mixed_fn(meta, meta2, cache, deep_mode))
+                       self._make_mixed_fn(meta, meta2, cache, deep_mode,
+                                           stateful=stateful))
         if deep_mode is not None:
             new_x, deep_out = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
                                  jnp.asarray(guidance), cond, a1, a2, deep_batch)
             self._scatter_deep_mixed(ordered, grids, meta, deep_mode, deep_out)
+        elif stateful:
+            sstate = self._gather_sampler_state_mixed(ordered, grids, cells,
+                                                      meta.p_pad)
+            new_x, new_sstate = fn(self.params, x, jnp.asarray(t),
+                                   jnp.asarray(coeffs), jnp.asarray(guidance),
+                                   cond, a1, a2, sstate)
+            self._scatter_sampler_state_mixed(ordered, grids, cells, new_sstate)
         elif cache is None:
             new_x = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
                        jnp.asarray(guidance), cond, a1, a2)
@@ -493,6 +505,80 @@ class BasePipeline:
             off += n
             r.sampler_table.advance()
             r.remain_steps -= 1
+
+    # -- stateful sampler state on the patch path ------------------------------
+
+    @staticmethod
+    def _sampler_state_to_patches(leaf, g: int, cells: int):
+        """(1, *L, h, w, C) -> (g*g, *L, s, s, C); per-request scalars
+        broadcast per patch.
+
+        Stateful sampler updates (PNDM eps history / corrector base /
+        counter, samplers/pndm.py step_with_state) are ELEMENT-WISE in the
+        latent with per-request scalars, so slicing the state exactly like
+        the latents makes the patched step bit-identical to the dense
+        per-request step (every patch of a request sees the same count and
+        coefficients; the reference's batch PNDM relies on the same
+        property, scheduling_pndm.py batch_step)."""
+        from sduss_tpu.ops import patching
+
+        if leaf.ndim >= 4:
+            lead = leaf.shape[1:-3]
+            parts = [
+                patching.split_latent(flat[None], cells)
+                for flat in leaf.reshape((-1,) + leaf.shape[-3:])]
+            stacked = jnp.stack(parts, axis=1)  # (n, K, s, s, C)
+            return stacked.reshape((stacked.shape[0],) + lead
+                                   + stacked.shape[-3:])
+        return jnp.broadcast_to(leaf, (g * g,) + leaf.shape[1:])
+
+    @staticmethod
+    def _sampler_state_from_patches(leaf, g: int, cells: int):
+        """Inverse of _sampler_state_to_patches (scalars take patch 0)."""
+        from sduss_tpu.ops import patching
+
+        if leaf.ndim >= 4:
+            lead = leaf.shape[1:-3]
+            n = g * g
+            flat = leaf.reshape((n, -1) + leaf.shape[-3:])
+            merged = jnp.stack(
+                [patching.merge_patches(flat[:, k], g)[0]
+                 for k in range(flat.shape[1])])  # (K, h, w, C)
+            return merged.reshape((1,) + lead + merged.shape[-3:])
+        return leaf[:1]
+
+    def _gather_sampler_state_mixed(self, ordered, grids, cells, p_pad):
+        """Per-request dense sampler state -> one patch-major batch tree.
+
+        The request's canonical state stays DENSE (the dense path's layout),
+        so a request freely flips dense<->patched between steps; the slice
+        is a reshape/transpose XLA fuses into the step."""
+        for r in ordered:
+            if r.sampler_state is None:
+                r.sampler_state = self.sampler.init_state(r.latents)
+        per_req = [
+            jax.tree.map(
+                lambda a, g=g: self._sampler_state_to_patches(a, g, cells),
+                r.sampler_state)
+            for r, g in zip(ordered, grids)]
+        batched = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                               *per_req)
+        pad = p_pad - sum(g * g for g in grids)
+        if pad:
+            batched = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0),
+                batched)
+        return batched
+
+    def _scatter_sampler_state_mixed(self, ordered, grids, cells, new_state):
+        off = 0
+        for r, g in zip(ordered, grids):
+            n = g * g
+            sub = jax.tree.map(lambda a: a[off : off + n], new_state)
+            r.sampler_state = jax.tree.map(
+                lambda a: self._sampler_state_from_patches(a, g, cells), sub)
+            off += n
 
     # -- block cache state plumbing -------------------------------------------
 
@@ -615,7 +701,8 @@ class BasePipeline:
                     lambda a, b: jnp.concatenate([a, b], axis=0), u, c)
                 off += n
 
-    def _make_mixed_fn(self, meta, meta2, cache=None, deep_mode=None):
+    def _make_mixed_fn(self, meta, meta2, cache=None, deep_mode=None,
+                       stateful=False):
         from sduss_tpu.ops.patch_ctx import PatchContext
 
         def fn(params, x, t, coeffs, guidance, cond, ctx1_arrays, ctx2_arrays,
@@ -645,6 +732,11 @@ class BasePipeline:
             noise_pred = uncond + g * (text - uncond)
             c0p = c0[ctx1.image_id]
             c1p = c1[ctx1.image_id]
+            if stateful:
+                # extra_state is the patch-sliced sampler state; the update
+                # is element-wise, so per-patch application is exact.
+                return self.sampler.step_with_state(x, noise_pred, c0p, c1p,
+                                                    extra_state)
             stepped = self.sampler.step(x, noise_pred, c0p, c1p)
             if cache is not None or deep_mode is not None:
                 return stepped, new_state

@@ -230,3 +230,37 @@ class TestAutoResidency:
         monkeypatch.setattr(ModelBundle, "param_bytes",
                             lambda self, dtype=None, roles=None: 7 * 1024**3)
         assert P._resolve_encoders_on_host(config) is False
+
+
+class TestMixedStatefulSampler:
+    def test_pndm_mixed_equals_dense(self):
+        """PNDM (stateful multistep) rides the mixed patch path: per-patch
+        state slicing is exact because the update is element-wise with
+        per-request scalars (pipelines/base.py _sampler_state_to_patches;
+        reference batch PNDM scheduling_pndm.py supports its sliced path)."""
+        from sduss_tpu.config import Config, ModelConfig, SchedulerConfig
+        from sduss_tpu.pipelines import build_pipeline
+        from sduss_tpu.request import Request, SamplingParams, Stage
+
+        def run(mixed):
+            config = Config()
+            config.model = ModelConfig(model="sd15", test_tiny=True,
+                                       dtype="float32", sampler="pndm")
+            config.scheduler = SchedulerConfig(use_mixed_resolution=True)
+            config.scheduler.patch_size = 128
+            pipe = build_pipeline(config)
+            reqs = [Request(f"r{i}", SamplingParams(
+                prompt="p", resolution=res, num_inference_steps=5, seed=i))
+                for i, res in enumerate((128, 256))]
+            pipe.prepare(reqs)
+            for r in reqs:
+                r.stage = Stage.DENOISING
+            by_res = {128: [reqs[0]], 256: [reqs[1]]}
+            step = pipe.denoise_step_mixed if mixed else pipe.denoise_step
+            for _ in range(5):
+                step(by_res)
+            return [np.asarray(r.latents, np.float32) for r in reqs]
+
+        got, want = run(True), run(False)
+        for x, y in zip(got, want):
+            np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4)
