@@ -184,3 +184,34 @@ def test_meta_full_ceiling_overflow_is_loose():
     grids = (2, 2, 2, 2, 2, 1, 1, 1)
     d = patching.double_meta(grids, 16, (4, 8, 16, 32, 64), (2, 4, 8))
     assert d.n_images == 16
+
+
+def test_patched_equals_dense_over_ceiling_class():
+    """A class whose slot count exceeds the largest image bucket (loose
+    _bucket path: dummy/full-ceiling compositions) stays numerically exact."""
+    rng = np.random.default_rng(5)
+    model = UNet2DConditionModel(TINY_UNET)
+    params = model.init(jax.random.key(0))
+    s = CELLS
+    grids = [1, 1, 1]
+    images = [jnp.asarray(rng.standard_normal((1, g * s, g * s, 4)), jnp.float32)
+              for g in grids]
+    t = jnp.asarray(rng.uniform(1, 999, (3,)), jnp.float32)
+    ehs = jnp.asarray(rng.standard_normal((3, 7, 32)), jnp.float32)
+    dense = [model.apply(params, images[i], t[i : i + 1], ehs[i : i + 1])
+             for i in range(3)]
+
+    # image_buckets (1, 2): 3 same-class slots exceed the largest bucket
+    m = patching.build_meta(tuple(grids), s, PATCH_BUCKETS, (1, 2))
+    ctx = PatchContext(m)
+    parts = [patching.split_latent(im, s) for im in images]
+    x = jnp.concatenate(parts, axis=0)
+    if x.shape[0] < m.p_pad:
+        x = jnp.concatenate([x, jnp.zeros((m.p_pad - x.shape[0], s, s, 4))], axis=0)
+    t_pad = jnp.concatenate([t, jnp.zeros((m.i_pad - 3,))])
+    ehs_pad = jnp.concatenate([ehs, jnp.zeros((m.i_pad - 3, 7, 32))])
+    out = model.apply(params, x, t_pad, ehs_pad, ctx=ctx)
+    for i in range(3):
+        got = patching.merge_patches(out[i : i + 1], 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(dense[i]),
+                                   rtol=5e-3, atol=5e-4)
