@@ -123,7 +123,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         return jax.lax.fori_loop(0, n_steps, body, lat)
 
     @functools.lru_cache(maxsize=None)
-    def run_deep(interval: int):
+    def run_deep(interval: int, warmup: int = 0):
         n_lv = len(cfg.block_out_channels)
         c_deep = cfg.block_out_channels[-1]
         hw_deep = hw // (2 ** max(n_lv - 2, 0))
@@ -146,11 +146,59 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
             def body(i, carry):
                 lat, deep = carry
-                return jax.lax.cond((i % interval) == 0, full_f, shallow_f,
-                                    (lat, deep, i))
+                # production semantics: deep_warmup always-full steps first,
+                # then one full every `interval` (pipelines/base.py
+                # _denoise_group_deep)
+                full = (i < warmup) | (((i - warmup) % interval) == 0)
+                return jax.lax.cond(full, full_f, shallow_f, (lat, deep, i))
 
             lat, _ = jax.lax.fori_loop(0, n_steps, body, (lat, deep0))
             return lat
+
+        return run
+
+    @functools.lru_cache(maxsize=None)
+    def run_deep_adaptive(threshold: float, max_interval: int = 6):
+        """Drift-triggered deep refresh: full step when the latent has
+        drifted (relative MSE) past ``threshold`` since the last full step,
+        else shallow, with a ``max_interval`` safety cap.  Returns
+        (final latents, n_full_steps) so the quality/compute frontier is
+        directly comparable with fixed intervals (full_fraction 1/k)."""
+        n_lv = len(cfg.block_out_channels)
+        c_deep = cfg.block_out_channels[-1]
+        hw_deep = hw // (2 ** max(n_lv - 2, 0))
+
+        @jax.jit
+        def run(params, lat, g, ehs, pooled, tid):
+            deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
+
+            def full_f(args):
+                lat, deep, i = args
+                out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
+                                      deep_mode="full", deep_state=None)
+                return out, d2
+
+            def shallow_f(args):
+                lat, deep, i = args
+                out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
+                                      deep_mode="shallow", deep_state=deep)
+                return out, d2
+
+            def body(i, carry):
+                lat, deep, lat_ref, age, n_full = carry
+                drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
+                         / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
+                full = ((i == 0) | (age >= max_interval - 1)
+                        | (drift > threshold))
+                lat2, deep2 = jax.lax.cond(full, full_f, shallow_f,
+                                           (lat, deep, i))
+                lat_ref = jnp.where(full, lat, lat_ref)
+                age = jnp.where(full, 0, age + 1)
+                return lat2, deep2, lat_ref, age, n_full + full.astype(jnp.int32)
+
+            lat, _, _, _, n_full = jax.lax.fori_loop(
+                0, n_steps, body, (lat, deep0, lat, jnp.int32(0), jnp.int32(0)))
+            return lat, n_full
 
         return run
 
@@ -178,7 +226,8 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
-    return run_plain, run_deep, run_compact, make_inputs, params, run_drift
+    return (run_plain, run_deep, run_compact, make_inputs, params,
+            run_drift, run_deep_adaptive)
 
 
 def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
@@ -294,7 +343,7 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
-    return run_plain, None, run_compact, make_inputs, params, run_drift
+    return run_plain, None, run_compact, make_inputs, params, run_drift, None
 
 
 def main():
@@ -306,6 +355,11 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--deep", default="2,3,4")
+    ap.add_argument("--deep-adaptive", default="",
+                    help="drift thresholds for adaptive deep refresh "
+                         "(full step when latent rel-MSE since the last "
+                         "full exceeds the threshold; sdxl only)")
+    ap.add_argument("--max-interval", type=int, default=6)
     ap.add_argument("--compact", default="0.3,0.5,0.7")
     ap.add_argument("--fine", default="0.3,0.5,0.7",
                     help="per-token fine fractions (sd3 only)")
@@ -327,11 +381,18 @@ def main():
     # with the program through the relay on every compile; measured warning
     # in the r2 chip queue).
     (run_plain, run_deep, run_compact, make_inputs, params,
-     run_drift) = build(args.tiny, args.batch, res, args.steps)
+     run_drift, run_deep_adaptive) = build(args.tiny, args.batch, res,
+                                           args.steps)
 
     configs = []
     if run_deep is not None:
         configs += [("deep", int(v)) for v in args.deep.split(",") if v]
+    if run_deep_adaptive is not None:
+        configs += [("deep_adaptive", float(v))
+                    for v in args.deep_adaptive.split(",") if v]
+        if args.deep_adaptive:
+            configs += [("deep_warmup", int(v))
+                        for v in args.deep.split(",") if v]
     configs += [("compact", float(v)) for v in args.compact.split(",") if v]
     if args.family == "sd3":
         configs += [("token_fine", float(v)) for v in args.fine.split(",") if v]
@@ -350,19 +411,36 @@ def main():
         for seed in range(args.seeds):
             inputs = make_inputs(seed)
             ref = ref_for(seed, inputs)
+            full_frac = None
             if kind == "deep":
                 run = run_deep(param)
+            elif kind == "deep_warmup":
+                run = run_deep(param, 3)
+            elif kind == "deep_adaptive":
+                run = run_deep_adaptive(param, args.max_interval)
             elif kind == "token_fine":
                 run = run_compact(param, fine=True)
             else:
                 run = run_compact(param)
-            got = np.asarray(run(params, *inputs), np.float32)
+            got = run(params, *inputs)
+            if kind == "deep_adaptive":
+                got, n_full = got
+                full_frac = float(np.asarray(n_full)) / args.steps
+            got = np.asarray(got, np.float32)
             rel, cos = _metrics(got, ref)
             rels.append(rel)
             coss.append(cos)
         row = {"kind": kind, "param": param,
                "rel_mse": float(np.mean(rels)), "rel_mse_max": float(np.max(rels)),
                "cosine": float(np.mean(coss))}
+        if kind == "deep":
+            row["full_fraction"] = round(1.0 / param, 4)
+        elif kind == "deep_warmup":
+            w, n = 3, args.steps
+            row["full_fraction"] = round(
+                (w + (n - w + param - 1) // param) / n, 4)
+        elif kind == "deep_adaptive":
+            row["full_fraction"] = round(full_frac, 4)
         results.append(row)
         print(json.dumps(row), flush=True)
 

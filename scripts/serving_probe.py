@@ -65,6 +65,12 @@ async def _run(args):
         config.cache.enabled = True
         config.cache.mode = "deep"
         config.cache.deep_interval = args.deep_interval
+        if args.deep_adaptive > 0:
+            # drift-triggered refresh; the fixed interval becomes moot and
+            # --deep-interval is reused as the max_interval safety cap
+            config.cache.deep_adaptive = True
+            config.cache.deep_drift_threshold = args.deep_adaptive
+            config.cache.deep_max_interval = max(args.deep_interval, 2)
     elif args.cache_mode == "compact":
         # Request-granular top-K rows (MMDiT token path / dense rows).
         config.cache.enabled = True
@@ -237,6 +243,10 @@ def main():
     ap.add_argument("--collect", action="store_true",
                     help="record + dump the per-iteration schedule log")
     ap.add_argument("--deep-interval", type=int, default=3)
+    ap.add_argument("--deep-adaptive", type=float, default=0.0,
+                    help="drift threshold for adaptive deep refresh "
+                         "(>0 enables; --deep-interval becomes the "
+                         "max-interval safety cap)")
     ap.add_argument("--cache-mode", default="deep",
                     choices=("deep", "compact", "fine", "off"),
                     help="serving cache: deep (UNet temporal reuse), compact "

@@ -45,6 +45,13 @@ def _pad_batch(arr: np.ndarray, target: int) -> np.ndarray:
     return np.concatenate([arr, reps], axis=0)
 
 
+def _latent_drift(new, ref):
+    """Relative MSE of the current latent vs the last-full-pass latent
+    (the adaptive deep-refresh trigger, CacheConfig.deep_adaptive)."""
+    d = (new - ref).astype(jnp.float32)
+    return jnp.mean(d * d) / (jnp.mean(ref.astype(jnp.float32) ** 2) + 1e-12)
+
+
 class BasePipeline:
     """Family-agnostic staged pipeline over a ModelBundle."""
 
@@ -334,8 +341,7 @@ class BasePipeline:
         The batch shares one mode per call (static shapes): full whenever any
         member lacks a fresh deep feature, else shallow until deep_interval.
         """
-        interval = max(self.config.cache.deep_interval, 1)
-        warmup = self.config.cache.deep_warmup
+        interval, warmup, adaptive = self._deep_policy()
         need_full = any(
             r.deep_state is None or r.deep_age >= interval - 1
             or r.sampler_table.step < warmup
@@ -343,6 +349,7 @@ class BasePipeline:
             # or different spatial extent) forces a full pass
             or r.deep_state.shape[0] != 2
             or r.deep_state.shape[1] != latents.shape[1] // self._deep_factor()
+            or (adaptive and self._drift_exceeds(r))
             for r in reqs)
         mode = "full" if need_full else "shallow"
 
@@ -369,7 +376,50 @@ class BasePipeline:
                 r.deep_age = 0
             else:
                 r.deep_age += 1
+            if adaptive:
+                self._note_drift(r, mode, new_latents[i : i + 1])
         return new_latents
+
+    # -- drift-triggered adaptive refresh (CacheConfig.deep_adaptive) ---------
+
+    def _deep_policy(self):
+        """(interval cap, warmup, adaptive?) for the deep-reuse decision."""
+        cc = self.config.cache
+        if cc.deep_adaptive:
+            return max(cc.deep_max_interval, 1), cc.deep_warmup, True
+        return max(cc.deep_interval, 1), cc.deep_warmup, False
+
+    def _drift_exceeds(self, r) -> bool:
+        """True when the freshest COMPLETED drift scalar crosses the
+        threshold.  Pending on-device scalars are polled newest-first via
+        is_ready() without blocking, so bounded-runahead dispatch is
+        preserved; the decision lags the device by at most the in-flight
+        bound, and deep_max_interval caps the consequence of a stale read.
+        """
+        if r.lat_ref is None:
+            return True
+        pending = r.drift_pending
+        for j in range(len(pending) - 1, -1, -1):
+            d = pending[j]
+            if hasattr(d, "is_ready") and not d.is_ready():
+                continue
+            r.drift_last = float(d)
+            del pending[: j + 1]
+            break
+        return r.drift_last > self.config.cache.deep_drift_threshold
+
+    def _note_drift(self, r, mode: str, new_latent) -> None:
+        """Post-step adaptive bookkeeping.  A full pass resets the
+        reference latent; a shallow pass enqueues an on-device relative-MSE
+        scalar (a separate ~µs jit, so every step program keeps its static
+        signature and prewarmed compile key)."""
+        if mode == "full":
+            r.lat_ref = new_latent
+            r.drift_pending.clear()
+            r.drift_last = 0.0
+        else:
+            fn = self._jit(("latent_drift", new_latent.shape), _latent_drift)
+            r.drift_pending.append(fn(new_latent, r.lat_ref))
 
     def _make_deep_fn(self, mode: str):
         def fn(params, latents, t, coeffs, guidance, cond, deep):
@@ -505,6 +555,8 @@ class BasePipeline:
             off += n
             r.sampler_table.advance()
             r.remain_steps -= 1
+            if deep_mode is not None and self.config.cache.deep_adaptive:
+                self._note_drift(r, deep_mode, r.latents)
 
     # -- stateful sampler state on the patch path ------------------------------
 
@@ -652,14 +704,14 @@ class BasePipeline:
         batch ([uncond | pad | cond | pad], like the cache rows)."""
         if not self._deep_cache_active():
             return None, None
-        interval = max(self.config.cache.deep_interval, 1)
-        warmup = self.config.cache.deep_warmup
+        interval, warmup, adaptive = self._deep_policy()
         # a request may flip between the dense and patched paths across steps
         # (batch composition changes); a layout mismatch forces a full pass
         need_full = any(
             r.deep_state is None or r.deep_age >= interval - 1
             or r.sampler_table.step < warmup
             or r.deep_state.shape[0] != 2 * g * g
+            or (adaptive and self._drift_exceeds(r))
             for r, g in zip(ordered, grids))
         if need_full:
             return "full", None

@@ -74,6 +74,12 @@ class Request:
     # and steps since the last full pass.
     deep_state: Any = None
     deep_age: int = 0
+    # Adaptive deep refresh (CacheConfig.deep_adaptive): latent at the last
+    # full pass, pending on-device drift scalars (oldest first), and the
+    # most recent fetched drift value.
+    lat_ref: Any = None
+    drift_pending: list = dataclasses.field(default_factory=list)
+    drift_last: float = 0.0
 
     # Latency-predictor bookkeeping (ESyMReD, reference wrappers.py:108-155).
     predicted_step_ms: float = 0.0

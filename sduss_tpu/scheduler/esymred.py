@@ -138,13 +138,18 @@ class ESyMReDPolicy(Policy):
                 or getattr(cc, "mode", None) != "deep" \
                 or not getattr(cc, "phase_admission", True):
             return False
-        interval = max(cc.deep_interval, 1)
+        adaptive = getattr(cc, "deep_adaptive", False)
+        interval = max(cc.deep_max_interval if adaptive else cc.deep_interval, 1)
         if interval <= 1:
             return False
         full_next = any(
             r.deep_state is None or r.deep_age >= interval - 1
             or (r.sampler_table is not None
                 and r.sampler_table.step < cc.deep_warmup)
+            # adaptive refresh: read the last FETCHED drift only (the
+            # pipeline owns the pending-poll; a stale read here just
+            # shifts the admission by a step)
+            or (adaptive and r.drift_last > cc.deep_drift_threshold)
             for r in running)
         if full_next:
             return False

@@ -9,6 +9,7 @@ max_hits forces refresh.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from sduss_tpu.config import Config, ModelConfig, SchedulerConfig
@@ -197,6 +198,106 @@ class TestDeepReuse:
             y = np.asarray(b.latents, np.float32)
             err = np.abs(x - y).mean() / (np.abs(y).mean() + 1e-8)
             assert err < 0.5, f"deep reuse drifted too far: {err}"
+
+
+class TestDeepAdaptive:
+    """Drift-triggered adaptive deep refresh (CacheConfig.deep_adaptive):
+    full passes fire on measured latent drift instead of a fixed interval
+    (the trajectory-level analog of the reference's learned cache gates,
+    cache_manager.py:101-191)."""
+
+    def _pipe(self, threshold, max_interval=4, warmup=1):
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True,
+                                   dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=False)
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_adaptive = True
+        config.cache.deep_drift_threshold = threshold
+        config.cache.deep_max_interval = max_interval
+        config.cache.deep_warmup = warmup
+        return build_pipeline(config)
+
+    def _run_counting(self, pipe, steps, n=2, res=256):
+        reqs = make_reqs(n=n, res=res, steps=steps)
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        fulls = 0
+        for _ in range(steps):
+            pipe.denoise_step({res: reqs})
+            fulls += int(all(r.deep_age == 0 for r in reqs))
+        return reqs, fulls
+
+    def test_negative_threshold_matches_cache_off(self):
+        """threshold < 0 => drift always exceeds => every step full =>
+        bit-identical to the cache-off baseline."""
+        reqs, fulls = self._run_counting(self._pipe(threshold=-1.0), steps=4)
+        assert fulls == 4
+        pipe0 = make_pipe(cache_enabled=False)
+        reqs0 = make_reqs(n=2, res=256, steps=4)
+        pipe0.prepare(reqs0)
+        for r in reqs0:
+            r.stage = Stage.DENOISING
+        for _ in range(4):
+            pipe0.denoise_step({256: reqs0})
+        for a, b in zip(reqs, reqs0):
+            np.testing.assert_allclose(np.asarray(a.latents),
+                                       np.asarray(b.latents), atol=1e-5)
+
+    def test_huge_threshold_hits_max_interval_cap(self):
+        """threshold -> inf: fulls only from warmup + the safety cap, i.e.
+        the fixed-interval schedule at deep_max_interval."""
+        steps, cap, warmup = 8, 3, 1
+        reqs, fulls = self._run_counting(
+            self._pipe(threshold=1e9, max_interval=cap, warmup=warmup),
+            steps=steps)
+        # step 0 full (warmup/no state), then full every `cap` steps:
+        # ages 0,1,2,0,1,2,0,1 -> fulls at steps 0,3,6
+        assert fulls == 3
+        assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
+
+    def test_drift_state_lifecycle(self):
+        """Shallow steps enqueue device drift scalars; full passes reset
+        the reference latent and pending queue."""
+        pipe = self._pipe(threshold=1e9, max_interval=4, warmup=1)
+        reqs = make_reqs(n=2, res=256, steps=6)
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        pipe.denoise_step({256: reqs})            # full (warmup)
+        assert all(r.lat_ref is not None for r in reqs)
+        assert all(not r.drift_pending for r in reqs)
+        pipe.denoise_step({256: reqs})            # shallow
+        assert all(len(r.drift_pending) == 1 for r in reqs)
+        # polling consumes the pending scalar and records a real drift
+        # (the poll never blocks on an in-flight step, so force completion
+        # first to make the test deterministic)
+        for r in reqs:
+            jax.block_until_ready(r.drift_pending[-1])
+            exceeded = pipe._drift_exceeds(r)
+            assert not exceeded                   # threshold 1e9
+            assert not r.drift_pending
+            assert r.drift_last > 0.0
+
+    def test_moderate_threshold_between_extremes(self):
+        """A mid threshold spends fulls where drift is largest: more than
+        the cap-only schedule, fewer than all-full, and closer to baseline
+        than cap-only."""
+        base = self._run_counting(self._pipe(threshold=-1.0), steps=8)[0]
+        cap_reqs, cap_fulls = self._run_counting(
+            self._pipe(threshold=1e9, max_interval=4), steps=8)
+        mid_reqs, mid_fulls = self._run_counting(
+            self._pipe(threshold=0.02, max_interval=4), steps=8)
+        assert cap_fulls <= mid_fulls <= 8
+        err_mid = max(
+            np.abs(np.asarray(a.latents) - np.asarray(b.latents)).mean()
+            for a, b in zip(mid_reqs, base))
+        err_cap = max(
+            np.abs(np.asarray(a.latents) - np.asarray(b.latents)).mean()
+            for a, b in zip(cap_reqs, base))
+        assert err_mid <= err_cap + 1e-7
 
 
 class TestDeepReuseMixed:
