@@ -22,6 +22,10 @@ Env knobs:
   BENCH_DEEP    deep-reuse interval (default 3; 0/1 disables)
   BENCH_STEPS   denoise steps per timed run (default 30)
   BENCH_REPEATS timed repeats, best-of (default 3)
+  BENCH_DEEP_ADAPTIVE  drift threshold >0 switches the deep schedule to
+                drift-triggered refresh (BENCH_DEEP_CAP safety interval,
+                BENCH_DEEP_WARMUP always-full prefix); reports the
+                realized full-step count
 """
 
 from __future__ import annotations
@@ -49,7 +53,10 @@ def build_step(batch: int):
     sampler = get_sampler("euler")
 
     b, hw = batch, 128  # 1024 px -> 128x128 latent
-    latents = jnp.zeros((b, hw, hw, 4), jnp.bfloat16)
+    # unit noise, like a real trajectory start (zeros would degenerate the
+    # adaptive-deep drift metric; identical FLOPs for the fixed schedules)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (b, hw, hw, 4),
+                                jnp.bfloat16)
     t = jnp.full((b,), 500.0, jnp.float32)
     coeffs = jnp.asarray([[4.0, 3.0]] * b, jnp.float32)
     guidance = jnp.full((b,), 5.0, jnp.float32)
@@ -127,6 +134,69 @@ def build_step(batch: int):
 
         return run
 
+    def make_adaptive_deep_trajectory(n_steps: int, threshold: float,
+                                      cap: int, warmup: int):
+        """Deep reuse with drift-triggered refresh (CacheConfig.deep_adaptive,
+        pipelines/base.py _drift_exceeds): a full step runs when the latent's
+        relative MSE since the last full step exceeds ``threshold`` (or the
+        ``cap`` safety interval / ``warmup`` prefix forces one).  Entirely
+        in-graph; also returns the realized full-step count."""
+        table = sampler.make_table(n_steps)
+        ts = jnp.asarray(table.timesteps)
+        cs = jnp.asarray(table.coeffs)
+        n_lv = len(unet.cfg.block_out_channels)
+        c_deep = unet.cfg.block_out_channels[-1]
+        hw_deep = hw // (2 ** (n_lv - 2))
+
+        def mk_step(mode):
+            def f(params, lat, deep, i):
+                t_i = jnp.full((2 * b,), ts[i], jnp.float32)
+                c0 = jnp.full((b,), cs[i, 0])
+                c1 = jnp.full((b,), cs[i, 1])
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = sampler.scale_model_input(
+                    lat_in, jnp.concatenate([c0, c0]))
+                added = {"text_embeds": jnp.concatenate([pooled, pooled], axis=0),
+                         "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
+                out, deep2 = unet.apply(
+                    params, lat_in, t_i, jnp.concatenate([ehs, ehs], axis=0),
+                    added_cond=added, deep_mode=mode,
+                    deep_state=deep if mode == "shallow" else None)
+                u, c = jnp.split(out, 2, axis=0)
+                eps = u + guidance.reshape(-1, 1, 1, 1) * (c - u)
+                return sampler.step(lat, eps, c0, c1), deep2
+
+            return f
+
+        full_f = mk_step("full")
+        shallow_f = mk_step("shallow")
+
+        @jax.jit
+        def run(params, latents, guidance_, ehs_, pooled_, time_ids_):
+            deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), jnp.bfloat16)
+
+            def body(i, carry):
+                lat, deep, lat_ref, age, n_full = carry
+                drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
+                         / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
+                full = ((i < warmup) | (age >= cap - 1) | (drift > threshold))
+                lat2, deep2 = jax.lax.cond(
+                    full,
+                    lambda args: full_f(params, args[0], args[1], i),
+                    lambda args: shallow_f(params, args[0], args[1], i),
+                    (lat, deep))
+                lat_ref = jnp.where(full, lat, lat_ref)
+                age = jnp.where(full, 0, age + 1)
+                return (lat2, deep2, lat_ref, age,
+                        n_full + full.astype(jnp.int32))
+
+            lat, _, _, _, n_full = jax.lax.fori_loop(
+                0, n_steps, body,
+                (latents, deep0, latents, jnp.int32(0), jnp.int32(0)))
+            return lat, n_full
+
+        return run
+
     def make_compact_trajectory(n_steps: int, fraction: float):
         """Trajectory with the compact top-K block cache (mode 'compact'):
         every gated (resnet+attention) pair recomputes only the
@@ -192,7 +262,8 @@ def build_step(batch: int):
         return run
 
     args = (params, latents, t, coeffs, guidance, ehs, pooled, time_ids)
-    return step, make_trajectory, make_deep_trajectory, make_compact_trajectory, args
+    return (step, make_trajectory, make_deep_trajectory,
+            make_compact_trajectory, make_adaptive_deep_trajectory, args)
 
 
 def main() -> None:
@@ -224,12 +295,21 @@ def main() -> None:
     for b in batches:
         try:
             (step, make_trajectory, make_deep_trajectory,
-             make_compact_trajectory, args) = build_step(b)
+             make_compact_trajectory, make_adaptive_deep_trajectory,
+             args) = build_step(b)
             (params, latents, t, coeffs, guidance, ehs, pooled, time_ids) = args
             deep_interval = int(os.environ.get("BENCH_DEEP", "3"))
             compact_frac = float(os.environ.get("BENCH_COMPACT", "0"))
+            adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0"))
+            n_full = None
             if mode == "scan":
-                if compact_frac > 0:
+                adaptive = adaptive_thresh > 0 and compact_frac <= 0
+                if adaptive:
+                    run = make_adaptive_deep_trajectory(
+                        n_steps, adaptive_thresh,
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "6")),
+                        warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")))
+                elif compact_frac > 0:
                     run = make_compact_trajectory(n_steps, compact_frac)
                 else:
                     run = (make_deep_trajectory(n_steps, deep_interval)
@@ -238,11 +318,14 @@ def main() -> None:
                 # device_get forces real completion — on the experimental
                 # axon relay backend block_until_ready can return before the
                 # remote execution finishes (inflates throughput ~30x).
-                np.asarray(out)
+                np.asarray(out[0] if adaptive else out)
                 best_t = float("inf")
                 for _ in range(repeats):
                     t0 = time.perf_counter()
                     out = run(params, latents, guidance, ehs, pooled, time_ids)
+                    if adaptive:
+                        out, nf = out
+                        n_full = int(np.asarray(nf))
                     checksum = float(np.asarray(out).astype(np.float32).sum())
                     best_t = min(best_t, time.perf_counter() - t0)
             else:
@@ -259,8 +342,11 @@ def main() -> None:
                     checksum = float(np.asarray(lat).astype(np.float32).sum())
                     best_t = min(best_t, time.perf_counter() - t0)
             ips = b / (best_t * (30.0 / n_steps))  # normalize to 30 steps
+            extra = (f", full_steps={n_full}/{n_steps}"
+                     if n_full is not None else "")
             print(f"# batch={b} mode={mode}: {best_t:.3f}s/{n_steps} steps -> "
-                  f"{ips:.4f} img/s (30-step), checksum={checksum:.3e}", flush=True)
+                  f"{ips:.4f} img/s (30-step), checksum={checksum:.3e}"
+                  f"{extra}", flush=True)
             if ips > best_ips:
                 best_ips, best_b = ips, b
             del step, args, latents, params
@@ -280,6 +366,8 @@ def main() -> None:
         "vs_baseline": round(best_ips / baseline, 4),
         "batch": best_b,
         "deep_reuse_interval": deep if mode == "scan" else 0,
+        "deep_adaptive_threshold": float(
+            os.environ.get("BENCH_DEEP_ADAPTIVE", "0")),
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))

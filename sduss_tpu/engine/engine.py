@@ -153,10 +153,28 @@ class Engine:
         sc = self.config.scheduler
         cc = self.config.cache
         res_list = list(resolutions or self.config.model.resolutions)
+        interval = max(cc.deep_max_interval if cc.deep_adaptive
+                       else cc.deep_interval, 1)
         if steps is None:
             steps = 2
             if cc.enabled and cc.mode == "deep":
-                steps = cc.deep_warmup + max(cc.deep_interval, 1) + 1
+                steps = cc.deep_warmup + interval + 1
+        # Under adaptive refresh the drift trigger could force every prewarm
+        # step full and never mint the shallow program (a cold key would
+        # then stall serving); pin the threshold high so the max-interval
+        # cap drives the schedule and BOTH programs (plus the drift jit)
+        # compile.
+        saved_threshold = cc.deep_drift_threshold
+        if cc.enabled and cc.mode == "deep" and cc.deep_adaptive:
+            cc.deep_drift_threshold = float("inf")
+        try:
+            return self._prewarm_inner(t0, sc, cc, res_list, steps, buckets,
+                                       compositions)
+        finally:
+            cc.deep_drift_threshold = saved_threshold
+
+    def _prewarm_inner(self, t0, sc, cc, res_list, steps, buckets,
+                       compositions) -> float:
         bks = [b for b in (buckets or sc.batch_buckets)
                if b <= sc.max_batch_size]
         n = 0

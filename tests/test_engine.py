@@ -136,6 +136,30 @@ class TestEngine:
             outs.extend(eng.step())
         assert len(outs) == 2 and all(o.finished for o in outs)
 
+    def test_prewarm_adaptive_mints_both_deep_programs(self):
+        """Under adaptive refresh, prewarm must still compile BOTH the full
+        and shallow deep programs (the drift trigger could otherwise force
+        every prewarm step full, leaving a cold shallow key for serving),
+        and must restore the configured threshold afterwards."""
+        c = _cfg(policy="esymred")
+        c.scheduler.batch_buckets = (2,)
+        c.scheduler.max_batch_size = 2
+        c.cache.enabled = True
+        c.cache.mode = "deep"
+        c.cache.deep_adaptive = True
+        c.cache.deep_drift_threshold = 1e-9   # would force all-full
+        c.cache.deep_max_interval = 3
+        c.cache.deep_warmup = 1
+        eng = Engine(c)
+        eng.prewarm(resolutions=(128,))
+        assert c.cache.deep_drift_threshold == 1e-9
+        fns = eng.workers[0].pipeline._fns
+        modes = {k[1] for k in fns if isinstance(k, tuple)
+                 and k[0] == "denoise_deep"}
+        assert modes == {"full", "shallow"}
+        assert any(isinstance(k, tuple) and k[0] == "latent_drift"
+                   for k in fns)
+
     def test_inflight_throttle_bounded(self):
         """Async-dispatch runahead stays within max_inflight_steps and the
         deque drains before postprocess (engine/worker.py docstring)."""
