@@ -315,6 +315,41 @@ class SD3Transformer2DModel:
 
     # -- forward ------------------------------------------------------------
 
+    def prelude(self, params, latents, timesteps, encoder_hidden_states,
+                pooled_projections, ctx=None):
+        """Embedding front: latents/time/text -> (x tokens, c context, temb).
+
+        Pipeline-parallel stage 0 (parallel/pipeline.py) runs this plus its
+        leading block span; single-device apply() uses it too."""
+        x = self.embed_latents(params, latents, ctx=ctx)
+        temb = self.time_text_embed(params, timesteps, pooled_projections,
+                                    latents.dtype)
+        c = L.linear(params["context_embedder"],
+                     encoder_hidden_states.astype(latents.dtype))
+        return x, c, temb
+
+    def trunk_blocks(self, params, x, c, temb, start: int, ctx=None):
+        """Run ``params['blocks']`` (a contiguous span) plain, with GLOBAL
+        block indices beginning at ``start`` — dual-attention layout and the
+        context-dropping last block depend on the global index, so a
+        pipeline stage must know where its span sits."""
+        cfg = self.cfg
+        for j, blk in enumerate(params["blocks"]):
+            i = start + j
+            last = i == cfg.num_layers - 1
+            dual = i in cfg.dual_attention_layers
+            x, c2 = self._joint_block(blk, x, c, temb, last, dual, ctx=ctx)
+            c = c2 if c2 is not None else c
+        return x, c
+
+    def head(self, params, x, temb):
+        """Final AdaLN modulation + projection to output tokens."""
+        silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype)
+        mods = L.linear(params["norm_out_proj"], silu_t)
+        scale, shift = jnp.split(mods, 2, axis=-1)
+        x = L.layer_norm(None, x, 1e-6) * (1 + scale[:, None]) + shift[:, None]
+        return L.linear(params["proj_out"], x)
+
     def _trunk(self, params, x, c, temb, ctx=None, cache=None,
                cache_state=None, t_norm=None, row_valid=None):
         """Joint blocks + final modulation/projection over token sequences.
@@ -327,6 +362,9 @@ class SD3Transformer2DModel:
         cfg = self.cfg
         new_state: dict = {}
         caching = cache is not None and cache_state is not None
+        if not caching:
+            x, c = self.trunk_blocks(params, x, c, temb, start=0, ctx=ctx)
+            return self.head(params, x, temb)
         compact = caching and cache.config.mode == "compact"
         token_fine = (compact
                       and getattr(cache.config, "patch_fraction", 1.0) < 1.0)
@@ -396,14 +434,7 @@ class SD3Transformer2DModel:
             else:
                 x, c = self._joint_block(blk, x, c, temb, last, dual, ctx=ctx)
 
-        silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype)
-        mods = L.linear(params["norm_out_proj"], silu_t)
-        scale, shift = jnp.split(mods, 2, axis=-1)
-        x = L.layer_norm(None, x, 1e-6) * (1 + scale[:, None]) + shift[:, None]
-        out = L.linear(params["proj_out"], x)
-        if cache is not None and cache_state is not None:
-            return out, new_state
-        return out
+        return self.head(params, x, temb), new_state
 
     def unpatchify(self, x, hp: int, wp: int):
         """(B, hp*wp, ps*ps*C) -> (B, H, W, C)."""
@@ -427,9 +458,9 @@ class SD3Transformer2DModel:
         b, hh, ww, _ = latents.shape
         hp, wp = hh // cfg.patch_size, ww // cfg.patch_size
 
-        x = self.embed_latents(params, latents, ctx=ctx)
-        temb = self.time_text_embed(params, timesteps, pooled_projections, latents.dtype)
-        c = L.linear(params["context_embedder"], encoder_hidden_states.astype(latents.dtype))
+        x, c, temb = self.prelude(params, latents, timesteps,
+                                  encoder_hidden_states,
+                                  pooled_projections, ctx=ctx)
         x = self._trunk(params, x, c, temb, ctx=ctx)
         return self.unpatchify(x, hp, wp)
 
