@@ -129,8 +129,13 @@ class ParallelConfig:
     dp: int = 1
     tp: int = 1
     sp: int = 1  # spatial / displaced-patch parallel degree
-    # Pipeline-stage parallel degree — SCAFFOLD, like the reference's dormant
-    # PP groups (parallel_state.py:62-71); see parallel/mesh.py.
+    # Pipeline-stage parallel degree.  A WORKING realization exists as
+    # parallel/pipeline.py MMDiTStagePipeline (stage-pinned block spans,
+    # microbatched device_put transfers; exactness-tested, dryrun-validated)
+    # — beyond the reference, whose PP groups are created but dormant
+    # (parallel_state.py:62-71).  The serving engine's replicas use
+    # GSPMD sp x tp sub-meshes (parallel/replica.py); route a replica
+    # through MMDiTStagePipeline when a trunk outgrows per-chip HBM.
     pp: int = 1
     # Explicit device list (indices into jax.devices()); None => first world_size.
     devices: Optional[List[int]] = None
