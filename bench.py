@@ -60,9 +60,12 @@ def build_step(batch: int):
     t = jnp.full((b,), 500.0, jnp.float32)
     coeffs = jnp.asarray([[4.0, 3.0]] * b, jnp.float32)
     guidance = jnp.full((b,), 5.0, jnp.float32)
-    ehs = jnp.zeros((b, 77, 2048), jnp.bfloat16)
-    pooled = jnp.zeros((b, 1280), jnp.bfloat16)
-    time_ids = jnp.asarray([[1024.0, 1024.0, 0, 0, 1024.0, 1024.0]] * b,
+    # conditioning dims from the config (2048/1280/6 at full SDXL size;
+    # lets the tiny-config smoke tests drive the same builders)
+    _, pooled_dim, n_ids = unet.cfg.addition_embed
+    ehs = jnp.zeros((b, 77, unet.cfg.cross_attention_dim), jnp.bfloat16)
+    pooled = jnp.zeros((b, pooled_dim), jnp.bfloat16)
+    time_ids = jnp.asarray([[1024.0, 1024.0, 0, 0, 1024.0, 1024.0][:n_ids]] * b,
                            jnp.float32)
 
     def one_step(params, latents, t, c0, c1, guidance, ehs, pooled, time_ids):

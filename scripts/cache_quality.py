@@ -162,8 +162,11 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         """Drift-triggered deep refresh: full step when the latent has
         drifted (relative MSE) past ``threshold`` since the last full step,
         else shallow, with a ``max_interval`` safety cap.  Returns
-        (final latents, n_full_steps) so the quality/compute frontier is
-        directly comparable with fixed intervals (full_fraction 1/k)."""
+        (final latents, n_full_steps, full_mask) — the mask is the realized
+        refresh PATTERN, replayable by scripts/sim_serving.py for a
+        serving-level projection without the chip; n_full makes the
+        quality/compute frontier directly comparable with fixed intervals
+        (full_fraction 1/k)."""
         n_lv = len(cfg.block_out_channels)
         c_deep = cfg.block_out_channels[-1]
         hw_deep = hw // (2 ** max(n_lv - 2, 0))
@@ -185,7 +188,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
                 return out, d2
 
             def body(i, carry):
-                lat, deep, lat_ref, age, n_full = carry
+                lat, deep, lat_ref, age, n_full, mask = carry
                 drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
                          / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
                 full = ((i == 0) | (age >= max_interval - 1)
@@ -194,11 +197,15 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
                                            (lat, deep, i))
                 lat_ref = jnp.where(full, lat, lat_ref)
                 age = jnp.where(full, 0, age + 1)
-                return lat2, deep2, lat_ref, age, n_full + full.astype(jnp.int32)
+                return (lat2, deep2, lat_ref, age,
+                        n_full + full.astype(jnp.int32),
+                        mask.at[i].set(full.astype(jnp.int32)))
 
-            lat, _, _, _, n_full = jax.lax.fori_loop(
-                0, n_steps, body, (lat, deep0, lat, jnp.int32(0), jnp.int32(0)))
-            return lat, n_full
+            lat, _, _, _, n_full, mask = jax.lax.fori_loop(
+                0, n_steps, body,
+                (lat, deep0, lat, jnp.int32(0), jnp.int32(0),
+                 jnp.zeros((n_steps,), jnp.int32)))
+            return lat, n_full, mask
 
         return run
 
@@ -423,9 +430,11 @@ def main():
             else:
                 run = run_compact(param)
             got = run(params, *inputs)
+            pattern = None
             if kind == "deep_adaptive":
-                got, n_full = got
+                got, n_full, mask = got
                 full_frac = float(np.asarray(n_full)) / args.steps
+                pattern = np.asarray(mask).astype(int).tolist()
             got = np.asarray(got, np.float32)
             rel, cos = _metrics(got, ref)
             rels.append(rel)
@@ -433,6 +442,9 @@ def main():
         row = {"kind": kind, "param": param,
                "rel_mse": float(np.mean(rels)), "rel_mse_max": float(np.max(rels)),
                "cosine": float(np.mean(coss))}
+        if pattern is not None:
+            # realized refresh pattern (last seed) for sim_serving replay
+            row["full_pattern"] = pattern
         if kind == "deep":
             row["full_fraction"] = round(1.0 / param, 4)
         elif kind == "deep_warmup":

@@ -49,6 +49,13 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--deep-interval", type=int, default=3)
     ap.add_argument("--deep-warmup", type=int, default=3)
+    ap.add_argument("--adaptive-pattern", default="",
+                    help="path:threshold into a cache_quality artifact "
+                         "(e.g. exp/cache_quality_sdxl_adaptive_tiny.json:"
+                         "0.1) — replay that measured adaptive refresh "
+                         "pattern per request instead of the fixed "
+                         "interval (serving-level projection of "
+                         "CacheConfig.deep_adaptive)")
     ap.add_argument("--phase-admission", type=int, default=1)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--predictor", default="exp/predictor_sdxl_v5e.npz")
@@ -65,10 +72,24 @@ def main():
             cfg.stage_latency_overrides = json.load(f)
     if os.path.exists(args.predictor):
         cfg.predictor_path = args.predictor
+    pattern = None
+    if args.adaptive_pattern:
+        path, thr = args.adaptive_pattern.rsplit(":", 1)
+        with open(path) as f:
+            art = json.load(f)
+        rows = [c for c in art["configs"] if c["kind"] == "deep_adaptive"
+                and abs(c["param"] - float(thr)) < 1e-9]
+        if not rows or "full_pattern" not in rows[0]:
+            raise SystemExit(f"no full_pattern for threshold {thr} in {path}")
+        pattern = rows[0]["full_pattern"]
+        if len(pattern) < args.steps:
+            raise SystemExit("pattern shorter than --steps")
+
     pol = get_policy("esymred", cfg, family="sdxl")
     pol.cache_config = CacheConfig(
         enabled=args.deep_interval > 1, mode="deep",
         deep_interval=args.deep_interval, deep_warmup=args.deep_warmup,
+        deep_adaptive=pattern is not None,
         phase_admission=bool(args.phase_admission))
 
     import numpy as np
@@ -124,11 +145,21 @@ def main():
                 r.deep_age = 0
         elif batch.stage is Stage.DENOISING:
             # mode like _denoise_group_deep: full iff any member needs it
-            interval = max(args.deep_interval, 1)
-            full = any(
-                r.deep_state is None or r.deep_age >= interval - 1
-                or r.sampler_table.step < args.deep_warmup
-                for r in batch.requests)
+            if pattern is not None:
+                # replay the measured adaptive refresh pattern per request
+                # (drift depends on trajectory step, so each request indexes
+                # the pattern at its own step; batch full = any member)
+                full = any(
+                    r.deep_state is None
+                    or bool(pattern[min(r.sampler_table.step,
+                                        len(pattern) - 1)])
+                    for r in batch.requests)
+            else:
+                interval = max(args.deep_interval, 1)
+                full = any(
+                    r.deep_state is None or r.deep_age >= interval - 1
+                    or r.sampler_table.step < args.deep_warmup
+                    for r in batch.requests)
             cost = step_cost(bs, full)
             for r in batch.requests:
                 if r.start_denoising_time is None:
@@ -158,12 +189,17 @@ def main():
     if args.trace:
         for t, stage, bs, mode in timeline:
             print(f"  t={t:8.2f} {stage:<14s} bs={bs} {mode}")
+    den = [(t, m) for t, stage, _, m in timeline if stage == "denoising"]
     out = {
         "qps": args.qps, "num": args.num, "aborted": aborted,
         "p50_latency_s": round(lats[len(lats) // 2], 2) if lats else None,
         "max_latency_s": round(lats[-1], 2) if lats else None,
         "makespan_s": round(clock["t"] - arrivals[0], 1),
+        "img_per_s": round(len(lats) / max(clock["t"] - arrivals[0], 1e-9), 4),
+        "full_step_share": (round(sum(1 for _, m in den if m == "full")
+                                  / len(den), 3) if den else None),
         "phase_admission": bool(args.phase_admission),
+        "adaptive_pattern": args.adaptive_pattern or None,
     }
     print(json.dumps(out))
 

@@ -46,6 +46,13 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "recompute (per-row-adaptive real saving)")
     g.add_argument("--deep-interval", type=int, default=2)
     g.add_argument("--deep-warmup", type=int, default=3)
+    g.add_argument("--deep-adaptive", type=float, default=0.0,
+                   help="drift threshold >0 switches deep reuse to "
+                        "drift-triggered refresh (relative latent MSE "
+                        "since the last full pass)")
+    g.add_argument("--deep-max-interval", type=int, default=6,
+                   help="safety cap between full passes under "
+                        "--deep-adaptive")
     g.add_argument("--compact-fraction", type=float, default=0.5,
                    help="rows each gated block recomputes in compact mode")
     g.add_argument("--cache-classifier-path", type=str, default=None)
@@ -75,6 +82,11 @@ def config_from_args(args: argparse.Namespace) -> Config:
         cache=CacheConfig(enabled=args.use_cache, mode=args.cache_mode,
                           deep_interval=args.deep_interval,
                           deep_warmup=args.deep_warmup,
+                          deep_adaptive=args.deep_adaptive > 0,
+                          deep_drift_threshold=(args.deep_adaptive
+                                                if args.deep_adaptive > 0
+                                                else 0.05),
+                          deep_max_interval=args.deep_max_interval,
                           compact_fraction=args.compact_fraction,
                           classifier_path=args.cache_classifier_path),
         engine=EngineConfig(

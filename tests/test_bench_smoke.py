@@ -1,0 +1,46 @@
+"""bench.py trajectory builders smoke-tested at tiny model scale.
+
+The real bench compiles the full-size SDXL UNet (chip-only in practice);
+these pin the trajectory GRAPHS — fixed deep, adaptive deep — on the tiny
+config so a bench code change can't brick a 20-minute relay compile.
+Monkeypatches bench.build_step's SDXL_UNET import site (the 128x128 latent
+grid stays, matching the closures' shapes).
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tiny_bench(monkeypatch):
+    import sduss_tpu.models.unet as unet_mod
+
+    monkeypatch.setattr(unet_mod, "SDXL_UNET", unet_mod.TINY_SDXL_UNET)
+    import bench
+
+    return bench
+
+
+class TestBenchTrajectories:
+    def test_adaptive_deep_runs_and_counts(self, tiny_bench):
+        (_, _, _, _, mk_adaptive, args) = tiny_bench.build_step(1)
+        params, latents, t, coeffs, guidance, ehs, pooled, time_ids = args
+        run = mk_adaptive(6, threshold=1e9, cap=3, warmup=1)
+        out, n_full = run(params, latents, guidance, ehs, pooled, time_ids)
+        assert out.shape == latents.shape
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        # threshold -> inf: fulls at 0 (warmup) then every cap steps: 0, 3
+        assert int(np.asarray(n_full)) == 2
+
+    def test_adaptive_negative_threshold_all_full_matches_plain(self,
+                                                                tiny_bench):
+        (_, mk, _, _, mk_adaptive, args) = tiny_bench.build_step(1)
+        params, latents, t, coeffs, guidance, ehs, pooled, time_ids = args
+        run_a = mk_adaptive(3, threshold=-1.0, cap=8, warmup=0)
+        out_a, n_full = run_a(params, latents, guidance, ehs, pooled,
+                              time_ids)
+        assert int(np.asarray(n_full)) == 3
+        out_p = mk(3)(params, latents, guidance, ehs, pooled, time_ids)
+        np.testing.assert_allclose(np.asarray(out_a, np.float32),
+                                   np.asarray(out_p, np.float32),
+                                   atol=2e-2, rtol=2e-2)
