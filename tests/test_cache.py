@@ -281,6 +281,36 @@ class TestDeepAdaptive:
             assert not r.drift_pending
             assert r.drift_last > 0.0
 
+    def test_adaptive_on_mixed_patch_path(self):
+        """Adaptive refresh composes with the mixed patch path: drift
+        bookkeeping rides the per-request unpack, full passes reset it."""
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True,
+                                   dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True,
+                                           patch_size=256)
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_adaptive = True
+        config.cache.deep_drift_threshold = 1e9
+        config.cache.deep_max_interval = 3
+        config.cache.deep_warmup = 1
+        pipe = build_pipeline(config)
+        reqs = make_reqs(n=2, res=512, steps=6)
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        by_res = {512: reqs}
+        pipe.denoise_step_mixed(by_res)           # full (warmup)
+        assert all(r.lat_ref is not None for r in reqs)
+        pipe.denoise_step_mixed(by_res)           # shallow -> drift pending
+        assert all(len(r.drift_pending) == 1 for r in reqs)
+        pipe.denoise_step_mixed(by_res)           # shallow (age 2)
+        pipe.denoise_step_mixed(by_res)           # cap -> full, resets
+        assert all(r.deep_age == 0 for r in reqs)
+        assert all(not r.drift_pending for r in reqs)
+        assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
+
     def test_moderate_threshold_between_extremes(self):
         """A mid threshold spends fulls where drift is largest: more than
         the cap-only schedule, fewer than all-full, and closer to baseline
