@@ -50,4 +50,7 @@ timeout 10800 python -u scripts/serving_probe.py --qps 0.3 --num 12 \
     --steps 30 --deep-interval 3 --batch-buckets 2,4,8 \
     --resolutions 512,1024 --mixed-prewarm "512:2,1024:2;512:4,1024:4" \
     --collect --out exp/serving_sdxl_mixed_v5e_r2.json
+# VAE mid-attention A/B: dense (known-good 337 ms b8 1024 decode) vs
+# q-row-blocked (kills the ~1 GB/image f32 score matrix)
+timeout 5400 python -u scripts/bench_vae_attn.py
 echo QUEUE_R2L_DONE

@@ -170,6 +170,47 @@ def attention(q, k, v, num_heads: int, mask=None, scale: Optional[float] = None,
     return out.transpose(0, 2, 1, 3).reshape(b, lq, d)
 
 
+def attention_blocked(q, k, v, num_heads: int, block_q: int = 1024,
+                      scale: Optional[float] = None):
+    """Exact attention with query-row blocking (``lax.map`` over q tiles).
+
+    Bounds the live logits to (block_q, L) f32 instead of materializing the
+    full (L, L) score matrix — the VAE's 16k-token single-head mid
+    attention (d=512, too wide for the flash kernels' full-KV-in-VMEM
+    layout) would otherwise stage ~1 GB of f32 logits per image through
+    HBM.  Identical math to :func:`attention` (no mask/bias support).
+    """
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    hd = d // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    if lq <= block_q:
+        return attention(q, k, v, num_heads, scale=scale)
+    pad = (-lq) % block_q
+    if pad:
+        q = jnp.concatenate(
+            [q, jnp.zeros((b, pad, d), q.dtype)], axis=1)
+    nb = q.shape[1] // block_q
+    kh = k.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+    qh = (q.reshape(b, nb, block_q, num_heads, hd)
+          .transpose(1, 0, 3, 2, 4))  # (nb, b, h, block_q, hd)
+
+    def one_block(qb):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qb, kh,
+                            preferred_element_type=jnp.float32,
+                            precision=MATMUL_PRECISION) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(qb.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", w, vh,
+                          preferred_element_type=jnp.float32,
+                          precision=MATMUL_PRECISION).astype(qb.dtype)
+
+    out = jax.lax.map(one_block, qh)  # (nb, b, h, block_q, hd)
+    out = out.transpose(1, 0, 3, 2, 4).reshape(b, nb * block_q, d)
+    return out[:, :lq]
+
+
 def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0,
                        flip_sin_to_cos: bool = True, downscale_freq_shift: float = 0.0,
                        scale: float = 1.0):

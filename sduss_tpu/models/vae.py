@@ -9,6 +9,7 @@ shift factor.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -78,8 +79,18 @@ def _attn_apply(p, x, groups):
     res = x
     y = L.group_norm(p["group_norm"], x, groups, 1e-6)
     y = y.reshape(b, h * w, c)
-    y = L.attention(L.linear(p["to_q"], y), L.linear(p["to_k"], y), L.linear(p["to_v"], y),
-                    num_heads=1)
+    q, k, v = (L.linear(p["to_q"], y), L.linear(p["to_k"], y),
+               L.linear(p["to_v"], y))
+    # single head, d=512 — too wide for the flash kernels' full-KV-in-VMEM
+    # layout; at >=4k tokens (768px+ decode) q-row blocking keeps the f32
+    # score matrix from materializing (~1 GB/image at 1024px dense).
+    # OPT-IN (SDUSS_VAE_BLOCKED_ATTN=1) until the on-chip A/B lands —
+    # dense measured a known-good 337 ms b8 1024 decode.
+    if (h * w >= 4096
+            and os.environ.get("SDUSS_VAE_BLOCKED_ATTN", "0") == "1"):
+        y = L.attention_blocked(q, k, v, num_heads=1)
+    else:
+        y = L.attention(q, k, v, num_heads=1)
     y = L.linear(p["to_out"], y).reshape(b, h, w, c)
     return res + y
 

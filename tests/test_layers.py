@@ -99,6 +99,18 @@ class TestAttention:
         want = want.transpose(1, 2).reshape(2, 10, 32).numpy()
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    def test_attention_blocked_matches_dense(self):
+        """q-row-blocked attention (VAE mid block at big decode shapes) is
+        exact vs the dense path, including ragged last blocks."""
+        for lq in (7, 16, 37):
+            q, k, v = rngs((2, lq, 32), (2, 14, 32), (2, 14, 32), seed=lq)
+            want = np.asarray(L.attention(jnp.asarray(q), jnp.asarray(k),
+                                          jnp.asarray(v), 4))
+            got = np.asarray(L.attention_blocked(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 4,
+                block_q=8))
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_masked_attention_excludes_masked_keys(self):
         from sduss_tpu.ops.attention import masked_attention
 
