@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--deep-interval", type=int, default=3)
     ap.add_argument("--deep-warmup", type=int, default=3)
+    ap.add_argument("--mirror-horizon", type=int, default=6,
+                    help="deep_max_interval the ESyMReD admission mirror "
+                         "assumes under adaptive replay (a big horizon "
+                         "over-defers admissions)")
     ap.add_argument("--adaptive-pattern", default="",
                     help="path:threshold into a cache_quality artifact "
                          "(e.g. exp/cache_quality_sdxl_adaptive_tiny.json:"
@@ -90,6 +94,7 @@ def main():
         enabled=args.deep_interval > 1, mode="deep",
         deep_interval=args.deep_interval, deep_warmup=args.deep_warmup,
         deep_adaptive=pattern is not None,
+        deep_max_interval=args.mirror_horizon,
         phase_admission=bool(args.phase_admission))
 
     import numpy as np
