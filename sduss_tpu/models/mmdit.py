@@ -219,11 +219,11 @@ class SD3Transformer2DModel:
         (cache.manager.gate_tokens_fine) — attention queries and the FF run
         only on these latent tokens and their residual deltas scatter back;
         K/V and the context stream stay full, so attention context is exact.
-        Unsupported combined with a sharded ctx (displaced path asserts)."""
+        This also composes with a sharded ctx (MMDiTShardContext): only the
+        QUERIES are gated, K/V stay the full local rows, so the
+        gathered/stale KV exchange is shape- and value-identical to the
+        ungated path — the fine gate runs per shard on local tokens."""
         cfg = self.cfg
-        if tok_sel is not None:
-            assert ctx is None or hasattr(ctx, "token_mask"), \
-                "per-token compaction is not supported on sharded contexts"
         bix = None if tok_sel is None else jnp.arange(x.shape[0])[:, None]
 
         def gather_tokens(arr):
@@ -446,13 +446,15 @@ class SD3Transformer2DModel:
         return x.reshape(b, hp * ps, wp * ps, cfg.out_channels)
 
     def apply(self, params, latents, timesteps, encoder_hidden_states, pooled_projections,
-              ctx=None):
+              ctx=None, cache=None, cache_state=None):
         """Denoise forward.
 
         latents: (B, H, W, C); timesteps: (B,); encoder_hidden_states:
         (B, L, joint_attention_dim) T5+CLIP token features; pooled_projections:
         (B, pooled_projection_dim).
-        Returns velocity prediction (B, H, W, C).
+        Returns velocity prediction (B, H, W, C); with cache/cache_state
+        (token caches over the spatial path — composes with a sharded ctx,
+        the gate running per shard) returns (prediction, new_cache_state).
         """
         cfg = self.cfg
         b, hh, ww, _ = latents.shape
@@ -461,6 +463,12 @@ class SD3Transformer2DModel:
         x, c, temb = self.prelude(params, latents, timesteps,
                                   encoder_hidden_states,
                                   pooled_projections, ctx=ctx)
+        if cache is not None and cache_state is not None:
+            t_norm = timesteps.astype("float32") / 1000.0
+            x, new_state = self._trunk(params, x, c, temb, ctx=ctx,
+                                       cache=cache, cache_state=cache_state,
+                                       t_norm=t_norm)
+            return self.unpatchify(x, hp, wp), new_state
         x = self._trunk(params, x, c, temb, ctx=ctx)
         return self.unpatchify(x, hp, wp)
 

@@ -222,6 +222,11 @@ class MMDiTShardContext:
         key = f"attn{self._layer}"
         self._layer += 1
         b, s, nh, hd = q.shape
+        # joint iff the KEYS carry context rows — the query length is not a
+        # valid proxy: under per-token fine compaction queries are gated to
+        # k_t (+ context) rows while keys stay full, and k_t + ctx can be
+        # shorter than s_lat.
+        joint = k.shape[1] > s_lat
         k_lat, v_lat = k[:, :s_lat], v[:, :s_lat]
         if self.kv_mode == "ring" and not self.stale:
             from sduss_tpu.parallel.ring import ring_attention
@@ -234,7 +239,7 @@ class MMDiTShardContext:
                 k_lat.reshape(b, s_lat, nh * hd),
                 v_lat.reshape(b, s_lat, nh * hd), nh, self.axis,
                 return_stats=True)
-            if s > s_lat:
+            if joint:
                 from sduss_tpu.parallel.ring import combine_partials, _partial_dense
 
                 o1, m1, l1 = out_lat
@@ -248,7 +253,7 @@ class MMDiTShardContext:
 
             return finalize_partial(*out_lat, q.dtype)
         k_full, v_full = self._gather_or_splice(key, k_lat, v_lat)
-        if s > s_lat:  # joint: append the replicated context K/V
+        if joint:  # append the replicated context K/V
             k_full = jnp.concatenate([k_full, k[:, s_lat:]], axis=1)
             v_full = jnp.concatenate([v_full, v[:, s_lat:]], axis=1)
         out = attention(q.reshape(b, s, nh * hd),
@@ -281,7 +286,7 @@ class DisplacedPatchRunner:
     def latent_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(None, self.axis, None, None))
 
-    def _build(self, stale: bool) -> Callable:
+    def _build(self, stale: bool, cached: bool = False) -> Callable:
         from jax import shard_map
 
         axis = self.axis
@@ -291,23 +296,43 @@ class DisplacedPatchRunner:
 
         ctx_cls = self.ctx_cls
 
-        def local_step(params, x, t, coeffs, guidance, kv_state):
+        def local_step(params, x, t, coeffs, guidance, kv_state,
+                       cache_state=None):
             ctx = ctx_cls(axis=axis, stale=stale, kv_state=kv_state)
             c0, c1 = coeffs[:, 0], coeffs[:, 1]
             x_in = sampler.scale_model_input(
                 jnp.concatenate([x, x], axis=0), jnp.concatenate([c0, c0]))
             t2 = jnp.concatenate([t, t], axis=0)
-            out = model_fn(params, x_in, t2, ctx)
+            if cached:
+                out, new_cache = model_fn(params, x_in, t2, ctx, cache_state)
+            else:
+                out = model_fn(params, x_in, t2, ctx)
             uncond, text = jnp.split(out, 2, axis=0)
             eps = uncond + guidance.reshape(-1, 1, 1, 1) * (text - uncond)
             new_x = sampler.step(x, eps, c0, c1)
+            if cached:
+                return new_x, ctx.new_kv_state, new_cache
             return new_x, ctx.new_kv_state
 
-        def wrapped(params, x, t, coeffs, guidance, kv_state):
+        def wrapped(params, x, t, coeffs, guidance, kv_state,
+                    cache_state=None):
             spec_x = P(None, axis, None, None)
             kv_specs = jax.tree.map(lambda _: P(), kv_state)
             # P() is a PREFIX spec: it applies to the whole (unknown-ahead)
             # kv-state subtree; all_gathered KV is replicated across 'sp'.
+            if cached:
+                # token-cache rows are (rows, S, D)/(rows, S): the token
+                # axis (1) is the sharded one — the fine gate runs on each
+                # shard's local tokens
+                cache_specs = jax.tree.map(lambda _: P(None, axis),
+                                           cache_state)
+                fn = shard_map(
+                    local_step, mesh=mesh,
+                    in_specs=(P(), spec_x, P(), P(), P(), kv_specs,
+                              cache_specs),
+                    out_specs=(spec_x, P(), cache_specs), check_vma=False)
+                return fn(params, x, t, coeffs, guidance, kv_state,
+                          cache_state)
             fn = shard_map(
                 local_step, mesh=mesh,
                 in_specs=(P(), spec_x, P(), P(), P(), kv_specs),
@@ -316,21 +341,38 @@ class DisplacedPatchRunner:
 
         return jax.jit(wrapped)
 
-    def denoise(self, params, latents, table, guidance: float):
-        """Full denoising trajectory for one request batch (B, H, W, C)."""
+    def denoise(self, params, latents, table, guidance: float,
+                cache_state=None):
+        """Full denoising trajectory for one request batch (B, H, W, C).
+
+        ``cache_state``: optional token-cache pytree (GLOBAL token axis;
+        e.g. BlockCache.init_token_rows_fine per block) threaded through
+        the sharded steps — rows split over 'sp' so the per-token fine gate
+        (cache.manager.gate_tokens_fine) ranks and recomputes each shard's
+        own tokens: the displaced-SP x token-cache composition
+        (docs/DESIGN.md multichip projection).  When given, ``model_fn``
+        must accept (params, x, t, ctx, cache_state) and return
+        (out, new_cache_state).
+        """
         b = latents.shape[0]
+        cached = cache_state is not None
         latents = jax.device_put(latents, self.latent_sharding())
         kv_state: Dict = {}
         g = jnp.full((b,), guidance, jnp.float32)
         for i in range(table.num_steps):
             stale = i >= self.warmup_steps and bool(kv_state)
-            key = (stale, latents.shape)
+            key = (stale, cached, latents.shape)
             if key not in self._steps:
-                self._steps[key] = self._build(stale)
+                self._steps[key] = self._build(stale, cached)
             t = jnp.full((b,), table.current_timestep(), jnp.float32)
             c = jnp.asarray(
                 [[float(table.coeffs[table.step, 0]),
                   float(table.coeffs[table.step, 1])]] * b, jnp.float32)
-            latents, kv_state = self._steps[key](params, latents, t, c, g, kv_state)
+            if cached:
+                latents, kv_state, cache_state = self._steps[key](
+                    params, latents, t, c, g, kv_state, cache_state)
+            else:
+                latents, kv_state = self._steps[key](params, latents, t, c,
+                                                     g, kv_state)
             table.advance()
-        return latents
+        return (latents, cache_state) if cached else latents

@@ -176,6 +176,87 @@ class TestDisplacedSD3:
         np.testing.assert_allclose(got, np.asarray(lat, np.float32),
                                    atol=2e-4, rtol=2e-3)
 
+    def _fine_setup(self, sd3_setup, fraction):
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        model, params, latents, model_fn = sd3_setup
+        # mirror the fixture's rng stream (latents drawn first there)
+        rng = np.random.default_rng(0)
+        b, h = 1, 16
+        rng.standard_normal((b, h, h, 4))
+        ehs = jnp.asarray(rng.standard_normal((2 * b, 9, 32)), jnp.float32)
+        pooled = jnp.asarray(rng.standard_normal((2 * b, 32)), jnp.float32)
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       patch_fraction=fraction, max_hits=2))
+
+        def cached_fn(params, x_in, t2, ctx, cache_state):
+            return model.apply(params, x_in, t2, ehs, pooled, ctx=ctx,
+                               cache=cache, cache_state=cache_state)
+
+        seq = (h // 2) * (h // 2)
+        state0 = {f"block{i}": cache.init_token_rows_fine(
+                      f"block{i}", 2 * b, seq, model.cfg.dim, jnp.float32)
+                  for i in range(model.cfg.num_layers)}
+        return cached_fn, state0
+
+    def test_sd3_fine_cache_composes_with_displaced_exact(self, sd3_setup):
+        """Per-token fine gate x displaced-SP, sync mode, fraction ~1.0
+        (every local token selected): EXACTLY the uncached sync run — the
+        gated-query path must not change the KV exchange or the math
+        (docs/DESIGN.md 'the compact gate runs per shard')."""
+        from sduss_tpu.parallel.displaced import (DisplacedPatchRunner,
+                                                  MMDiTShardContext)
+
+        model, params, latents, model_fn = sd3_setup
+        mesh = make_mesh(sp=4)
+        sampler = get_sampler("flow_match")
+        ref = np.asarray(
+            DisplacedPatchRunner(model_fn, mesh, sampler,
+                                 warmup_steps=10**9,
+                                 ctx_cls=MMDiTShardContext)
+            .denoise(params, latents, sampler.make_table(3), 4.5),
+            np.float32)
+
+        cached_fn, state0 = self._fine_setup(sd3_setup, fraction=0.9999)
+        runner = DisplacedPatchRunner(cached_fn, mesh, sampler,
+                                      warmup_steps=10**9,
+                                      ctx_cls=MMDiTShardContext)
+        got, state = runner.denoise(params, latents, sampler.make_table(3),
+                                    4.5, cache_state=state0)
+        np.testing.assert_allclose(np.asarray(got, np.float32), ref,
+                                   atol=2e-4, rtol=2e-3)
+        # all tokens recomputed every step -> hits pinned at 0
+        assert int(np.asarray(state["block0"]["hits"]).max()) == 0
+
+    def test_sd3_fine_cache_displaced_partial_fraction(self, sd3_setup):
+        """fraction 0.5 per shard, displaced mode: finite output, per-shard
+        top-k state updates (some tokens recomputed, some aging)."""
+        from sduss_tpu.parallel.displaced import (DisplacedPatchRunner,
+                                                  MMDiTShardContext)
+
+        model, params, latents, model_fn = sd3_setup
+        mesh = make_mesh(sp=4)
+        sampler = get_sampler("flow_match")
+        ref = np.asarray(
+            DisplacedPatchRunner(model_fn, mesh, sampler,
+                                 warmup_steps=10**9,
+                                 ctx_cls=MMDiTShardContext)
+            .denoise(params, latents, sampler.make_table(4), 4.5),
+            np.float32)
+        cached_fn, state0 = self._fine_setup(sd3_setup, fraction=0.5)
+        runner = DisplacedPatchRunner(cached_fn, mesh, sampler,
+                                      warmup_steps=2,
+                                      ctx_cls=MMDiTShardContext)
+        got, state = runner.denoise(params, latents, sampler.make_table(4),
+                                    4.5, cache_state=state0)
+        got = np.asarray(got, np.float32)
+        assert np.isfinite(got).all()
+        hits = np.asarray(state["block1"]["hits"])
+        assert hits.min() == 0 and hits.max() > 0  # top-k really gated
+        err = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-6)
+        assert err < 0.6, f"fine x displaced drifted too far: {err}"
+
     def test_sd3_displaced_close_after_warmup(self, sd3_setup):
         from sduss_tpu.parallel.displaced import (DisplacedPatchRunner,
                                                   MMDiTShardContext)
