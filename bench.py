@@ -85,6 +85,34 @@ def build_step(batch: int):
         return one_step(params, latents, t, coeffs[:, 0], coeffs[:, 1],
                         guidance, ehs, pooled, time_ids)
 
+    def _deep_shapes():
+        n_lv = len(unet.cfg.block_out_channels)
+        # deep feature shape: output of up block 0 post-upsample
+        return hw // (2 ** (n_lv - 2)), unet.cfg.block_out_channels[-1]
+
+    def _mk_deep_step(ts, cs, mode):
+        """Shared CFG-doubled deep step (fixed AND adaptive trajectories use
+        this one builder, so a fix to the step math cannot silently diverge
+        the A/B)."""
+        def f(params, lat, deep, i):
+            t_i = jnp.full((2 * b,), ts[i], jnp.float32)
+            c0 = jnp.full((b,), cs[i, 0])
+            c1 = jnp.full((b,), cs[i, 1])
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            lat_in = sampler.scale_model_input(
+                lat_in, jnp.concatenate([c0, c0]))
+            added = {"text_embeds": jnp.concatenate([pooled, pooled], axis=0),
+                     "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
+            out, deep2 = unet.apply(
+                params, lat_in, t_i, jnp.concatenate([ehs, ehs], axis=0),
+                added_cond=added, deep_mode=mode,
+                deep_state=deep if mode == "shallow" else None)
+            u, c = jnp.split(out, 2, axis=0)
+            eps = u + guidance.reshape(-1, 1, 1, 1) * (c - u)
+            return sampler.step(lat, eps, c0, c1), deep2
+
+        return f
+
     def make_deep_trajectory(n_steps: int, interval: int):
         """Trajectory with temporal deep-block reuse (cache mode 'deep'):
         full step every `interval` steps, shallow steps reuse the deep
@@ -92,33 +120,9 @@ def build_step(batch: int):
         table = sampler.make_table(n_steps)
         ts = jnp.asarray(table.timesteps)
         cs = jnp.asarray(table.coeffs)
-        n_lv = len(unet.cfg.block_out_channels)
-        # deep feature shape: output of up block 0 post-upsample
-        c_deep = unet.cfg.block_out_channels[-1]
-        hw_deep = hw // (2 ** (n_lv - 2))
-
-        def mk_step(mode):
-            def f(params, lat, deep, i):
-                t_i = jnp.full((2 * b,), ts[i], jnp.float32)
-                c0 = jnp.full((b,), cs[i, 0])
-                c1 = jnp.full((b,), cs[i, 1])
-                lat_in = jnp.concatenate([lat, lat], axis=0)
-                lat_in = sampler.scale_model_input(
-                    lat_in, jnp.concatenate([c0, c0]))
-                added = {"text_embeds": jnp.concatenate([pooled, pooled], axis=0),
-                         "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
-                out, deep2 = unet.apply(
-                    params, lat_in, t_i, jnp.concatenate([ehs, ehs], axis=0),
-                    added_cond=added, deep_mode=mode,
-                    deep_state=deep if mode == "shallow" else None)
-                u, c = jnp.split(out, 2, axis=0)
-                eps = u + guidance.reshape(-1, 1, 1, 1) * (c - u)
-                return sampler.step(lat, eps, c0, c1), deep2
-
-            return f
-
-        full_f = mk_step("full")
-        shallow_f = mk_step("shallow")
+        hw_deep, c_deep = _deep_shapes()
+        full_f = _mk_deep_step(ts, cs, "full")
+        shallow_f = _mk_deep_step(ts, cs, "shallow")
 
         @jax.jit
         def run(params, latents, guidance_, ehs_, pooled_, time_ids_):
@@ -147,32 +151,9 @@ def build_step(batch: int):
         table = sampler.make_table(n_steps)
         ts = jnp.asarray(table.timesteps)
         cs = jnp.asarray(table.coeffs)
-        n_lv = len(unet.cfg.block_out_channels)
-        c_deep = unet.cfg.block_out_channels[-1]
-        hw_deep = hw // (2 ** (n_lv - 2))
-
-        def mk_step(mode):
-            def f(params, lat, deep, i):
-                t_i = jnp.full((2 * b,), ts[i], jnp.float32)
-                c0 = jnp.full((b,), cs[i, 0])
-                c1 = jnp.full((b,), cs[i, 1])
-                lat_in = jnp.concatenate([lat, lat], axis=0)
-                lat_in = sampler.scale_model_input(
-                    lat_in, jnp.concatenate([c0, c0]))
-                added = {"text_embeds": jnp.concatenate([pooled, pooled], axis=0),
-                         "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
-                out, deep2 = unet.apply(
-                    params, lat_in, t_i, jnp.concatenate([ehs, ehs], axis=0),
-                    added_cond=added, deep_mode=mode,
-                    deep_state=deep if mode == "shallow" else None)
-                u, c = jnp.split(out, 2, axis=0)
-                eps = u + guidance.reshape(-1, 1, 1, 1) * (c - u)
-                return sampler.step(lat, eps, c0, c1), deep2
-
-            return f
-
-        full_f = mk_step("full")
-        shallow_f = mk_step("shallow")
+        hw_deep, c_deep = _deep_shapes()
+        full_f = _mk_deep_step(ts, cs, "full")
+        shallow_f = _mk_deep_step(ts, cs, "shallow")
 
         @jax.jit
         def run(params, latents, guidance_, ehs_, pooled_, time_ids_):
@@ -180,6 +161,9 @@ def build_step(batch: int):
 
             def body(i, carry):
                 lat, deep, lat_ref, age, n_full = carry
+                # drift vs the last full step's INPUT latent (what the deep
+                # features were computed from; matches production
+                # _note_drift and the calibration harness)
                 drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
                          / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
                 full = ((i < warmup) | (age >= cap - 1) | (drift > threshold))
@@ -323,14 +307,17 @@ def main() -> None:
                 # remote execution finishes (inflates throughput ~30x).
                 np.asarray(out[0] if adaptive else out)
                 best_t = float("inf")
+                nf = None
                 for _ in range(repeats):
                     t0 = time.perf_counter()
                     out = run(params, latents, guidance, ehs, pooled, time_ids)
                     if adaptive:
-                        out, nf = out
-                        n_full = int(np.asarray(nf))
+                        out, nf = out  # fetched AFTER timing (relay RTT
+                        # would bias the adaptive side of the A/B)
                     checksum = float(np.asarray(out).astype(np.float32).sum())
                     best_t = min(best_t, time.perf_counter() - t0)
+                if adaptive:
+                    n_full = int(np.asarray(nf))
             else:
                 latents = step(params, latents, t, coeffs, guidance, ehs,
                                pooled, time_ids)

@@ -122,27 +122,36 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return jax.lax.fori_loop(0, n_steps, body, lat)
 
-    @functools.lru_cache(maxsize=None)
-    def run_deep(interval: int, warmup: int = 0):
+    # shared deep-step pair (one builder: a fix to the step math cannot
+    # silently diverge the fixed-vs-adaptive comparison)
+    def _deep_shapes():
         n_lv = len(cfg.block_out_channels)
         c_deep = cfg.block_out_channels[-1]
-        hw_deep = hw // (2 ** max(n_lv - 2, 0))
+        return hw // (2 ** max(n_lv - 2, 0)), c_deep
+
+    def _deep_step_pair(params, g, ehs, pooled, tid):
+        def full_f(args):
+            lat, deep, i = args
+            out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
+                                  deep_mode="full", deep_state=None)
+            return out, d2
+
+        def shallow_f(args):
+            lat, deep, i = args
+            out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
+                                  deep_mode="shallow", deep_state=deep)
+            return out, d2
+
+        return full_f, shallow_f
+
+    @functools.lru_cache(maxsize=None)
+    def run_deep(interval: int, warmup: int = 0):
+        hw_deep, c_deep = _deep_shapes()
 
         @jax.jit
         def run(params, lat, g, ehs, pooled, tid):
             deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
-
-            def full_f(args):
-                lat, deep, i = args
-                out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
-                                      deep_mode="full", deep_state=None)
-                return out, d2
-
-            def shallow_f(args):
-                lat, deep, i = args
-                out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
-                                      deep_mode="shallow", deep_state=deep)
-                return out, d2
+            full_f, shallow_f = _deep_step_pair(params, g, ehs, pooled, tid)
 
             def body(i, carry):
                 lat, deep = carry
@@ -158,7 +167,8 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         return run
 
     @functools.lru_cache(maxsize=None)
-    def run_deep_adaptive(threshold: float, max_interval: int = 6):
+    def run_deep_adaptive(threshold: float, max_interval: int = 6,
+                          warmup: int = 0):
         """Drift-triggered deep refresh: full step when the latent has
         drifted (relative MSE) past ``threshold`` since the last full step,
         else shallow, with a ``max_interval`` safety cap.  Returns
@@ -167,31 +177,20 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         serving-level projection without the chip; n_full makes the
         quality/compute frontier directly comparable with fixed intervals
         (full_fraction 1/k)."""
-        n_lv = len(cfg.block_out_channels)
-        c_deep = cfg.block_out_channels[-1]
-        hw_deep = hw // (2 ** max(n_lv - 2, 0))
+        hw_deep, c_deep = _deep_shapes()
 
         @jax.jit
         def run(params, lat, g, ehs, pooled, tid):
             deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
-
-            def full_f(args):
-                lat, deep, i = args
-                out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
-                                      deep_mode="full", deep_state=None)
-                return out, d2
-
-            def shallow_f(args):
-                lat, deep, i = args
-                out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
-                                      deep_mode="shallow", deep_state=deep)
-                return out, d2
+            full_f, shallow_f = _deep_step_pair(params, g, ehs, pooled, tid)
 
             def body(i, carry):
                 lat, deep, lat_ref, age, n_full, mask = carry
+                # drift vs the latent the deep features were computed FROM
+                # (the last full step's INPUT), like production _note_drift
                 drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
                          / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
-                full = ((i == 0) | (age >= max_interval - 1)
+                full = ((i < warmup) | (i == 0) | (age >= max_interval - 1)
                         | (drift > threshold))
                 lat2, deep2 = jax.lax.cond(full, full_f, shallow_f,
                                            (lat, deep, i))
@@ -424,7 +423,9 @@ def main():
             elif kind == "deep_warmup":
                 run = run_deep(param, 3)
             elif kind == "deep_adaptive":
-                run = run_deep_adaptive(param, args.max_interval)
+                # warmup 3 like production deep_warmup / the deep_warmup
+                # rows, so full counts compare apples-to-apples
+                run = run_deep_adaptive(param, args.max_interval, 3)
             elif kind == "token_fine":
                 run = run_compact(param, fine=True)
             else:

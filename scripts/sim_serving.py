@@ -91,7 +91,7 @@ def main():
 
     pol = get_policy("esymred", cfg, family="sdxl")
     pol.cache_config = CacheConfig(
-        enabled=args.deep_interval > 1, mode="deep",
+        enabled=args.deep_interval > 1 or pattern is not None, mode="deep",
         deep_interval=args.deep_interval, deep_warmup=args.deep_warmup,
         deep_adaptive=pattern is not None,
         deep_max_interval=args.mirror_horizon,

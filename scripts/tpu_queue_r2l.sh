@@ -24,10 +24,14 @@ until (exec 3<>/dev/tcp/127.0.0.1/8082) 2>/dev/null; do
   sleep 60
 done
 sleep 30
+# bench.py prints '# ...' progress lines before the one JSON line — keep
+# only the JSON in the exp artifact (full log stays in /tmp)
 BENCH_DEEP_ADAPTIVE=0.05 timeout 5400 python -u bench.py \
-    > /tmp/bench_a05.json && mv /tmp/bench_a05.json exp/bench_sdxl_adaptive05_v5e.json
+    > /tmp/bench_a05.log \
+    && tail -1 /tmp/bench_a05.log > exp/bench_sdxl_adaptive05_v5e.json
 BENCH_DEEP_ADAPTIVE=0.1 timeout 3600 python -u bench.py \
-    > /tmp/bench_a10.json && mv /tmp/bench_a10.json exp/bench_sdxl_adaptive10_v5e.json
+    > /tmp/bench_a10.log \
+    && tail -1 /tmp/bench_a10.log > exp/bench_sdxl_adaptive10_v5e.json
 timeout 14400 python -u scripts/serving_probe.py --qps 0.25,0.35,0.45 \
     --num 14 --steps 30 --deep-interval 3 --batch-buckets 2,4,8 --collect \
     --out exp/serving_sdxl_v5e_r2.json

@@ -377,7 +377,12 @@ class BasePipeline:
             else:
                 r.deep_age += 1
             if adaptive:
-                self._note_drift(r, mode, new_latents[i : i + 1])
+                # full: the reference is the latent the deep features were
+                # computed FROM (the step's input); shallow: this step's
+                # output is the next decision's current latent
+                self._note_drift(r, mode,
+                                 latents[i : i + 1] if mode == "full"
+                                 else new_latents[i : i + 1])
         return new_latents
 
     # -- drift-triggered adaptive refresh (CacheConfig.deep_adaptive) ---------
@@ -408,18 +413,22 @@ class BasePipeline:
             break
         return r.drift_last > self.config.cache.deep_drift_threshold
 
-    def _note_drift(self, r, mode: str, new_latent) -> None:
+    def _note_drift(self, r, mode: str, latent) -> None:
         """Post-step adaptive bookkeeping.  A full pass resets the
-        reference latent; a shallow pass enqueues an on-device relative-MSE
-        scalar (a separate ~µs jit, so every step program keeps its static
+        reference to the latent the deep features were computed FROM (the
+        full step's INPUT — the staleness shallow steps actually
+        accumulate; matches the calibration harness, scripts/
+        cache_quality.py run_deep_adaptive).  A shallow pass enqueues an
+        on-device relative-MSE scalar of its output vs that reference
+        (a separate ~µs jit, so every step program keeps its static
         signature and prewarmed compile key)."""
         if mode == "full":
-            r.lat_ref = new_latent
+            r.lat_ref = latent
             r.drift_pending.clear()
             r.drift_last = 0.0
         else:
-            fn = self._jit(("latent_drift", new_latent.shape), _latent_drift)
-            r.drift_pending.append(fn(new_latent, r.lat_ref))
+            fn = self._jit(("latent_drift", latent.shape), _latent_drift)
+            r.drift_pending.append(fn(latent, r.lat_ref))
 
     def _make_deep_fn(self, mode: str):
         def fn(params, latents, t, coeffs, guidance, cond, deep):
@@ -551,12 +560,16 @@ class BasePipeline:
         off = 0
         for r, g in zip(ordered, grids):
             n = g * g
+            prev = r.latents
             r.latents = patching.merge_patches(new_x[off : off + n], g)
             off += n
             r.sampler_table.advance()
             r.remain_steps -= 1
             if deep_mode is not None and self.config.cache.deep_adaptive:
-                self._note_drift(r, deep_mode, r.latents)
+                # full: reference = this step's INPUT latent (what the deep
+                # features were computed from); shallow: this step's output
+                self._note_drift(r, deep_mode,
+                                 prev if deep_mode == "full" else r.latents)
 
     # -- stateful sampler state on the patch path ------------------------------
 
