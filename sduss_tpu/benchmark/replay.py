@@ -54,12 +54,19 @@ async def replay(engine, rows: Sequence[TraceRow], family: str, slo: int = 5,
 
 
 def run_replay(config: Config, rows: Sequence[TraceRow], slo: int = 5,
-               time_scale: float = 1.0) -> List[RequestRecord]:
+               time_scale: float = 1.0, prewarm: bool = True) -> List[RequestRecord]:
     from sduss_tpu.engine.async_engine import AsyncEngine
 
     async def main():
         engine = AsyncEngine(config)
         try:
+            if prewarm:
+                # compile-warm every (res x bucket x mode) key the trace can
+                # hit BEFORE timing starts — a cold XLA key mid-replay stalls
+                # the batch for the compile and poisons the latency metrics
+                # (the round-1 serving pathology; Engine.prewarm docstring)
+                res = sorted({r.resolution for r in rows})
+                engine.engine.prewarm(resolutions=res)
             return await replay(engine, rows, config.model.family, slo,
                                 time_scale)
         finally:
@@ -100,6 +107,10 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
     ap.add_argument("--deep-interval", type=int, default=0,
                     help="enable temporal deep-block reuse at this interval "
                          "(the headline bench's cache; no classifiers needed)")
+    ap.add_argument("--no-prewarm", dest="prewarm", action="store_false",
+                    default=True,
+                    help="skip compile-warming the step programs before the "
+                         "timed replay (cold keys poison latency metrics)")
     args = ap.parse_args(argv)
 
     from sduss_tpu.config import ModelConfig
@@ -135,7 +146,7 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
         rows = generate_trace(args.qps, args.num_requests,
                               config.model.resolutions, args.distribution,
                               steps=args.steps, seed=args.seed)
-    records = run_replay(config, rows, slo=args.slo)
+    records = run_replay(config, rows, slo=args.slo, prewarm=args.prewarm)
     metrics = compute_metrics(records, config.model.family, slo=args.slo)
     if args.out:
         records_to_csv(records, args.out)
