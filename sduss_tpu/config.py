@@ -171,8 +171,9 @@ class SchedulerConfig:
     postprocessing_ratio: float = 0.9
     # Path to a trained latency predictor (npz); None => analytic fallback.
     predictor_path: Optional[str] = None
-    # Per-(family,resolution) standalone stage latencies in ms used for DDLs,
-    # populated by profiling (sduss_tpu/scheduler/profiles.py has defaults).
+    # Per-(family,resolution) standalone stage latencies in SECONDS used for
+    # DDLs (StageProfile tables are seconds, scheduler/profiles.py:17-18),
+    # populated by profiling (profiles.py has defaults).
     stage_latency_overrides: Dict[str, Any] = field(default_factory=dict)
     # Max images per VAE-decode call: full-res decode activations are the
     # HBM peak of the whole pipeline (1024^2 x 128ch upsampled maps — batch 8

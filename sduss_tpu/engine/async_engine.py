@@ -62,7 +62,6 @@ class AsyncEngine:
             # XLA keys (Engine.prewarm docstring).
             self.engine.prewarm()
         self._streams: Dict[str, AsyncStream] = {}
-        self._new_ids: set = set()
         self._loop_task: Optional[asyncio.Task] = None
         self._executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="engine-step")
         self._dead: Optional[BaseException] = None
@@ -99,7 +98,14 @@ class AsyncEngine:
         request_id = request_id or uuid.uuid4().hex
         stream = AsyncStream(request_id)
         self._streams[request_id] = stream
-        self.engine.add_request(request_id, params, deadline=deadline)
+        # Through the SAME single-thread executor as step()/abort():
+        # Engine.step swaps _waiting out non-atomically, so an append from
+        # the event-loop thread mid-step could be silently discarded (the
+        # request would then sit in _known forever and its stream never
+        # finish).  The executor serializes all Engine mutations.
+        await asyncio.get_event_loop().run_in_executor(
+            self._executor, lambda: self.engine.add_request(
+                request_id, params, deadline=deadline))
         self.start()
         return stream
 

@@ -97,6 +97,11 @@ class Engine:
                 self._known.pop(req.request_id, None)
                 outs.append(RequestOutput.from_request(req))
                 ids.discard(req.request_id)
+        # user/API aborts count in the same stats stream as scheduler
+        # aborts (which flow through step()); otherwise summary() shows
+        # arrived > finished + aborted forever
+        for out in outs:
+            self.stats.on_finish(out)
         return outs
 
     def has_unfinished_requests(self) -> bool:
@@ -178,18 +183,31 @@ class Engine:
         bks = [b for b in (buckets or sc.batch_buckets)
                if b <= sc.max_batch_size]
         n = 0
-        for res in res_list:
-            for b in bks:
-                self.add_requests([
-                    Request(f"prewarm-{res}-{b}-{i}", SamplingParams(
-                        prompt="", resolution=res,
-                        num_inference_steps=steps, seed=0))
-                    for i in range(b)])
-                while self.has_unfinished_requests():
-                    self.step()
-                n += b
-                logger.info("prewarm: res %d bucket %d done (%.1fs elapsed)",
-                            res, b, time.time() - t0)
+        # Drive each REPLICA's pipeline directly (like the mixed block
+        # below) rather than dispatching through the engine: with dp > 1
+        # the dispatcher splits a bucket-sized batch across idle replicas,
+        # so no worker would ever mint the larger bucket keys — the exact
+        # cold-key stall prewarm exists to prevent.
+        for worker in self.workers:
+            pipe = worker.pipeline
+            for res in res_list:
+                for b in bks:
+                    reqs = [Request(f"prewarm-{res}-{b}-{i}", SamplingParams(
+                                prompt="", resolution=res,
+                                num_inference_steps=steps, seed=0))
+                            for i in range(b)]
+                    pipe.prepare(reqs)
+                    for r in reqs:
+                        r.stage = Stage.DENOISING
+                    by_res = {res: reqs}
+                    for _ in range(steps):
+                        pipe.denoise_step(by_res)
+                    for r in reqs:
+                        r.stage = Stage.POSTPROCESSING
+                    pipe.postprocess(by_res)
+                    n += b
+                logger.info("prewarm: rank %d res %d done (%.1fs elapsed)",
+                            worker.rank, res, time.time() - t0)
         for comp in compositions or ():
             for worker in self.workers:
                 pipe = worker.pipeline

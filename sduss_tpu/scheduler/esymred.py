@@ -199,13 +199,12 @@ class ESyMReDPolicy(Policy):
         # admissions until the step that will be a full pass anyway (it
         # refreshes every row's deep feature, so the batch re-synchronizes),
         # unless the most urgent candidate's slack cannot afford the wait.
+        step_now = predict_step()
         if waiting and running and self._deep_defer(running, waiting[0], now,
-                                                    predict_step()):
-            if not batch:
-                return None
-            step_s = predict_step()
+                                                    step_now):
+            # batch == running here, non-empty by the gate
             for r in batch:
-                r.predicted_step_ms = step_s * 1000.0
+                r.predicted_step_ms = step_now * 1000.0
             mixed = len({r.resolution for r in batch}) > 1
             return ScheduledBatch(Stage.DENOISING, batch, mixed=mixed)
 
@@ -238,7 +237,11 @@ class ESyMReDPolicy(Policy):
             waiting.remove(target)
             target.start_denoising_time = now
             target.predicted_step_ms = step_after * 1000.0
-            counts[target.resolution] = counts.get(target.resolution, 0) + 1
+            # _counts_key, not the raw resolution: a fitted predictor only
+            # has trained axes, and an off-axis count would be dropped from
+            # every later feature vector (under-predicting the step)
+            key = self._counts_key(target.resolution)
+            counts[key] = counts.get(key, 0) + 1
             batch.append(target)
             budget -= 1
 

@@ -32,7 +32,17 @@ import numpy as np
 
 
 def _sync(x) -> None:
-    np.asarray(jax_leaves(x)[0])
+    """Wait for device completion by fetching FOUR BYTES, not the tensor.
+
+    Through the axon relay a full fetch moves ~50 MB/s — syncing on a whole
+    latents array added ~2-10 ms of tunnel time INSIDE every timed step and
+    biased the profile (CLAUDE.md measurement rule; same pattern as
+    engine/worker.py _throttle).  TPU programs complete whole-array, so any
+    one element observes the producing step's completion.
+    """
+    leaf = jax_leaves(x)[0]
+    idx = (0,) * max(leaf.ndim - 1, 0) + (slice(0, 1),) if leaf.ndim else ()
+    np.asarray(leaf[idx] if leaf.ndim else leaf)
 
 
 def jax_leaves(x):
@@ -284,6 +294,13 @@ class Profiler:
                     print(f"post {res} b{b}: skipped ({type(e).__name__})")
                     break
             ok = sorted(meas)
+            if not ok:
+                # even the b=1 decode failed (HBM peak): don't lose the whole
+                # multi-hour profiling run — same guard as profile_grouped
+                raise RuntimeError(
+                    f"all post points failed at res {res}; rerun with "
+                    f"--isolate post (per-measurement subprocess) or tiled "
+                    f"decode enabled")
             per_img = meas[ok[-1]] / ok[-1]  # linear extrapolation slope
             tbl = list(np.interp(np.arange(1, max_post_batch + 1), ok,
                                  [meas[b] for b in ok]))

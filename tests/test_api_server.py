@@ -52,6 +52,52 @@ class TestAsyncEngine:
 
         asyncio.run(main())
 
+    def test_add_request_serialized_with_step(self):
+        """Arrivals route through the engine-step executor thread: Engine
+        mutates _waiting non-atomically inside step(), so an append from
+        the event-loop thread could be silently dropped mid-step (request
+        stuck in _known forever, stream never finishing)."""
+        import threading
+
+        async def main():
+            eng = AsyncEngine(tiny_config())
+            seen = []
+            real = eng.engine.add_request
+
+            def spy(*a, **k):
+                seen.append(threading.current_thread().name)
+                return real(*a, **k)
+
+            eng.engine.add_request = spy
+            try:
+                out = await eng.generate(SamplingParams(
+                    prompt="t", resolution=256, num_inference_steps=2))
+                assert out.finished
+                assert seen and all(n.startswith("engine-step")
+                                    for n in seen), seen
+            finally:
+                await eng.stop()
+
+        asyncio.run(main())
+
+    def test_user_abort_counts_in_stats(self):
+        """API-initiated aborts flow into EngineStats like scheduler
+        aborts, so arrived == finished + aborted."""
+        async def main():
+            eng = AsyncEngine(tiny_config())
+            try:
+                stream = await eng.add_request(SamplingParams(
+                    prompt="x", resolution=256, num_inference_steps=50),
+                    request_id="ab-1")
+                await eng.abort("ab-1")
+                s = eng.engine.stats.summary("sd15", 5.0)
+                assert s["aborted"] >= 1
+                del stream
+            finally:
+                await eng.stop()
+
+        asyncio.run(main())
+
     def test_abort_waiting_request(self):
         async def main():
             eng = AsyncEngine(tiny_config())
