@@ -376,6 +376,12 @@ class SD3Transformer2DModel:
             k_t = max(1, round(x.shape[1] * cache.config.patch_fraction))
             token_valid = ctx.token_mask if hasattr(ctx, "token_mask") else None
         elif compact:
+            if ctx is not None and not hasattr(ctx, "gather"):
+                raise ValueError(
+                    "request-granular compact caching needs ctx.gather "
+                    "(row sub-batches); on sharded contexts use the "
+                    "per-token fine flavor (patch_fraction < 1), whose "
+                    "gated queries compose with the KV exchange")
             n_active = max(1, round(x.shape[0] * cache.config.compact_fraction))
         for i, blk in enumerate(params["blocks"]):
             last = i == cfg.num_layers - 1
@@ -453,8 +459,11 @@ class SD3Transformer2DModel:
         (B, L, joint_attention_dim) T5+CLIP token features; pooled_projections:
         (B, pooled_projection_dim).
         Returns velocity prediction (B, H, W, C); with cache/cache_state
-        (token caches over the spatial path — composes with a sharded ctx,
-        the gate running per shard) returns (prediction, new_cache_state).
+        (token caches over the spatial path) returns
+        (prediction, new_cache_state).  Only the per-TOKEN fine flavor
+        (patch_fraction < 1) composes with a sharded ctx — the gate runs
+        per shard on local tokens; request-granular compact needs
+        ctx.gather and raises on sharded contexts.
         """
         cfg = self.cfg
         b, hh, ww, _ = latents.shape

@@ -243,10 +243,12 @@ class MMDiTShardContext:
                 from sduss_tpu.parallel.ring import combine_partials, _partial_dense
 
                 o1, m1, l1 = out_lat
+                s_ctx = k.shape[1] - s_lat  # context KEY count, not s - s_lat
+                # (query length diverges from key length under gated queries)
                 o2, m2, l2 = _partial_dense(
                     q.reshape(b, s, nh * hd),
-                    k[:, s_lat:].reshape(b, s - s_lat, nh * hd),
-                    v[:, s_lat:].reshape(b, s - s_lat, nh * hd), nh,
+                    k[:, s_lat:].reshape(b, s_ctx, nh * hd),
+                    v[:, s_lat:].reshape(b, s_ctx, nh * hd), nh,
                     1.0 / (hd ** 0.5))
                 return combine_partials(o1, m1, l1, o2, m2, l2, q.dtype)
             from sduss_tpu.parallel.ring import finalize_partial

@@ -36,11 +36,17 @@ import jax.numpy as jnp
 
 
 def split_spans(n_blocks: int, n_stages: int) -> List[tuple]:
-    """Balanced contiguous [lo, hi) spans, earlier stages no smaller than
-    later ones (stage 0 also carries the prelude, but blocks dominate)."""
+    """Balanced contiguous [lo, hi) spans (sizes differ by at most one;
+    floor-based bounds put the larger spans first, so no early stage is
+    smaller than a later one)."""
     if not 1 <= n_stages <= n_blocks:
         raise ValueError(f"need 1 <= n_stages <= {n_blocks}, got {n_stages}")
-    bounds = [round(i * n_blocks / n_stages) for i in range(n_stages + 1)]
+    big = n_blocks - n_stages * (n_blocks // n_stages)
+    sizes = [n_blocks // n_stages + (1 if i < big else 0)
+             for i in range(n_stages)]
+    bounds = [0]
+    for sz in sizes:
+        bounds.append(bounds[-1] + sz)
     return [(bounds[i], bounds[i + 1]) for i in range(n_stages)]
 
 
@@ -54,27 +60,41 @@ class MMDiTStagePipeline:
     equality on the virtual CPU mesh.
     """
 
-    def __init__(self, model, params, devices: Sequence[Any],
-                 n_micro: Optional[int] = None):
+    def __init__(self, model, params=None, devices: Sequence[Any] = (),
+                 n_micro: Optional[int] = None, stage_params_fn=None):
+        """``params``: one materialized pytree to slice per stage — fine
+        when the trunk fits wherever it currently lives.  For trunks that
+        must NEVER exist in one place (the class's residency point), pass
+        ``stage_params_fn(stage, lo, hi) -> subtree`` instead: called once
+        per stage with its block span, it returns that stage's complete
+        subtree ({"blocks": [...]}, plus the embedding/prelude entries on
+        stage 0 and norm_out_proj/proj_out on the last) and may stream it
+        straight from storage; the pipeline device_puts it to the stage
+        device and the full trunk is never resident anywhere."""
+        if (params is None) == (stage_params_fn is None):
+            raise ValueError("pass exactly one of params / stage_params_fn")
         self.model = model
         self.devices = list(devices)
         self.n_stages = len(self.devices)
         self.n_micro = n_micro
         self.spans = split_spans(model.cfg.num_layers, self.n_stages)
 
-        blocks = params["blocks"]
         head_keys = ("norm_out_proj", "proj_out")
-        prelude_keys = tuple(k for k in params
-                             if k not in ("blocks",) + head_keys)
         self.stage_params = []
         for s, (lo, hi) in enumerate(self.spans):
-            sub: Dict[str, Any] = {"blocks": list(blocks[lo:hi])}
-            if s == 0:
-                for k in prelude_keys:
-                    sub[k] = params[k]
-            if s == self.n_stages - 1:
-                for k in head_keys:
-                    sub[k] = params[k]
+            if stage_params_fn is not None:
+                sub = stage_params_fn(s, lo, hi)
+            else:
+                blocks = params["blocks"]
+                prelude_keys = tuple(k for k in params
+                                     if k not in ("blocks",) + head_keys)
+                sub = {"blocks": list(blocks[lo:hi])}
+                if s == 0:
+                    for k in prelude_keys:
+                        sub[k] = params[k]
+                if s == self.n_stages - 1:
+                    for k in head_keys:
+                        sub[k] = params[k]
             self.stage_params.append(jax.device_put(sub, self.devices[s]))
 
         m = self.model

@@ -52,7 +52,15 @@ class TestSplitSpans:
 
     def test_uneven(self):
         spans = split_spans(5, 2)
-        assert spans == [(0, 2), (2, 5)] or spans == [(0, 3), (3, 5)]
+        assert spans == [(0, 3), (3, 5)]
+
+    def test_sizes_monotone_nonincreasing(self):
+        """Docstring promise: no early stage smaller than a later one
+        (round() bounds violated this at e.g. (9, 6))."""
+        for n, s in ((9, 6), (24, 7), (13, 5), (8, 3)):
+            sizes = [hi - lo for lo, hi in split_spans(n, s)]
+            assert sizes == sorted(sizes, reverse=True), (n, s, sizes)
+            assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
 
     def test_invalid(self):
         with pytest.raises(ValueError):
@@ -88,6 +96,37 @@ class TestMMDiTStagePipeline:
         assert "patch_embed" in pipe.stage_params[0]
         assert "proj_out" in pipe.stage_params[-1]
         assert "proj_out" not in pipe.stage_params[0]
+
+    def test_stage_params_fn_streams_per_stage(self, model_and_params):
+        """The residency path: stages built via stage_params_fn (no single
+        materialized pytree handed to the runner) match the params path."""
+        model, params = model_and_params
+        lat, t, ehs, pooled = _inputs()
+        ref = np.asarray(model.apply(params, lat, t, ehs, pooled))
+        head_keys = ("norm_out_proj", "proj_out")
+
+        calls = []
+
+        def stage_fn(s, lo, hi):
+            calls.append((s, lo, hi))
+            sub = {"blocks": list(params["blocks"][lo:hi])}
+            if s == 0:
+                for k in params:
+                    if k not in ("blocks",) + head_keys:
+                        sub[k] = params[k]
+            if s == 1:
+                for k in head_keys:
+                    sub[k] = params[k]
+            return sub
+
+        pipe = MMDiTStagePipeline(model, devices=jax.devices()[:2],
+                                  n_micro=2, stage_params_fn=stage_fn)
+        got = np.asarray(pipe(lat, t, ehs, pooled))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+        assert [c[0] for c in calls] == [0, 1]
+        with pytest.raises(ValueError):
+            MMDiTStagePipeline(model, params, jax.devices()[:2],
+                               stage_params_fn=stage_fn)
 
     def test_microbatch_remainder(self, model_and_params):
         """Batch not divisible by n_micro still covers every row."""

@@ -117,3 +117,42 @@ def test_mmdit_shard_ctx_ring_mode():
         outs[mode] = np.asarray(fn(qs, qc, ks, kc, vs, vc))
     np.testing.assert_allclose(outs["ring"], outs["gather"],
                                atol=2e-5, rtol=2e-5)
+
+
+def test_mmdit_shard_ctx_ring_gated_queries():
+    """Ring mode with GATED queries (per-token fine cache): query length
+    diverges from key length, so the context-KV reshape must use the KEY
+    count — the query-length form crashed ('cannot reshape (1, s_ctx, ...)
+    into (1, q_len - s_lat, ...)')."""
+    from sduss_tpu.parallel.displaced import MMDiTShardContext
+
+    heads, hd, b, s_lat, s_ctx, k_t = 2, 32, 1, 32, 8, 3
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, s_lat + s_ctx, heads, hd)),
+                    jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s_lat + s_ctx, heads, hd)),
+                    jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s_lat + s_ctx, heads, hd)),
+                    jnp.float32)
+    mesh = _mesh(4)
+    outs = {}
+    for mode in ("gather", "ring"):
+        def wrapped(qs, qc, ks, kc, vs, vc, mode=mode):
+            # gate local latent queries to k_t rows; keys stay full
+            qj = jnp.concatenate([qs[:, :k_t], qc], axis=1)
+            kj = jnp.concatenate([ks, kc], axis=1)
+            vj = jnp.concatenate([vs, vc], axis=1)
+            ctx = MMDiTShardContext(axis="sp", stale=False, kv_mode=mode)
+            return ctx.mmdit_attention(qj, kj, vj, ks.shape[1])
+
+        fn = shard_map(
+            wrapped, mesh=mesh,
+            in_specs=(P(None, "sp"), P(None,), P(None, "sp"), P(None,),
+                      P(None, "sp"), P(None,)),
+            out_specs=P(None, "sp", None),
+        )
+        outs[mode] = np.asarray(fn(
+            q[:, :s_lat], q[:, s_lat:], k[:, :s_lat], k[:, s_lat:],
+            v[:, :s_lat], v[:, s_lat:]))
+    np.testing.assert_allclose(outs["ring"], outs["gather"],
+                               atol=2e-5, rtol=2e-5)
