@@ -42,9 +42,12 @@ class DiffusionPipeline:
             prompts = [prompts]
         if isinstance(resolution, int):
             resolution = [resolution] * len(prompts)
+        order: dict = {}
         for i, (p, res) in enumerate(zip(prompts, resolution)):
+            rid = f"offline-{uuid.uuid4().hex[:8]}-{i}"
+            order[rid] = i
             self.engine.add_request(
-                f"offline-{uuid.uuid4().hex[:8]}-{i}",
+                rid,
                 SamplingParams(
                     prompt=p, negative_prompt=negative_prompt, resolution=res,
                     num_inference_steps=num_inference_steps,
@@ -54,7 +57,9 @@ class DiffusionPipeline:
         outputs: List[RequestOutput] = []
         while self.engine.has_unfinished_requests():
             outputs.extend(self.engine.step())
-        outputs.sort(key=lambda o: o.request_id)
+        # results in PROMPT order (ids carry a random uuid, so sorting by id
+        # would shuffle outputs relative to the inputs)
+        outputs.sort(key=lambda o: order.get(o.request_id, len(order)))
         if self.config.engine.collect_data:
             self.engine.dump_data()
         return outputs

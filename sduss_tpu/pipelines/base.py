@@ -913,8 +913,12 @@ class BasePipeline:
             return feats, out["pooled"]
 
         ep = self.encoder_params(role)
-        ids_a = jnp.asarray(ids)
         if self.config.model.encoders_on_host:
-            ids_a = jax.device_put(ids_a, jax.devices("cpu")[0])
+            # place the numpy ids straight on the host backend —
+            # jnp.asarray first would upload through the relay and download
+            # right back (2 wasted round trips per encode)
+            ids_a = jax.device_put(ids, jax.devices("cpu")[0])
+        else:
+            ids_a = jnp.asarray(ids)
         feats, pooled = self._jit(("clip", role, bb, penultimate), fn)(ep, ids_a)
         return np.asarray(feats), (np.asarray(pooled) if need_pooled else None)

@@ -32,11 +32,13 @@ class StableDiffusion3Pipeline(BasePipeline):
         import jax.numpy as jnp
 
         ep = self.encoder_params("text_encoder_3")
-        ids_a, mask_a = jnp.asarray(ids), jnp.asarray(mask)
         if self.config.model.encoders_on_host:
+            # numpy -> host backend directly (no TPU relay round trip)
             cpu = jax.devices("cpu")[0]
-            ids_a = jax.device_put(ids_a, cpu)
-            mask_a = jax.device_put(mask_a, cpu)
+            ids_a = jax.device_put(ids, cpu)
+            mask_a = jax.device_put(mask, cpu)
+        else:
+            ids_a, mask_a = jnp.asarray(ids), jnp.asarray(mask)
         out = self._jit(("t5", bb), fn)(ep, ids_a, mask_a)
         return np.asarray(out)
 
@@ -84,6 +86,18 @@ class StableDiffusion3Pipeline(BasePipeline):
             params["transformer"], latents_in, t, ehs.astype(latents_in.dtype),
             pooled.astype(latents_in.dtype))
 
+    def denoise_step(self, reqs_by_res):
+        """Uniform-resolution batches route through the TOKEN path when the
+        token cache is on: the worker's ``mixed`` flag reflects only the
+        resolution mixture (engine/worker.py:122), but the MMDiT's ONLY
+        cached trunk is the padded-token one — without this override the
+        cache silently never engaged in serving (the dense path has no
+        token-cache support), so cache-mode runs measured dense."""
+        if self._sd3_cache() is not None and not (
+                self.sampler.needs_state and self.config.cache.enabled):
+            return self.denoise_step_mixed(reqs_by_res)
+        return super().denoise_step(reqs_by_res)
+
     def denoise_step_mixed(self, reqs_by_res):
         """ONE MMDiT step over a mixed-resolution PADDED-TOKEN batch.
 
@@ -129,10 +143,19 @@ class StableDiffusion3Pipeline(BasePipeline):
             while j < b and ordered[j].resolution == res:
                 j += 1
             group = ordered[i:j]
+            g = j - i
+            # bucket the group batch axis: raw sizes vary 1..max with batch
+            # composition and would mint cold compile keys mid-serving (the
+            # round-1 rolling-admission pathology; base.py:16 rationale)
+            gb = bucket_for(g, self.config.scheduler.batch_buckets)
             lat = jnp.concatenate([r.latents for r in group], axis=0)
-            c0 = jnp.asarray(coeffs[i:j, 0])
-            fn = self._jit(("sd3_embed", res, j - i), self._embed_fn)
-            toks = fn(self.params, lat, c0)  # (g, s_r, dim)
+            c0 = np.zeros((gb,), np.float32)
+            c0[:g] = coeffs[i:j, 0]
+            if gb != g:
+                lat = jnp.concatenate(
+                    [lat, jnp.repeat(lat[-1:], gb - g, axis=0)], axis=0)
+            fn = self._jit(("sd3_embed", res, gb), self._embed_fn)
+            toks = fn(self.params, lat, jnp.asarray(c0))[:g]  # (g, s_r, dim)
             pad = s_pad - toks.shape[1]
             if pad:
                 toks = jnp.pad(toks, [(0, 0), (0, pad), (0, 0)])
@@ -178,11 +201,20 @@ class StableDiffusion3Pipeline(BasePipeline):
             while j < b and ordered[j].resolution == res:
                 j += 1
             group = ordered[i:j]
+            g = j - i
+            gb = bucket_for(g, self.config.scheduler.batch_buckets)
             hp = group[0].latent_hw(self.vae_scale) // ps
             lat = jnp.concatenate([r.latents for r in group], axis=0)
-            c = jnp.asarray(coeffs[i:j])
-            fn2 = self._jit(("sd3_finish", res, j - i), self._finish_fn(hp))
-            new_lat = fn2(out_tokens[i:j], lat, c)
+            toks_g = out_tokens[i:j]
+            c = np.ones((gb, coeffs.shape[1]), np.float32)
+            c[:g] = coeffs[i:j]
+            if gb != g:
+                lat = jnp.concatenate(
+                    [lat, jnp.repeat(lat[-1:], gb - g, axis=0)], axis=0)
+                toks_g = jnp.concatenate(
+                    [toks_g, jnp.repeat(toks_g[-1:], gb - g, axis=0)], axis=0)
+            fn2 = self._jit(("sd3_finish", res, gb), self._finish_fn(hp))
+            new_lat = fn2(toks_g, lat, jnp.asarray(c))[:g]
             for k, r in enumerate(group):
                 r.latents = new_lat[k : k + 1]
                 r.sampler_table.advance()

@@ -25,9 +25,11 @@ class DDIMSampler(Sampler):
         beta_schedule: str = "scaled_linear",
         steps_offset: int = 1,
         set_alpha_to_one: bool = False,
+        prediction_type: str = "epsilon",
     ) -> None:
         self.num_train_timesteps = num_train_timesteps
         self.steps_offset = steps_offset
+        self.prediction_type = prediction_type
         if beta_schedule == "scaled_linear":
             betas = np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float64) ** 2
         elif beta_schedule == "linear":
@@ -39,7 +41,10 @@ class DDIMSampler(Sampler):
 
     def make_table(self, num_steps: int) -> SamplerTable:
         ts = leading_timesteps(num_steps, self.num_train_timesteps, self.steps_offset)
-        ab = self.alphas_cumprod[ts.astype(np.int64)]
+        # clip like PNDM._abar: leading spacing + steps_offset can reach
+        # num_train_timesteps (e.g. 1000 steps, offset 1) — one past the end
+        idx = np.clip(ts.astype(np.int64), 0, len(self.alphas_cumprod) - 1)
+        ab = self.alphas_cumprod[idx]
         # Row i: [alphabar_t, alphabar_prev] — the full transfer for step i.
         ab_prev = np.concatenate([ab[1:], [self.final_alpha_cumprod]])
         coeffs = np.stack([ab, ab_prev], axis=1).astype(np.float32)
@@ -54,8 +59,9 @@ class DDIMSampler(Sampler):
     def scale_model_input(x, coeff_t):
         return x
 
-    @staticmethod
-    def step(x, model_out, coeff_t, coeff_next, prediction_type: str = "epsilon"):
+    def step(self, x, model_out, coeff_t, coeff_next,
+             prediction_type: str = None):
+        prediction_type = prediction_type or self.prediction_type
         xf = x.astype(jnp.float32)
         ef = model_out.astype(jnp.float32)
         ab_t = expand_to(coeff_t.astype(jnp.float32), x.ndim)

@@ -83,8 +83,12 @@ class EulerDiscreteSampler(Sampler):
         sigma = expand_to(coeff_t.astype(jnp.float32), x.ndim)
         return (x.astype(jnp.float32) / jnp.sqrt(sigma**2 + 1.0)).astype(x.dtype)
 
-    @staticmethod
-    def step(x, model_out, coeff_t, coeff_next, prediction_type: str = "epsilon"):
+    def step(self, x, model_out, coeff_t, coeff_next,
+             prediction_type: str = None):
+        # default to the sampler's configured prediction type: call sites
+        # pass only (x, out, c0, c1), so a v_prediction config would
+        # otherwise silently run epsilon math
+        prediction_type = prediction_type or self.prediction_type
         xf = x.astype(jnp.float32)
         ef = model_out.astype(jnp.float32)
         sigma = expand_to(coeff_t.astype(jnp.float32), x.ndim)

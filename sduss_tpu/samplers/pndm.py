@@ -62,6 +62,16 @@ class PNDMSampler(Sampler):
         asc = (np.arange(num_steps) * ratio).round().astype(np.int64) \
             + self.steps_offset
         desc = asc[::-1].copy()
+        if num_steps == 1:
+            # no corrector possible: a single first-order transfer to the
+            # final alpha-bar (SamplingParams allows steps >= 1; the chained
+            # corrector table below would index past its one entry)
+            coeffs = np.asarray(
+                [[self._abar(desc[:1])[0], self.final_alpha_cumprod]],
+                np.float32)
+            return SamplerTable(kind=self.kind,
+                                timesteps=desc.astype(np.float32),
+                                coeffs=coeffs, init_noise_sigma=1.0)
         # duplicate the second entry: eval 1 is the corrector at (t0 -> t1)
         ts = np.concatenate([desc[:1], desc[1:2], desc[1:]]).astype(np.float64)
         n_evals = len(ts)  # num_steps + 1

@@ -128,6 +128,40 @@ def test_euler_scale_model_input():
     np.testing.assert_allclose(out[1], 1.0, rtol=1e-6)
 
 
+def test_sampler_table_edge_step_counts():
+    """SamplingParams allows steps >= 1 and up to num_train_timesteps; the
+    tables must not crash at either edge (PNDM's corrector chain indexed
+    past its one entry at steps=1; DDIM's leading spacing + offset reached
+    alphas_cumprod[1000])."""
+    from sduss_tpu.samplers.ddim import DDIMSampler
+    from sduss_tpu.samplers.pndm import PNDMSampler
+
+    t1 = PNDMSampler().make_table(1)
+    assert len(t1.timesteps) == 1 and np.isfinite(t1.coeffs).all()
+    t2 = DDIMSampler().make_table(1000)
+    assert len(t2.timesteps) == 1000 and np.isfinite(t2.coeffs).all()
+
+
+def test_euler_step_honors_configured_prediction_type():
+    """A v_prediction sampler must not silently run epsilon math when call
+    sites pass no prediction_type (they never do)."""
+    from sduss_tpu.samplers.euler import EulerDiscreteSampler
+
+    import jax.numpy as jnp
+
+    x = jnp.ones((1, 2, 2, 1))
+    eps = jnp.full((1, 2, 2, 1), 0.5)
+    c0, c1 = jnp.asarray([2.0]), jnp.asarray([1.0])
+    e = EulerDiscreteSampler()
+    v = EulerDiscreteSampler(prediction_type="v_prediction")
+    out_e = np.asarray(e.step(x, eps, c0, c1))
+    out_v = np.asarray(v.step(x, eps, c0, c1))
+    assert not np.allclose(out_e, out_v)
+    np.testing.assert_allclose(
+        out_v, np.asarray(e.step(x, eps, c0, c1,
+                                 prediction_type="v_prediction")))
+
+
 def test_ddim_full_denoise_reaches_x0():
     """With a model that predicts the exact noise, DDIM recovers x0."""
     s = DDIMSampler()

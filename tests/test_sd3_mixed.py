@@ -67,6 +67,33 @@ class TestSD3Mixed:
         pipe.denoise_step_mixed(by_res)
         assert all(r.remain_steps == 1 for r in reqs)
 
+    def test_uniform_batch_with_cache_routes_to_token_path(self):
+        """The worker sends uniform-resolution batches to denoise_step; with
+        the token cache on, the SD3 pipeline must still take the cached
+        TOKEN trunk (the dense path has no token-cache support — without the
+        override, cache-mode serving silently ran dense)."""
+        config = Config()
+        config.model = ModelConfig(model="sd3", test_tiny=True,
+                                   dtype="float32", resolutions=(256, 512))
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True)
+        config.cache.enabled = True
+        config.cache.mode = "compact"
+        config.cache.patch_fraction = 0.5   # per-token fine flavor
+        pipe = build_pipeline(config)
+        reqs = [Request(f"u{i}", SamplingParams(prompt="x", resolution=256,
+                                                num_inference_steps=3, seed=i))
+                for i in range(2)]
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        pipe.denoise_step({256: reqs})     # uniform batch, worker-style call
+        assert all(r.cache_rows for r in reqs), \
+            "token cache did not engage on the uniform path"
+        assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
+        # and the token-path jit key was minted, not only the dense one
+        assert any(isinstance(k, tuple) and k[0] == "sd3_mixed"
+                   for k in pipe._fns)
+
     def test_full_generation_mixed(self):
         """End-to-end through the engine with mixed SD3 resolutions."""
         from sduss_tpu.entrypoints.offline import DiffusionPipeline
