@@ -120,6 +120,20 @@ def test_vae_tiled_decode_matches_full():
     assert np.abs(tiled[:, 0, :, :] - full[:, 0, :, :]).mean() / scale < 0.2
 
 
+def test_vae_blocked_mid_attention_exact(monkeypatch):
+    """SDUSS_VAE_BLOCKED_ATTN=1 routes the mid attention through the
+    q-row-blocked exact path (>=4k tokens); decode output is identical."""
+    model = AutoencoderKL(TINY_VAE)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    lat = jnp.asarray(rng.standard_normal((1, 72, 72, 4)), jnp.float32)
+    monkeypatch.setenv("SDUSS_VAE_BLOCKED_ATTN", "0")
+    dense = np.asarray(model.decode(params, lat), np.float32)
+    monkeypatch.setenv("SDUSS_VAE_BLOCKED_ATTN", "1")
+    blocked = np.asarray(model.decode(params, lat), np.float32)
+    np.testing.assert_allclose(blocked, dense, atol=1e-5, rtol=1e-5)
+
+
 def test_vae_tiled_decode_small_input_passthrough():
     model = AutoencoderKL(TINY_VAE)
     params = model.init(jax.random.key(0))
