@@ -303,18 +303,12 @@ class BasePipeline:
     def _make_compact_fn(self, cache):
         def fn(params, latents, t, coeffs, guidance, cond, cache_state,
                row_valid):
-            lat_in = jnp.concatenate([latents, latents], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            c0, c1 = coeffs[:, 0], coeffs[:, 1]
-            lat_in = self.sampler.scale_model_input(
-                lat_in, jnp.concatenate([c0, c0]))
             rv2 = jnp.concatenate([row_valid, row_valid], axis=0)
-            model_out, new_state = self.denoiser_forward(
-                params, lat_in, t2, cond, cache=cache,
-                cache_state=cache_state, row_valid=rv2)
-            uncond, text = jnp.split(model_out, 2, axis=0)
-            g = guidance.reshape(-1, *([1] * (latents.ndim - 1)))
-            noise_pred = uncond + g * (text - uncond)
+            noise_pred, c0, c1, new_state = self._cfg_step(
+                latents, t, coeffs, guidance,
+                lambda lat_in, t2: self.denoiser_forward(
+                    params, lat_in, t2, cond, cache=cache,
+                    cache_state=cache_state, row_valid=rv2))
             return self.sampler.step(latents, noise_pred, c0, c1), new_state
 
         return fn
@@ -432,15 +426,11 @@ class BasePipeline:
 
     def _make_deep_fn(self, mode: str):
         def fn(params, latents, t, coeffs, guidance, cond, deep):
-            lat_in = jnp.concatenate([latents, latents], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            c0, c1 = coeffs[:, 0], coeffs[:, 1]
-            lat_in = self.sampler.scale_model_input(lat_in, jnp.concatenate([c0, c0]))
-            model_out, deep_out = self.denoiser_forward(
-                params, lat_in, t2, cond, deep_mode=mode, deep_state=deep)
-            uncond, text = jnp.split(model_out, 2, axis=0)
-            g = guidance.reshape(-1, *([1] * (latents.ndim - 1)))
-            noise_pred = uncond + g * (text - uncond)
+            noise_pred, c0, c1, deep_out = self._cfg_step(
+                latents, t, coeffs, guidance,
+                lambda lat_in, t2: self.denoiser_forward(
+                    params, lat_in, t2, cond, deep_mode=mode,
+                    deep_state=deep))
             return self.sampler.step(latents, noise_pred, c0, c1), deep_out
 
         return fn
@@ -450,15 +440,27 @@ class BasePipeline:
                                                guidance, cond)
         return self.sampler.step_with_state(latents, noise_pred, c0, c1, state)
 
-    def _cfg_forward(self, params, latents, t, coeffs, guidance, cond):
+    def _cfg_step(self, latents, t, coeffs, guidance, model_call):
+        """Shared CFG skeleton for the dense-path step builders: duplicate
+        -> scale_model_input -> ``model_call(lat_in, t2)`` -> split ->
+        guidance combine.  ``model_call`` may return the model output alone
+        or (output, extra) — extra (cache state / deep features) passes
+        through untouched."""
         lat_in = jnp.concatenate([latents, latents], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         c0, c1 = coeffs[:, 0], coeffs[:, 1]
         lat_in = self.sampler.scale_model_input(lat_in, jnp.concatenate([c0, c0]))
-        model_out = self.denoiser_forward(params, lat_in, t2, cond)
+        out = model_call(lat_in, t2)
+        model_out, extra = out if isinstance(out, tuple) else (out, None)
         uncond, text = jnp.split(model_out, 2, axis=0)
         g = guidance.reshape(-1, *([1] * (latents.ndim - 1)))
-        return uncond + g * (text - uncond), c0, c1
+        return uncond + g * (text - uncond), c0, c1, extra
+
+    def _cfg_forward(self, params, latents, t, coeffs, guidance, cond):
+        noise_pred, c0, c1, _ = self._cfg_step(
+            latents, t, coeffs, guidance,
+            lambda lat_in, t2: self.denoiser_forward(params, lat_in, t2, cond))
+        return noise_pred, c0, c1
 
     # -- stage 2b: mixed-resolution patch step -------------------------------
 
