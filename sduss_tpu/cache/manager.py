@@ -89,30 +89,15 @@ class BlockCache:
 
     # -- decision (traced) ------------------------------------------------------
 
-    def _recompute_mask(self, key: str, x, state_k, t_norm):
-        """(P,) bool — True where the block must be recomputed.
+    def _drift_logit(self, key: str, x, state_k, t_norm):
+        """Shared drift scoring for BOTH cache decisions (mask + ranking).
 
-        Rank-agnostic: reduces over all non-leading axes, so both UNet patch
-        rows (P, s, s, C) and MMDiT token rows (B, S, D) gate the same way.
+        One implementation so "block" gating and "compact" ranking can
+        never disagree on drift for the same trained classifier artifact.
+        Rank-agnostic: reduces over all non-leading axes, so UNet patch
+        rows (P, s, s, C) and MMDiT token rows (B, S, D) score the same
+        way.  Returns (signed score: >0 means recompute, rel_mse).
         """
-        axes = tuple(range(1, x.ndim))
-        xf = x.astype(jnp.float32)
-        cf = state_k["inp"].astype(jnp.float32)
-        mse = jnp.mean((xf - cf) ** 2, axis=axes)
-        scale = jnp.mean(xf * xf, axis=axes) + 1e-8
-        rel = mse / scale
-        clf = self.classifiers.get(key)
-        if clf is not None:
-            w_mse, w_t, w_hits, bias = [float(v) for v in clf]
-            logit = (w_mse * rel + w_t * t_norm
-                     + w_hits * state_k["hits"].astype(jnp.float32) + bias)
-            fresh = logit > 0.0
-        else:
-            fresh = rel > self.config.mse_threshold
-        return fresh | (state_k["hits"] >= self.config.max_hits), rel
-
-    def _scores(self, key: str, x, state_k, t_norm):
-        """(P,) f32 drift ranking; forced rows (hits >= max_hits) rank first."""
         axes = tuple(range(1, x.ndim))
         xf = x.astype(jnp.float32)
         cf = state_k["inp"].astype(jnp.float32)
@@ -125,6 +110,17 @@ class BlockCache:
                      + w_hits * state_k["hits"].astype(jnp.float32) + bias)
         else:
             score = rel - self.config.mse_threshold
+        return score, rel
+
+    def _recompute_mask(self, key: str, x, state_k, t_norm):
+        """(P,) bool — True where the block must be recomputed."""
+        score, rel = self._drift_logit(key, x, state_k, t_norm)
+        fresh = score > 0.0
+        return fresh | (state_k["hits"] >= self.config.max_hits), rel
+
+    def _scores(self, key: str, x, state_k, t_norm):
+        """(P,) f32 drift ranking; forced rows (hits >= max_hits) rank first."""
+        score, _ = self._drift_logit(key, x, state_k, t_norm)
         forced = (state_k["hits"] >= self.config.max_hits).astype(jnp.float32)
         return score + forced * 1e6
 

@@ -452,6 +452,11 @@ class UNet2DConditionModel:
         Returns (out, deep_feature) when deep_mode is given.
         """
         cfg = self.cfg
+        if deep_mode is not None and cache is not None:
+            # the deep-mode return (out, deep_feature) would silently drop
+            # the new cache state: gates would splice against a frozen
+            # reference forever
+            raise ValueError("deep_mode and cache are mutually exclusive")
         n_levels = len(cfg.block_out_channels)
         boundary = deep_boundary if deep_boundary is not None else n_levels - 1
         temb = self.time_embed(params, timesteps, added_cond, dtype=sample.dtype)

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 _FLASH_MIN_SEQ = 1024
 
 
-@functools.lru_cache(maxsize=2)
-def _flash_available(prefer: bool = False) -> bool:
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
     import os
 
     # The custom kernel (ops/flash.py) is the TPU default for long
@@ -95,21 +95,25 @@ def masked_attention(q, k, v, num_heads: int, kv_token_mask=None,
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1] // num_heads)
-    # Custom-kernel VMEM budget: full per-head K+V resident, double-buffered.
-    hd = q.shape[-1] // num_heads
-    kv_vmem = (k.shape[1] + 127) // 128 * 128 * hd * 2 * 2 * 2
     lq = q.shape[1]
     # The custom kernel (ops/flash.py) wins at every measured in-model shape
     # except one isolated case (S=4096, BH=160: XLA's own fusion hit 69 TF/s
     # vs the kernel's 53 in a microbenchmark) — but XLA's attention fusion
     # is unreliable inside larger programs (at SD3 b4 it materialized the
-    # f32[8,24,4096,4096] logits, 12 GB -> OOM), so dense is never routed
-    # for long sequences; the kernel's HBM footprint is flat.
+    # f32[8,24,4096,4096] logits, 12 GB -> OOM), so dense is NEVER routed
+    # for long sequences, regardless of KV size: flash_mha picks its own
+    # VMEM strategy (two-pass under its score-tile budget, online-softmax
+    # beyond), and a Mosaic compile error at an absurd KV is strictly
+    # better than silently materializing O(S^2) f32 logits in HBM.
     # Short-KV attention (cross-attention over 77 text tokens) is
     # overhead-bound in the kernel's per-(head, q-tile) grid — dense XLA is
     # faster there; the kernel needs a long KV axis to amortize.
-    if _flash_available(prefer_flash) and lq >= _FLASH_MIN_SEQ \
-            and k.shape[1] >= 512 and kv_vmem <= 12 * 2**20:
+    # ``prefer_flash`` (grouped patch attention) asks that dense logits
+    # never be materialized at HBM-dangerous sizes — satisfied here for ALL
+    # callers, since every long sequence routes to the kernel; below the
+    # minimums dense logits are small by construction, and the measured
+    # routing (profiles fitted with it) keeps those shapes dense.
+    if _flash_available() and lq >= _FLASH_MIN_SEQ and k.shape[1] >= 512:
         import os
 
         # Model-layout fused variant (no Q/K/V/O head transposes) is the

@@ -529,7 +529,16 @@ def flash_mha(q, k, v, num_heads: int, scale: float,
         # hb=2 at S=4096/4608 (SD3 joint 4.80 -> 4.53 ms).
         if heads_per_cell is not None:
             hb = heads_per_cell
-            assert bh % hb == 0, (bh, hb)
+            # raise (not assert: stripped under -O) BEFORE the pallas call:
+            # a bad hb otherwise surfaces as a Mosaic compile failure —
+            # 15-25 min wasted through the relay
+            if bh % hb != 0:
+                raise ValueError(f"heads_per_cell {hb} must divide B*H {bh}")
+            need = hb * (block_q * lk_pad * 6 + lk_pad * (hd + vpad) * 4)
+            if need > 64 * 2**20:  # the pallas_call vmem_limit_bytes
+                raise ValueError(
+                    f"heads_per_cell {hb} needs ~{need >> 20} MiB VMEM "
+                    f"(kernel limit 64 MiB); use a smaller hb")
         else:
             hb = 1
             hb_cap = max(4096, 2 * lk_pad)

@@ -10,8 +10,12 @@ Two phases, mirroring the CUDA kernel's structure:
 2. **Normalize + SiLU + halo** (Pallas): one pass over the patch batch that
    writes the conv-ready (P, s+2, s+2, C) buffer: center = normalized patch,
    1-cell border = normalized edge rows/cols/corners of the 4+4 neighbor
-   patches (DMA'd straight from HBM — only edges move, ~(4s+4)/s^2 read
-   amplification instead of the 9x of gathering whole neighbor patches).
+   patches, DMA'd straight from HBM.  Mosaic can slice only the untiled
+   ROW dim, so up/down + diagonal neighbors copy boundary ROWS while the
+   left/right neighbors stream WHOLE patches through a shared side buffer
+   — ~2 extra full-patch reads per patch (~3x read amplification), still
+   well under the 9x of gathering all neighbor patches, and one pass
+   instead of three materialized steps.
    This fuses what the unfused path does in three materialized steps
    (normalize+scale+act, neighbor gather, concat) into one VMEM-resident
    pass, eliminating two full HBM round-trips of the activation tensor.
@@ -37,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _moments(x, image_id, n_images: int, groups: int):
-    """Per-image (mean, rstd) across patches: (I, G) float32 each."""
+    """Per-image (mean, VARIANCE) across patches: (I, G) float32 each
+    (the caller applies rsqrt; do not pass the second result as rstd)."""
     pp, s, _, c = x.shape
     g = groups
     xf = x.astype(jnp.float32).reshape(pp, s * s, g, c // g)

@@ -250,7 +250,11 @@ def double_meta(grids: Tuple[int, ...], patch_cells: int,
     ci, cg, cp, cm, ck = _class_arrays(slot_grid, image_id, patch_pos,
                                        m.max_pp, image_buckets)
     return PatchMeta(
-        patch_cells=m.patch_cells, grids=m.grids, n_patches=2 * m.n_patches,
+        # grids doubled too, preserving the dataclass invariant
+        # (one entry per image slot half: sum(g*g) == n_patches/... holds
+        # per half and in total)
+        patch_cells=m.patch_cells, grids=m.grids + m.grids,
+        n_patches=2 * m.n_patches,
         n_images=2 * m.n_images, p_pad=2 * m.p_pad, i_pad=2 * m.i_pad,
         max_pp=m.max_pp, image_id=image_id, neighbors=neighbors,
         group_gather=group_gather, patch_pos=patch_pos, kv_mask=kv_mask,
@@ -265,10 +269,12 @@ def double_meta(grids: Tuple[int, ...], patch_cells: int,
 
 def split_latent(lat: jnp.ndarray, patch_cells: int) -> jnp.ndarray:
     """(1, h, h, C) -> (g*g, s, s, C) raster-ordered patches."""
+    if lat.shape[0] != 1:
+        raise ValueError(f"split_latent takes one image, got batch "
+                         f"{lat.shape[0]}")
     _, h, w, c = lat.shape
     s = patch_cells
     g = h // s
-    x = lat.reshape(g, s, g, s, c) if lat.shape[0] == 1 else None
     x = lat[0].reshape(g, s, g, s, c)
     return x.transpose(0, 2, 1, 3, 4).reshape(g * g, s, s, c)
 
