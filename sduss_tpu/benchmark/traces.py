@@ -39,6 +39,12 @@ def generate_trace(qps: float, num_requests: int, resolutions: Sequence[int],
     rng = np.random.default_rng(seed)
     probs = DISTRIBUTIONS[distribution]
     if len(probs) != len(resolutions):
+        if distribution != "uniform":
+            # silently substituting uniform would make a small/medium/large
+            # distribution sweep report identical numbers with no error
+            raise ValueError(
+                f"distribution {distribution!r} has {len(probs)} weights "
+                f"but {len(resolutions)} resolutions are deployed")
         probs = [1.0 / len(resolutions)] * len(resolutions)
     gaps = rng.exponential(1000.0 / qps, size=num_requests)
     arrivals = np.cumsum(gaps)

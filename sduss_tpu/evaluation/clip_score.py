@@ -53,10 +53,9 @@ class ClipScorer:
         from sduss_tpu.models.loader import _load_safetensors_dir
 
         sd = _load_safetensors_dir(snapshot)
-        self.text_params = convert_clip(
-            {k.removeprefix("text_model."): v for k, v in sd.items()
-             if k.startswith("text_model.") or k == "text_projection.weight"},
-            self.text.cfg.num_layers)
+        # convert_clip itself addresses keys under the 'text_model.' prefix
+        # (plus the top-level text_projection.weight) — pass keys unstripped
+        self.text_params = convert_clip(sd, self.text.cfg.num_layers)
         self.vision_params = convert_clip_vision(sd, self.vision.cfg.num_layers)
         import transformers
 

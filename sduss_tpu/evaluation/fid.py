@@ -29,7 +29,12 @@ def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
 
 
 def feature_stats(features: np.ndarray):
-    """(N, D) features -> (mean, covariance)."""
+    """(N, D) features -> (mean, covariance); needs N >= 2 (np.cov divides
+    by N-1, so a single sample would yield a silent NaN FID)."""
+    features = np.atleast_2d(features)
+    if features.shape[0] < 2:
+        raise ValueError(
+            f"FID needs >= 2 samples per set, got {features.shape[0]}")
     mu = features.mean(axis=0)
     sigma = np.cov(features, rowvar=False)
     return mu, np.atleast_2d(sigma)

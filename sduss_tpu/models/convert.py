@@ -118,8 +118,7 @@ def convert_t5(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     return p
 
 
-def _gn(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
-    return {"scale": np.asarray(sd[f"{prefix}.weight"]), "bias": np.asarray(sd[f"{prefix}.bias"])}
+_gn = _ln  # identical scale/bias mapping; one implementation
 
 
 def _resnet(sd, prefix, with_temb=True):
@@ -295,8 +294,11 @@ def convert_vae(sd: Mapping[str, np.ndarray]) -> dict:
     return {
         "encoder": enc,
         "decoder": dec,
-        "quant_conv": _conv_p(sd, "quant_conv"),
-        "post_quant_conv": _conv_p(sd, "post_quant_conv"),
+        # SD3's AutoencoderKL ships without (post_)quant convs
+        # (use_quant_conv=false); only convert them when present
+        **({"quant_conv": _conv_p(sd, "quant_conv"),
+            "post_quant_conv": _conv_p(sd, "post_quant_conv")}
+           if "quant_conv.weight" in sd else {}),
     }
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from typing import Dict, Optional
 
 import numpy as np
@@ -32,6 +33,13 @@ def _load_safetensors_dir(component_dir: str) -> Dict[str, np.ndarray]:
         raise RuntimeError("safetensors is required to load HF snapshots") from e
 
     files = sorted(f for f in os.listdir(component_dir) if f.endswith(".safetensors"))
+    # HF snapshots may ship precision variants alongside the main weights
+    # (diffusion_pytorch_model.fp16.safetensors, model.fp16-00001-of-...).
+    # Loading both double-reads and lets sort order decide which wins;
+    # prefer the non-variant set whenever one exists.
+    main = [f for f in files if ".fp16." not in f and ".bf16." not in f]
+    if main:
+        files = main
     if not files:
         raise FileNotFoundError(f"no safetensors in {component_dir}")
     sd: Dict[str, np.ndarray] = {}
@@ -45,6 +53,8 @@ class StubTokenizer:
 
     Emits BOS + hashed word ids + EOS, padded to model_max_length with
     pad_token_id — structurally identical to CLIP/T5 tokenizer output.
+    Word hashing uses crc32, NOT Python hash() (salted per process): ids
+    must match across processes for seeded reproducibility.
     """
 
     def __init__(self, vocab_size: int, model_max_length: int = 77,
@@ -58,7 +68,8 @@ class StubTokenizer:
         ids, mask = [], []
         for t in texts:
             toks = [self.bos] if self.bos is not None else []
-            toks += [3 + (hash(w) % (self.vocab_size - 4)) for w in t.split()][: max_length - len(toks) - 1]
+            toks += [3 + (zlib.crc32(w.encode()) % (self.vocab_size - 4))
+                     for w in t.split()][: max_length - len(toks) - 1]
             toks.append(self.eos)
             m = [1] * len(toks)
             while len(toks) < max_length:
@@ -74,7 +85,11 @@ def _load_tokenizer(snapshot: Optional[str], subdir: str, fallback_vocab: int,
                     t5: bool = False):
     if snapshot is not None:
         tok_dir = os.path.join(snapshot, subdir)
-        if os.path.isdir(tok_dir):
+        if not os.path.isdir(tok_dir):
+            logger.warning("snapshot %s has no %s/ — falling back to the "
+                           "HASH STUB tokenizer (outputs will be garbage "
+                           "with real weights)", snapshot, subdir)
+        else:
             try:
                 import transformers
 

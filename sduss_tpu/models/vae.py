@@ -32,11 +32,16 @@ class VAEConfig:
     # SDXL VAE needs float32 decode to avoid overflow (reference handles this
     # at pipelines/stable_diffusion_xl/*.py:48-54); we upcast when set.
     force_upcast: bool = False
+    # SD3's 16-channel AutoencoderKL ships use_quant_conv=false /
+    # use_post_quant_conv=false — no 1x1 (post_)quant convs in the
+    # checkpoint or the architecture.
+    use_quant_conv: bool = True
 
 
 SD15_VAE = VAEConfig()
 SDXL_VAE = VAEConfig(scaling_factor=0.13025, force_upcast=True)
-SD3_VAE = VAEConfig(latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609)
+SD3_VAE = VAEConfig(latent_channels=16, scaling_factor=1.5305,
+                    shift_factor=0.0609, use_quant_conv=False)
 TINY_VAE = VAEConfig(block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8)
 
 
@@ -152,12 +157,13 @@ class AutoencoderKL:
                 blk["upsample"] = L.conv_init(next(keys), out_ch, out_ch, 3)
             dec["up_blocks"].append(blk)
 
-        return {
-            "encoder": enc,
-            "decoder": dec,
-            "quant_conv": L.conv_init(next(keys), 2 * cfg.latent_channels, 2 * cfg.latent_channels, 1),
-            "post_quant_conv": L.conv_init(next(keys), cfg.latent_channels, cfg.latent_channels, 1),
-        }
+        out = {"encoder": enc, "decoder": dec}
+        if cfg.use_quant_conv:
+            out["quant_conv"] = L.conv_init(
+                next(keys), 2 * cfg.latent_channels, 2 * cfg.latent_channels, 1)
+            out["post_quant_conv"] = L.conv_init(
+                next(keys), cfg.latent_channels, cfg.latent_channels, 1)
+        return out
 
     def encode(self, params, images, sample_rng=None):
         """images (B,H,W,3) in [-1,1] -> latent (B,H/8,W/8,latent_ch), scaled."""
@@ -178,8 +184,9 @@ class AutoencoderKL:
         h = _mid_apply(enc["mid_block"], h, g)
         h = L.group_norm(enc["conv_norm_out"], h, g, 1e-6, "silu")
         h = L.conv2d(enc["conv_out"], h)
-        moments = L.conv2d(params["quant_conv"], h)
-        mean, logvar = jnp.split(moments, 2, axis=-1)
+        if self.cfg.use_quant_conv:
+            h = L.conv2d(params["quant_conv"], h)
+        mean, logvar = jnp.split(h, 2, axis=-1)
         if sample_rng is not None:
             std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
             mean = mean + std * jax.random.normal(sample_rng, mean.shape, mean.dtype)
@@ -208,7 +215,8 @@ class AutoencoderKL:
 
     def _decode_core(self, params, z):
         g = self.cfg.norm_num_groups
-        z = L.conv2d(params["post_quant_conv"], z)
+        if self.cfg.use_quant_conv:
+            z = L.conv2d(params["post_quant_conv"], z)
         dec = params["decoder"]
         h = L.conv2d(dec["conv_in"], z)
         h = _mid_apply(dec["mid_block"], h, g)

@@ -76,6 +76,13 @@ def build_patch_meta_native(grids, p_pad: int, i_pad: int, max_pp: int):
     grids = np.ascontiguousarray(grids, np.int32)
     n_images = len(grids)
     n_patches = int((grids.astype(np.int64) ** 2).sum())
+    # validate BEFORE the ctypes call: the C++ writer trusts these bounds,
+    # so a violated invariant would be a heap overflow, not an IndexError
+    if n_patches > p_pad or n_images > i_pad:
+        raise ValueError(f"meta bounds violated: {n_patches} patches > "
+                         f"p_pad {p_pad} or {n_images} images > i_pad {i_pad}")
+    if n_images and int(grids.max()) ** 2 > max_pp:
+        raise ValueError(f"grid {int(grids.max())}^2 exceeds max_pp {max_pp}")
     image_id = np.empty((p_pad,), np.int32)
     neighbors = np.empty((p_pad, 8), np.int32)
     group_gather = np.empty((i_pad * max_pp,), np.int32)

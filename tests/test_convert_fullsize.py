@@ -139,8 +139,11 @@ def synth_vae_sd(params):
             _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", blk["upsample"])
     _norm(sd, "decoder.conv_norm_out", dec["conv_norm_out"])
     _conv(sd, "decoder.conv_out", dec["conv_out"])
-    _conv(sd, "quant_conv", params["quant_conv"])
-    _conv(sd, "post_quant_conv", params["post_quant_conv"])
+    # SD3's AutoencoderKL ships without (post_)quant convs
+    # (use_quant_conv=false); the param tree omits them there
+    if "quant_conv" in params:
+        _conv(sd, "quant_conv", params["quant_conv"])
+        _conv(sd, "post_quant_conv", params["post_quant_conv"])
     return sd
 
 
