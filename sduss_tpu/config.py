@@ -129,6 +129,22 @@ class ParallelConfig:
     dp: int = 1
     tp: int = 1
     sp: int = 1  # spatial / displaced-patch parallel degree
+    # How a replica's sp>1 sub-mesh runs the serving denoise step:
+    #   "gspmd"     — latents sharded under jit; XLA inserts fresh KV
+    #                 gathers/halos every step (exact, the default).
+    #   "displaced" — shard_map stale-KV path (DistriFuser's latency trick,
+    #                 reference distrifuser/utils.py:23-66): after
+    #                 ``displaced_warmup`` sync steps the self-attention
+    #                 K/V of REMOTE rows come from the previous step's
+    #                 state, so the step issues no blocking gather.  KV
+    #                 state is carried across engine iterations per
+    #                 (resolution, bucket) batch; any batch-composition
+    #                 change (admission/finish) is a state boundary and
+    #                 re-runs sync warmup steps.  Requires tp == 1 and a
+    #                 stateless sampler; the block caches take precedence
+    #                 when enabled (pipelines/base.py _displaced_active).
+    sp_mode: str = "gspmd"
+    displaced_warmup: int = 2  # sync steps after a composition change
     # Pipeline-stage parallel degree.  A WORKING realization exists as
     # parallel/pipeline.py MMDiTStagePipeline (stage-pinned block spans,
     # microbatched device_put transfers; exactness-tested, dryrun-validated)
@@ -145,6 +161,14 @@ class ParallelConfig:
         _positive("tp", self.tp)
         _positive("sp", self.sp)
         _positive("pp", self.pp)
+        if self.sp_mode not in ("gspmd", "displaced"):
+            raise ValueError(f"sp_mode must be gspmd|displaced, got {self.sp_mode!r}")
+        if self.sp_mode == "displaced" and self.tp > 1:
+            raise ValueError("sp_mode='displaced' runs the denoiser inside "
+                             "shard_map over 'sp' only; tp must be 1")
+        if self.displaced_warmup < 1:
+            raise ValueError("displaced_warmup must be >= 1 (the first step "
+                             "after a composition change must gather fresh KV)")
 
     @property
     def world_size(self) -> int:

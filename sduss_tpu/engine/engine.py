@@ -164,6 +164,9 @@ class Engine:
             steps = 2
             if cc.enabled and cc.mode == "deep":
                 steps = cc.deep_warmup + interval + 1
+        if self.config.parallel.sp_mode == "displaced":
+            # mint BOTH the sync (warmup) and the stale step program
+            steps = max(steps, self.config.parallel.displaced_warmup + 1)
         # Under adaptive refresh the drift trigger could force every prewarm
         # step full and never mint the shallow program (a cold key would
         # then stall serving); pin the threshold high so the max-interval

@@ -194,6 +194,12 @@ class BasePipeline:
 
         cond = self._stack_cond([r.conditioning for r in reqs], bb)
 
+        if self.sampler.needs_state and self._displaced_requested():
+            # Stateful samplers (PNDM) keep per-request model-output history;
+            # threading it through shard_map alongside KV state is untested —
+            # fall back to the exact GSPMD path (sharding still applies).
+            self._warn_once("displaced sp_mode: stateful sampler — serving "
+                            "on the exact GSPMD path instead")
         if self.sampler.needs_state:
             for req in reqs:
                 if req.sampler_state is None:
@@ -208,6 +214,9 @@ class BasePipeline:
                                         cond, state)
             for i, req in enumerate(reqs):
                 req.sampler_state = jax.tree.map(lambda a: a[i : i + 1], new_state)
+        elif self._displaced_active():
+            new_latents = self._denoise_group_displaced(
+                res, reqs, bb, latents, t, coeffs, guidance, cond)
         elif self._deep_cache_active():
             new_latents = self._denoise_group_deep(res, reqs, bb, latents, t,
                                                    coeffs, guidance, cond)
@@ -314,6 +323,107 @@ class BasePipeline:
         return fn
 
     # -- temporal deep-block reuse (cache mode "deep") -------------------------
+
+    # -- displaced (stale-KV) sequence parallelism on the serving path ---------
+
+    def _warn_once(self, msg: str) -> None:
+        if not hasattr(self, "_warned"):
+            self._warned = set()
+        if msg not in self._warned:
+            self._warned.add(msg)
+            logger.warning(msg)
+
+    def _displaced_requested(self) -> bool:
+        return (self.config.parallel.sp_mode == "displaced"
+                and self.placement is not None
+                and self.placement.mesh is not None
+                and "sp" in self.placement.mesh.axis_names
+                and self.placement.mesh.shape["sp"] > 1)
+
+    def _displaced_active(self) -> bool:
+        """Serve the dense step through the stale-KV shard_map path?
+
+        The DistriFuser latency trick (reference distrifuser/utils.py:23-66,
+        modules/pp/attn.py:110-200) under CONTINUOUS BATCHING: KV state is
+        valid only while the batch composition is unchanged, so admissions /
+        finishes are state boundaries that re-run ``displaced_warmup`` sync
+        (fresh-gather, exact) steps — the same re-synchronization shape the
+        deep cache solves with phase-aligned admission (docs/DESIGN.md
+        round-3 note).  The block caches keep precedence when enabled: they
+        don't thread through this seam yet (the runner-level composition in
+        parallel/displaced.py does; serving integration is a later round).
+        """
+        if not self._displaced_requested():
+            return False
+        if self.config.cache.enabled:
+            self._warn_once("displaced sp_mode: cache.enabled takes "
+                            "precedence — serving on the GSPMD path")
+            return False
+        return True
+
+    def _displaced_ctx_cls(self):
+        """ctx class for the sharded denoiser seam (SD3 overrides)."""
+        from sduss_tpu.parallel.displaced import ShardContext
+
+        return ShardContext
+
+    def _denoise_group_displaced(self, res, reqs, bb, latents, t, coeffs,
+                                 guidance, cond):
+        """One serving denoise step under displaced-SP.
+
+        Per-(res, bucket) KV state lives on ``self._disp_state`` across
+        engine iterations: {"comp": request-id tuple, "kv": pytree,
+        "warm": sync steps done}.  Composition change => reset.  The first
+        ``displaced_warmup`` steps of a composition gather fresh KV (exact);
+        later steps splice their own fresh rows into the stale full KV and
+        emit next-step gathers that XLA overlaps with remaining compute.
+        """
+        if not hasattr(self, "_disp_state"):
+            self._disp_state = {}
+        key = (res, bb)
+        comp = tuple(r.request_id for r in reqs)
+        st = self._disp_state.get(key)
+        if st is None or st["comp"] != comp:
+            st = {"comp": comp, "kv": {}, "warm": 0}
+            self._disp_state[key] = st
+        stale = st["warm"] >= self.config.parallel.displaced_warmup \
+            and bool(st["kv"])
+        fn = self._jit(("denoise_displaced", res, bb, stale),
+                       self._make_displaced_fn(stale))
+        new_latents, new_kv = fn(self.params, latents, jnp.asarray(t),
+                                 jnp.asarray(coeffs), jnp.asarray(guidance),
+                                 cond, st["kv"])
+        st["kv"] = new_kv
+        st["warm"] += 1
+        return new_latents
+
+    def _make_displaced_fn(self, stale: bool):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.placement.mesh
+        ctx_cls = self._displaced_ctx_cls()
+
+        def local_step(params, x, t, coeffs, guidance, cond, kv_state):
+            ctx = ctx_cls(axis="sp", stale=stale, kv_state=kv_state)
+            noise_pred, c0, c1, _ = self._cfg_step(
+                x, t, coeffs, guidance,
+                lambda lat_in, t2: self.denoiser_forward(
+                    params, lat_in, t2, cond, ctx=ctx))
+            return self.sampler.step(x, noise_pred, c0, c1), ctx.new_kv_state
+
+        def wrapped(params, x, t, coeffs, guidance, cond, kv_state):
+            spec_x = P(None, "sp", None, None)
+            # P() is a PREFIX spec over whole subtrees: params/cond/KV are
+            # replicated across 'sp' (all_gathered KV is full-sequence).
+            kv_specs = jax.tree.map(lambda _: P(), kv_state)
+            fn = shard_map(
+                local_step, mesh=mesh,
+                in_specs=(P(), spec_x, P(), P(), P(), P(), kv_specs),
+                out_specs=(spec_x, P()), check_vma=False)
+            return fn(params, x, t, coeffs, guidance, cond, kv_state)
+
+        return wrapped
 
     def _deep_cache_active(self) -> bool:
         return (self.config.cache.enabled

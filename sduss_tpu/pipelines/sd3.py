@@ -84,7 +84,12 @@ class StableDiffusion3Pipeline(BasePipeline):
         pooled = jnp.concatenate([cond["neg_pooled"], cond["pooled"]], axis=0)
         return self.bundle.models["transformer"].apply(
             params["transformer"], latents_in, t, ehs.astype(latents_in.dtype),
-            pooled.astype(latents_in.dtype))
+            pooled.astype(latents_in.dtype), ctx=ctx)
+
+    def _displaced_ctx_cls(self):
+        from sduss_tpu.parallel.displaced import MMDiTShardContext
+
+        return MMDiTShardContext
 
     def denoise_step(self, reqs_by_res):
         """Uniform-resolution batches route through the TOKEN path when the
