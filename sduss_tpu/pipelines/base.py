@@ -378,14 +378,23 @@ class BasePipeline:
         later steps splice their own fresh rows into the stale full KV and
         emit next-step gathers that XLA overlaps with remaining compute.
         """
+        import collections
+
         if not hasattr(self, "_disp_state"):
-            self._disp_state = {}
-        key = (res, bb)
+            self._disp_state = collections.OrderedDict()
+        # Key state by the COMPOSITION itself (not just (res, bucket)): the
+        # scheduler may interleave different same-bucket batches, and each
+        # keeps its own valid KV instead of thrashing sync warmup.  LRU
+        # eviction bounds HBM held by stale-KV pytrees.
         comp = tuple(r.request_id for r in reqs)
+        key = (res, bb, comp)
         st = self._disp_state.get(key)
-        if st is None or st["comp"] != comp:
+        if st is None:
             st = {"comp": comp, "kv": {}, "warm": 0}
             self._disp_state[key] = st
+        self._disp_state.move_to_end(key)
+        while len(self._disp_state) > 4:
+            self._disp_state.popitem(last=False)
         stale = st["warm"] >= self.config.parallel.displaced_warmup \
             and bool(st["kv"])
         fn = self._jit(("denoise_displaced", res, bb, stale),

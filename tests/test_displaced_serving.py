@@ -84,8 +84,9 @@ def test_displaced_stale_steps_and_state():
 
 
 def test_displaced_composition_change_resets_state():
-    """An admission mid-flight is a state boundary: the batch composition
-    changes, KV state resets, and sync warmup re-runs."""
+    """An admission mid-flight is a state boundary: the new batch
+    composition gets a FRESH state entry (sync warmup re-runs), keyed by
+    composition so interleaved same-bucket batches don't thrash."""
     from sduss_tpu.engine.engine import Engine
     from sduss_tpu.request import SamplingParams
 
@@ -102,9 +103,8 @@ def test_displaced_composition_change_resets_state():
     worker = eng.workers[0]
     st = worker.pipeline._disp_state
     (key, entry), = st.items()
-    warm_before = entry["warm"]
-    assert warm_before >= 1
-    comp_before = entry["comp"]
+    assert entry["warm"] >= 1
+    assert entry["comp"] == ("ra",)
 
     eng.add_request("rb", SamplingParams(prompt="b", resolution=256,
                                          num_inference_steps=6, seed=2))
@@ -113,9 +113,37 @@ def test_displaced_composition_change_resets_state():
     assert len(outs) == 2
     for out in outs:
         assert np.isfinite(out.image.astype(np.float32)).all()
-    # state was rebuilt for a different composition at least once
-    entry_after = worker.pipeline._disp_state[key]
-    assert entry_after["comp"] != comp_before
+    # the mid-flight arrival ran as its own composition: a SECOND state
+    # entry was minted and threaded, and — because state is keyed by
+    # composition — interleaved batches did not thrash each other's KV
+    # (each entry's warm counter kept advancing past its sync warmup)
+    entries = {e["comp"]: e for e in worker.pipeline._disp_state.values()}
+    assert ("rb",) in entries
+    assert entries[("rb",)]["warm"] >= 2 and entries[("rb",)]["kv"]
+    assert entries[("ra",)]["warm"] == 6  # never reset by rb's batches
+
+
+def test_displaced_joint_batch_composition():
+    """Requests admitted together share one composition entry."""
+    from sduss_tpu.engine.engine import Engine
+    from sduss_tpu.request import SamplingParams
+
+    c = _cfg(warmup=1)
+    c.scheduler.batch_buckets = (2,)
+    c.scheduler.max_batch_size = 2
+    eng = Engine(c)
+    eng.add_request("ja", SamplingParams(prompt="a", resolution=256,
+                                         num_inference_steps=3, seed=1))
+    eng.add_request("jb", SamplingParams(prompt="b", resolution=256,
+                                         num_inference_steps=3, seed=2))
+    outs = []
+    while eng.has_unfinished_requests():
+        outs.extend(eng.step())
+    assert len(outs) == 2
+    worker = eng.workers[0]
+    entries = {e["comp"]: e for e in worker.pipeline._disp_state.values()}
+    assert ("ja", "jb") in entries
+    assert entries[("ja", "jb")]["warm"] == 3
 
 
 def test_displaced_cache_precedence_falls_back():
