@@ -47,6 +47,48 @@ def _random_params_bf16(model, seed: int = 0):
     return random_params_bf16(model, seed)
 
 
+def build_step_abstract(batch: int):
+    """(step_fn, abstract_args) with jax.ShapeDtypeStruct arguments — for
+    chip-free lowering / XLA cost analysis (scripts/sdxl_roofline.py).
+    Mirrors build_step's CFG step exactly but materializes nothing."""
+    import jax
+    import jax.numpy as jnp
+
+    from sduss_tpu.models.unet import SDXL_UNET, UNet2DConditionModel
+    from sduss_tpu.samplers import get_sampler
+    from sduss_tpu.utils import random_params_bf16
+
+    unet = UNet2DConditionModel(SDXL_UNET)
+    sampler = get_sampler("euler")
+    b, hw = batch, 128
+    params = jax.eval_shape(lambda: random_params_bf16(unet))
+    _, pooled_dim, n_ids = unet.cfg.addition_embed
+    sds = jax.ShapeDtypeStruct
+    args = (params,
+            sds((b, hw, hw, 4), jnp.bfloat16),
+            sds((b,), jnp.float32),
+            sds((b, 2), jnp.float32),
+            sds((b,), jnp.float32),
+            sds((b, 77, unet.cfg.cross_attention_dim), jnp.bfloat16),
+            sds((b, pooled_dim), jnp.bfloat16),
+            sds((b, n_ids), jnp.float32))
+
+    def step(params, latents, t, coeffs, guidance, ehs, pooled, time_ids):
+        c0, c1 = coeffs[:, 0], coeffs[:, 1]
+        lat_in = jnp.concatenate([latents, latents], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        lat_in = sampler.scale_model_input(lat_in, jnp.concatenate([c0, c0]))
+        added = {"text_embeds": jnp.concatenate([pooled, pooled], axis=0),
+                 "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
+        out = unet.apply(params, lat_in, t2,
+                         jnp.concatenate([ehs, ehs], axis=0), added_cond=added)
+        uncond, text = jnp.split(out, 2, axis=0)
+        eps = uncond + guidance.reshape(-1, 1, 1, 1) * (text - uncond)
+        return sampler.step(latents, eps, c0, c1)
+
+    return step, args
+
+
 def build_step(batch: int):
     import jax
     import jax.numpy as jnp
