@@ -118,11 +118,15 @@ def _mha_kernel_2pass_nobias(q_ref, k_ref, v_ref, o_ref, *, hd: int, hb: int,
     ``sdtype``: score-tile dtype.  bfloat16 halves the bytes of every
     softmax VPU pass (the binding resource at short-S shapes — see
     _mha_fused_kernel) at ~8-bit-mantissa logit precision; opt-in via
-    SDUSS_ATTN_BF16_SCORES until quality is bounded."""
+    SDUSS_ATTN_BF16_SCORES until quality is bounded.  The MXU still
+    accumulates f32 — Mosaic rejects bf16 matmul accumulators ('tpu.matmul'
+    verification error, exp/bench_attn_pipe chip run) — the cast happens on
+    the score tile after the contraction."""
     def qk(h):
-        return jax.lax.dot_general(
+        s = jax.lax.dot_general(
             q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
-            preferred_element_type=sdtype)
+            preferred_element_type=jnp.float32)
+        return s.astype(sdtype)
 
     def sm_pv(h, s):
         m = jnp.max(s, axis=1, keepdims=True)
@@ -294,14 +298,15 @@ def _mha_fused_kernel(q_ref, k_ref, v_ref, o_ref, *, nh: int, hd: int,
     def qk(h):
         qh = q[:, h * hd : (h + 1) * hd]
         kh = k_ref[0][:, h * hd : (h + 1) * hd]      # (kv_pad, hd)
+        # f32 MXU accumulation always (Mosaic rejects bf16 matmul
+        # accumulators); sdtype only shrinks the resident score tile
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=sdtype)           # (bq, kv_pad)
+            preferred_element_type=jnp.float32)      # (bq, kv_pad)
         if kv_len != kv_pad:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_len, jnp.asarray(s, jnp.float32),
-                          _NEG).astype(sdtype)
-        return s
+            s = jnp.where(col < kv_len, s, _NEG)
+        return s.astype(sdtype)
 
     def sm_pv(h, s):
         vh = v_ref[0][:, h * hd : (h + 1) * hd]
