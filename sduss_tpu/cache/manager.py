@@ -191,15 +191,26 @@ class BlockCache:
         return y, new_state, {"idx": idx, "scores": scores}
 
     def init_token_rows_fine(self, key: str, n_rows: int, seq: int, dim: int,
-                             dtype=jnp.bfloat16) -> dict:
+                             dtype=jnp.bfloat16, kv_pairs: int = 0) -> dict:
         """State for per-TOKEN delta-skip compaction (gate_tokens_fine):
         only the last-recompute input (drift reference) and per-token hit
         counts — residual blocks need no output cache, skipping a token's
-        update IS the reuse."""
-        return {
+        update IS the reuse.
+
+        ``kv_pairs`` (CacheConfig.fine_stale_kv): number of attention K/V
+        pairs the block carries across steps (1, or 2 for dual-attention
+        MMDiT blocks) — unselected tokens splice these STALE rows instead
+        of recomputing to_k/to_v and the full-sequence norm/modulation
+        every step.  Stored merged-heads (n, seq, dim), post qk-norm."""
+        st = {
             "inp": jnp.zeros((n_rows, seq, dim), dtype),
             "hits": jnp.full((n_rows, seq), self.config.max_hits, jnp.int32),
         }
+        for i in range(kv_pairs):
+            sfx = "" if i == 0 else "2"
+            st[f"k{sfx}"] = jnp.zeros((n_rows, seq, dim), dtype)
+            st[f"v{sfx}"] = jnp.zeros((n_rows, seq, dim), dtype)
+        return st
 
     def gate_tokens_fine(self, key: str, x, t_norm, state_k: dict,
                          compute_fn: Callable, k_t: int, token_valid=None):
@@ -239,10 +250,13 @@ class BlockCache:
         out = compute_fn(sel)
         bix = jnp.arange(x.shape[0])[:, None]
         x_sel = jnp.take_along_axis(x, sel[..., None], axis=1)
-        new_state = {
+        # extra keys (stale K/V rows, fine_stale_kv) pass through unchanged;
+        # the caller overwrites them with the block's fresh splices
+        new_state = dict(state_k)
+        new_state.update({
             "inp": state_k["inp"].astype(x.dtype).at[bix, sel].set(x_sel),
             "hits": (hits + 1).at[bix, sel].set(0),
-        }
+        })
         return out, new_state, {"sel": sel}
 
     def gate_compact_images(self, key: str, x, t_norm, state_k: dict,

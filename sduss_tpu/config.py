@@ -248,6 +248,16 @@ class CacheConfig:
     # all sub rows, so halos, moments and attention KV stay exact.
     # 1.0 = off (image granularity only).
     patch_fraction: float = 1.0
+    # Stale-KV splice for the per-TOKEN fine cache (MMDiT): unselected
+    # tokens reuse the PREVIOUS step's attention K/V instead of recomputing
+    # them (measured on chip: the fine/compact step saturates ~118 ms at any
+    # fraction because to_k/to_v and the full-sequence norm/modulation
+    # passes don't scale with the gate — exp/bench_sd3_v5e_r2_compact35
+    # .json).  This is DistriFuser's displaced staleness applied temporally
+    # per token: exact at patch_fraction 1.0 (every row refreshed every
+    # step), approximate below it — the first step of a request (or after a
+    # sequence-bucket change) runs a sync program that computes full K/V.
+    fine_stale_kv: bool = False
     deep_interval: int = 2
     # Always-full steps at the start of each trajectory (activation drift is
     # largest early in denoising; mirrors DistriFuser's warmup_steps idea).

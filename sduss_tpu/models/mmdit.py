@@ -212,7 +212,8 @@ class SD3Transformer2DModel:
         return out
 
     def _joint_block(self, p, x, c, temb, last: bool, dual: bool, ctx=None,
-                     tok_sel=None):
+                     tok_sel=None, kv_state=None, kv_stale: bool = False,
+                     kv_out=None):
         """One MMDiT joint block.
 
         ``tok_sel`` (B, k_t): per-token fine compaction
@@ -222,7 +223,17 @@ class SD3Transformer2DModel:
         This also composes with a sharded ctx (MMDiTShardContext): only the
         QUERIES are gated, K/V stay the full local rows, so the
         gathered/stale KV exchange is shape- and value-identical to the
-        ungated path — the fine gate runs per shard on local tokens."""
+        ungated path — the fine gate runs per shard on local tokens.
+
+        ``kv_state``/``kv_stale``/``kv_out`` (CacheConfig.fine_stale_kv):
+        merged-heads post-qk-norm K/V rows carried across steps.  With
+        kv_stale (static — its own compiled program) only the SELECTED
+        tokens run norm/modulation/to_k/to_v; the rest splice the previous
+        step's rows, killing the per-step full-sequence costs that cap the
+        fine cache (~118 ms at any fraction, exp/bench_sd3_v5e_r2_compact35
+        .json).  Without kv_stale (the sync program) K/V compute is exactly
+        the plain gated path and fresh full rows are emitted into
+        ``kv_out``.  Exact at patch_fraction 1.0."""
         cfg = self.cfg
         bix = None if tok_sel is None else jnp.arange(x.shape[0])[:, None]
 
@@ -235,8 +246,16 @@ class SD3Transformer2DModel:
         mods = jnp.split(mods, n_mod, axis=-1)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods[:6]
 
-        xn = L.layer_norm(None, x, 1e-6)
-        x_mod = xn * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        stale_kv = kv_state is not None and tok_sel is not None and kv_stale
+        if stale_kv:
+            # only the selected rows are normalized/modulated this step
+            xn = None
+            xn_sel = L.layer_norm(None, gather_tokens(x), 1e-6)
+            x_mod = None
+            x_mod_sel = xn_sel * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        else:
+            xn = L.layer_norm(None, x, 1e-6)
+            x_mod = xn * (1 + scale_msa[:, None]) + shift_msa[:, None]
 
         cmods = L.linear(p["norm1_context_proj"], silu_t)
         if last:
@@ -253,11 +272,29 @@ class SD3Transformer2DModel:
             c_gate = c_gate_msa
 
         ap = p["attn"]
-        q_src = x_mod if tok_sel is None else gather_tokens(x_mod)
-        q = self._heads(L.linear(ap["to_q"], q_src))
-        k = self._heads(L.linear(ap["to_k"], x_mod))
-        v = self._heads(L.linear(ap["to_v"], x_mod))
-        q, k = self._qk_norm(ap, q, k)
+        if stale_kv:
+            q = self._heads(L.linear(ap["to_q"], x_mod_sel))
+            k_s = self._heads(L.linear(ap["to_k"], x_mod_sel))
+            v_s = L.linear(ap["to_v"], x_mod_sel)          # merged (B,k_t,D)
+            q, k_s = self._qk_norm(ap, q, k_s)
+            k_m = kv_state["k"].astype(x.dtype).at[bix, tok_sel].set(
+                k_s.reshape(x.shape[0], -1, cfg.dim))
+            v_m = kv_state["v"].astype(x.dtype).at[bix, tok_sel].set(v_s)
+            k, v = self._heads(k_m), self._heads(v_m)
+            if kv_out is not None:
+                kv_out["k"], kv_out["v"] = k_m, v_m
+        else:
+            q_src = x_mod if tok_sel is None else gather_tokens(x_mod)
+            q = self._heads(L.linear(ap["to_q"], q_src))
+            k = self._heads(L.linear(ap["to_k"], x_mod))
+            v = self._heads(L.linear(ap["to_v"], x_mod))
+            q, k = self._qk_norm(ap, q, k)
+            if kv_state is not None and kv_out is not None:
+                # sync program: emit fresh full rows for the next stale step
+                kv_out["k"] = k.reshape(
+                    x.shape[0], -1, cfg.dim).astype(x.dtype)
+                kv_out["v"] = v.reshape(
+                    x.shape[0], -1, cfg.dim).astype(x.dtype)
         cq = self._heads(L.linear(ap["add_q_proj"], c_mod))
         ck = self._heads(L.linear(ap["add_k_proj"], c_mod))
         cv = self._heads(L.linear(ap["add_v_proj"], c_mod))
@@ -278,13 +315,32 @@ class SD3Transformer2DModel:
 
         if dual:
             shift2, scale2, gate2 = mods[6:]
-            x2 = xn * (1 + scale2[:, None]) + shift2[:, None]
             a2 = p["attn2"]
-            q2_src = x2 if tok_sel is None else gather_tokens(x2)
-            q2 = self._heads(L.linear(a2["to_q"], q2_src))
-            k2 = self._heads(L.linear(a2["to_k"], x2))
-            v2 = self._heads(L.linear(a2["to_v"], x2))
-            q2, k2 = self._qk_norm(a2, q2, k2)
+            if stale_kv:
+                x2_sel = xn_sel * (1 + scale2[:, None]) + shift2[:, None]
+                q2 = self._heads(L.linear(a2["to_q"], x2_sel))
+                k2_s = self._heads(L.linear(a2["to_k"], x2_sel))
+                v2_s = L.linear(a2["to_v"], x2_sel)
+                q2, k2_s = self._qk_norm(a2, q2, k2_s)
+                k2_m = kv_state["k2"].astype(x.dtype).at[bix, tok_sel].set(
+                    k2_s.reshape(x.shape[0], -1, cfg.dim))
+                v2_m = kv_state["v2"].astype(x.dtype).at[bix, tok_sel].set(
+                    v2_s)
+                k2, v2 = self._heads(k2_m), self._heads(v2_m)
+                if kv_out is not None:
+                    kv_out["k2"], kv_out["v2"] = k2_m, v2_m
+            else:
+                x2 = xn * (1 + scale2[:, None]) + shift2[:, None]
+                q2_src = x2 if tok_sel is None else gather_tokens(x2)
+                q2 = self._heads(L.linear(a2["to_q"], q2_src))
+                k2 = self._heads(L.linear(a2["to_k"], x2))
+                v2 = self._heads(L.linear(a2["to_v"], x2))
+                q2, k2 = self._qk_norm(a2, q2, k2)
+                if kv_state is not None and kv_out is not None:
+                    kv_out["k2"] = k2.reshape(
+                        x.shape[0], -1, cfg.dim).astype(x.dtype)
+                    kv_out["v2"] = v2.reshape(
+                        x.shape[0], -1, cfg.dim).astype(x.dtype)
             out2 = self._attention_seq(q2, k2, v2, ctx=ctx, s_lat=k2.shape[1])
             d2 = gate2[:, None] * L.linear(a2["to_out"], out2)
             if tok_sel is None:
@@ -351,7 +407,8 @@ class SD3Transformer2DModel:
         return L.linear(params["proj_out"], x)
 
     def _trunk(self, params, x, c, temb, ctx=None, cache=None,
-               cache_state=None, t_norm=None, row_valid=None):
+               cache_state=None, t_norm=None, row_valid=None,
+               fine_kv_stale: bool = False):
         """Joint blocks + final modulation/projection over token sequences.
 
         With cache/cache_state: per-block per-request output caching over the
@@ -393,13 +450,22 @@ class SD3Transformer2DModel:
                     x, c2 = self._joint_block(blk, x, c, temb, last, dual,
                                               ctx=ctx)
                 else:
-                    def blk_fn(sel, blk=blk, last=last, dual=dual, c_in=c):
-                        return self._joint_block(blk, x, c_in, temb, last,
-                                                 dual, ctx=ctx, tok_sel=sel)
+                    def blk_fn(sel, blk=blk, last=last, dual=dual, c_in=c,
+                               st=st):
+                        kv_st = {kk: st[kk]
+                                 for kk in ("k", "v", "k2", "v2")
+                                 if kk in st} or None
+                        kv_out = {}
+                        y, c2 = self._joint_block(
+                            blk, x, c_in, temb, last, dual, ctx=ctx,
+                            tok_sel=sel, kv_state=kv_st,
+                            kv_stale=fine_kv_stale, kv_out=kv_out)
+                        return y, c2, kv_out
 
-                    (x, c2), ns, _ = cache.gate_tokens_fine(
+                    (x, c2, kv_out), ns, _ = cache.gate_tokens_fine(
                         key, x, t_norm, st, blk_fn, k_t,
                         token_valid=token_valid)
+                    ns.update(kv_out)  # fresh splices win over passthrough
                     new_state[key] = ns
                 c = c2 if c2 is not None else c
             elif compact:
@@ -452,7 +518,8 @@ class SD3Transformer2DModel:
         return x.reshape(b, hp * ps, wp * ps, cfg.out_channels)
 
     def apply(self, params, latents, timesteps, encoder_hidden_states, pooled_projections,
-              ctx=None, cache=None, cache_state=None):
+              ctx=None, cache=None, cache_state=None,
+              fine_kv_stale: bool = False):
         """Denoise forward.
 
         latents: (B, H, W, C); timesteps: (B,); encoder_hidden_states:
@@ -476,7 +543,8 @@ class SD3Transformer2DModel:
             t_norm = timesteps.astype("float32") / 1000.0
             x, new_state = self._trunk(params, x, c, temb, ctx=ctx,
                                        cache=cache, cache_state=cache_state,
-                                       t_norm=t_norm)
+                                       t_norm=t_norm,
+                                       fine_kv_stale=fine_kv_stale)
             return self.unpatchify(x, hp, wp), new_state
         x = self._trunk(params, x, c, temb, ctx=ctx)
         return self.unpatchify(x, hp, wp)
@@ -488,7 +556,8 @@ class SD3Transformer2DModel:
 
     def apply_tokens(self, params, tokens, token_mask, timesteps,
                      encoder_hidden_states, pooled_projections,
-                     cache=None, cache_state=None, row_valid=None):
+                     cache=None, cache_state=None, row_valid=None,
+                     fine_kv_stale: bool = False):
         """Mixed-resolution forward over PADDED token sequences.
 
         tokens: (B, S_pad, dim) patch-embedded + position-embedded latent
@@ -508,7 +577,7 @@ class SD3Transformer2DModel:
         t_norm = timesteps.astype("float32") / 1000.0
         return self._trunk(params, tokens, c, temb, ctx=ctx, cache=cache,
                            cache_state=cache_state, t_norm=t_norm,
-                           row_valid=row_valid)
+                           row_valid=row_valid, fine_kv_stale=fine_kv_stale)
 
 
 class MMDiTMaskCtx:

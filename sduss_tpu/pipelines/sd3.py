@@ -184,8 +184,17 @@ class StableDiffusion3Pipeline(BasePipeline):
         cond = self._stack_cond([r.conditioning for r in ordered], bb)
 
         cache, cache_state = self._gather_sd3_cache(ordered, bb, s_pad)
-        fn = self._jit(("sd3_mixed", s_pad, bb, cache is not None),
-                       self._make_sd3_trunk_fn(cache))
+        # Stale-KV fine cache (CacheConfig.fine_stale_kv): the STALE program
+        # splices previous-step K/V for unselected tokens; it is valid only
+        # once every batch member has emitted KV rows through the SYNC
+        # program (host-tracked — no device fetch; the same sync-at-state-
+        # boundary shape as displaced serving, pipelines/base.py).
+        kv_stale = (cache is not None
+                    and getattr(cache.config, "fine_stale_kv", False)
+                    and cache.config.patch_fraction < 1.0
+                    and all(getattr(r, "fine_kv_ok", False) for r in ordered))
+        fn = self._jit(("sd3_mixed", s_pad, bb, cache is not None, kv_stale),
+                       self._make_sd3_trunk_fn(cache, kv_stale))
         if cache is None:
             out_tokens = fn(self.params, tokens, jnp.asarray(mask),
                             jnp.asarray(t), jnp.asarray(guidance), cond)
@@ -197,6 +206,10 @@ class StableDiffusion3Pipeline(BasePipeline):
                                        cond, cache_state,
                                        jnp.asarray(row_valid))
             self._scatter_sd3_cache(ordered, bb, new_state)
+            if getattr(cache.config, "fine_stale_kv", False) \
+                    and cache.config.patch_fraction < 1.0:
+                for r in ordered:
+                    r.fine_kv_ok = True
 
         # -- unpatchify + sampler step per resolution group
         i = 0
@@ -258,9 +271,18 @@ class StableDiffusion3Pipeline(BasePipeline):
         if cache.config.mode == "compact" and not token_fine:
             ctx_seq = ordered[0].conditioning["embeds"].shape[1]
 
+        want_kv = token_fine and getattr(cache.config, "fine_stale_kv", False)
+        dual = set(tr.cfg.dual_attention_layers)
+
         def fresh_rows(n):
             if token_fine:
-                return {key: cache.init_token_rows_fine(key, n, seq, dim, dtype)
+                def pairs(key):
+                    if not want_kv:
+                        return 0
+                    return 2 if int(key.removeprefix("block")) in dual else 1
+
+                return {key: cache.init_token_rows_fine(
+                            key, n, seq, dim, dtype, kv_pairs=pairs(key))
                         for key, (seq, dim) in layout.items()}
             return {key: cache.init_token_rows(key, n, seq, dim, dtype,
                                                ctx_seq=ctx_seq)
@@ -272,10 +294,14 @@ class StableDiffusion3Pipeline(BasePipeline):
             stale = (rows is None
                      or first["inp"].shape[1] != s_pad
                      or ("out" not in first) != token_fine
+                     or (token_fine and ("k" in first) != want_kv)
                      or (not token_fine
                          and isinstance(first["out"], dict) != (ctx_seq is not None)))
             if stale:
                 r.cache_rows = fresh_rows(2)
+                # stale-KV rows are zeros: the request's next step must run
+                # the SYNC program (full K/V compute) before stale splicing
+                r.fine_kv_ok = False
         state = {}
         pad = bb - len(ordered)
         pad_rows = fresh_rows(pad) if pad else None
@@ -302,7 +328,7 @@ class StableDiffusion3Pipeline(BasePipeline):
                     lambda a: jnp.concatenate(
                         [a[i : i + 1], a[bb + i : bb + i + 1]], axis=0), entry)
 
-    def _make_sd3_trunk_fn(self, cache):
+    def _make_sd3_trunk_fn(self, cache, kv_stale: bool = False):
         def fn(params, tokens, mask, t, guidance, cond, cache_state=None,
                row_valid=None):
             import jax.numpy as jnp
@@ -320,7 +346,8 @@ class StableDiffusion3Pipeline(BasePipeline):
                 out, new_state = tr.apply_tokens(
                     params["transformer"], tok2, mask2, t2,
                     ehs.astype(tokens.dtype), pooled.astype(tokens.dtype),
-                    cache=cache, cache_state=cache_state, row_valid=rv2)
+                    cache=cache, cache_state=cache_state, row_valid=rv2,
+                    fine_kv_stale=kv_stale)
             else:
                 out = tr.apply_tokens(
                     params["transformer"], tok2, mask2, t2,
