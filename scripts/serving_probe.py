@@ -82,6 +82,7 @@ async def _run(args):
         config.cache.enabled = True
         config.cache.mode = "compact"
         config.cache.patch_fraction = args.cache_fraction
+        config.cache.fine_stale_kv = args.fine_stale_kv
     clf = f"exp/cache_classifiers_{args.model}_v5e.npz"
     if config.cache.enabled and os.path.exists(clf):
         config.cache.classifier_path = clf
@@ -117,7 +118,9 @@ async def _run(args):
         t0 = time.time()
         if args.prewarm:
             comps = None
-            if args.mixed_prewarm:
+            if args.mixed_prewarm == "auto":
+                comps = "auto"  # every reachable mixed compile key
+            elif args.mixed_prewarm:
                 comps = [
                     {int(p.split(":")[0]): int(p.split(":")[1])
                      for p in group.split(",")}
@@ -253,9 +256,13 @@ def main():
                          "(top-K request rows), fine (per-token delta-skip; "
                          "SD3), off")
     ap.add_argument("--cache-fraction", type=float, default=0.5)
+    ap.add_argument("--fine-stale-kv", action="store_true",
+                    help="with --cache-mode fine: unselected tokens splice "
+                         "the previous step's K/V (CacheConfig.fine_stale_kv)")
     ap.add_argument("--mixed-prewarm", default="",
                     help="comma list of res:count pairs per composition, "
-                         "';'-separated, e.g. '512:2,1024:2;512:4,1024:4' — "
+                         "';'-separated (or 'auto' = every reachable mixed "
+                         "compile key), e.g. '512:2,1024:2;512:4,1024:4' — "
                          "warms the PATCHED-path jit keys a mixed trace hits")
     ap.add_argument("--predictor", default=None,
                     help="default exp/predictor_<model>_v5e.npz if present")

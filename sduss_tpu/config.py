@@ -287,6 +287,18 @@ class CacheConfig:
     # deep features, re-synchronizing the batch); a candidate whose SLO slack
     # cannot afford the wait is admitted immediately (SLO beats cache).
     phase_admission: bool = True
+    # Deep x compact HYBRID (mode "deep" only): on SHALLOW steps,
+    # additionally gate the shallow block pairs (the only blocks a shallow
+    # step runs) with top-K compact row recompute — each gated pair
+    # recomputes only this fraction of the CFG-doubled image rows (the
+    # most-drifted ones, cache/manager.py gate_compact) and splices cached
+    # outputs for the rest.  Composes the two redundancy axes the reference
+    # exploits separately (temporal deep reuse + per-row drift adaptivity,
+    # cache_manager.py:84-191): full steps recompute everything and
+    # write-through the row caches, bounding staleness.  None = off;
+    # 1.0 = on at full capacity (exactly equal to plain deep mode — the
+    # correctness control, tests/test_cache.py).
+    deep_compact_fraction: Optional[float] = None
     # Deep boundary level; None => deepest level + mid.
     deep_boundary: Optional[int] = None
     # Force recompute after this many consecutive cache hits (reference uses

@@ -11,7 +11,7 @@ only concurrency that matters (host scheduling overlapped with device work).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Union
 
 from sduss_tpu.config import Config
 from sduss_tpu.dispatcher import get_dispatch_policy
@@ -135,7 +135,8 @@ class Engine:
     def prewarm(self, resolutions: Optional[Sequence[int]] = None,
                 buckets: Optional[Sequence[int]] = None,
                 steps: Optional[int] = None,
-                compositions: Optional[Sequence[Dict[int, int]]] = None) -> float:
+                compositions: Union[str, Sequence[Dict[int, int]], None]
+                = None) -> float:
         """Compile-warm every (resolution x batch-bucket x cache-mode) step
         program by running throwaway requests through the production loop.
 
@@ -153,6 +154,11 @@ class Engine:
         driven directly on each replica's pipeline (denoise_step_mixed) —
         not through the scheduler, whose policy may serve the resolutions
         as separate uniform batches and never mint the mixed jit key.
+        Pass the string "auto" to enumerate EVERY mixed compile key
+        reachable under max_batch_size (ops/patching.py
+        enumerate_mixed_compositions) — hand-listing under-covers: a cold
+        composition key minted mid-serving stalled the r2l mixed pass
+        ~150 s twice and aborted 10/12 requests.
         """
         t0 = time.time()
         sc = self.config.scheduler
@@ -185,6 +191,22 @@ class Engine:
                        compositions) -> float:
         bks = [b for b in (buckets or sc.batch_buckets)
                if b <= sc.max_batch_size]
+        if compositions == "auto":
+            from sduss_tpu.ops import patching
+
+            pipe0 = self.workers[0].pipeline
+            cells = sc.patch_size // pipe0.vae_scale
+            res_to_grid = {}
+            for res in res_list:
+                hw = res // pipe0.vae_scale
+                if hw % cells == 0:  # patchable (denoise_step_mixed gate)
+                    res_to_grid[res] = hw // cells
+            compositions = patching.enumerate_mixed_compositions(
+                res_to_grid, sc.max_batch_size, sc.patch_buckets,
+                sc.batch_buckets)
+            logger.info("prewarm: auto-enumerated %d mixed compile keys "
+                        "for resolutions %s", len(compositions),
+                        sorted(res_to_grid))
         n = 0
         # Drive each REPLICA's pipeline directly (like the mixed block
         # below) rather than dispatching through the engine: with dp > 1

@@ -120,9 +120,12 @@ class Worker:
                 by_res.setdefault(r.resolution, []).append(r)
             if batch.mixed and self.config.scheduler.use_mixed_resolution \
                     and hasattr(pipe, "denoise_step_mixed"):
-                pipe.denoise_step_mixed(by_res)
+                # allow_cold=False: a cold mixed compile key serves dense
+                # this step and warms in the background (never stalls the
+                # serving loop; see denoise_step_mixed docstring)
+                pipe.denoise_step_mixed(by_res, allow_cold=False)
             else:
-                pipe.denoise_step(by_res)
+                pipe.denoise_step(by_res, allow_cold=False)
             for r in batch.requests:
                 if r.start_denoising_time is None:
                     r.start_denoising_time = time.time()

@@ -430,6 +430,40 @@ class UNet2DConditionModel:
                 layout[f"up{i}.{j}"] = (s, res_in + skip_ch, rev[i])
         return layout
 
+    def shallow_cache_layout(self, cells: int, boundary: Optional[int] = None):
+        """Gated-block layout for the deep x compact HYBRID: only the pairs a
+        SHALLOW deep-mode step actually runs (down levels < boundary, up
+        blocks with level < boundary; no mid).  key -> (s, c_in, c_out) with
+        c_in counting the skip concat for up pairs, matching apply()'s gate
+        inputs."""
+        cfg = self.cfg
+        n_levels = len(cfg.block_out_channels)
+        if boundary is None:
+            boundary = n_levels - 1
+        bo = cfg.block_out_channels
+        layout = {}
+        out_ch = bo[0]
+        for i in range(n_levels):
+            in_ch, out_ch = out_ch, bo[i]
+            if i >= boundary:
+                break
+            s = cells >> i
+            for j in range(cfg.layers_per_block):
+                layout[f"down{i}.{j}"] = (s, in_ch if j == 0 else out_ch, out_ch)
+        rev = list(reversed(bo))
+        first_shallow_up = n_levels - boundary
+        for i in range(n_levels):
+            lvl = n_levels - 1 - i
+            if i < first_shallow_up:
+                continue
+            s = cells >> lvl
+            prev_out = bo[-1] if i == 0 else rev[i - 1]
+            for j in range(cfg.layers_per_block + 1):
+                res_in = prev_out if j == 0 else rev[i]
+                skip_ch = bo[max(lvl - 1, 0)] if j == cfg.layers_per_block else bo[lvl]
+                layout[f"up{i}.{j}"] = (s, res_in + skip_ch, rev[i])
+        return layout
+
     def apply(self, params, sample, timesteps, encoder_hidden_states,
               added_cond=None, ctx: Any = None, cache: Any = None,
               cache_state: Any = None, deep_mode: Optional[str] = None,
@@ -452,11 +486,18 @@ class UNet2DConditionModel:
         Returns (out, deep_feature) when deep_mode is given.
         """
         cfg = self.cfg
-        if deep_mode is not None and cache is not None:
+        hybrid = (deep_mode is not None and cache is not None
+                  and getattr(cache.config, "deep_compact_fraction", None)
+                  is not None)
+        if deep_mode is not None and cache is not None and not hybrid:
             # the deep-mode return (out, deep_feature) would silently drop
             # the new cache state: gates would splice against a frozen
             # reference forever
-            raise ValueError("deep_mode and cache are mutually exclusive")
+            raise ValueError("deep_mode and cache are mutually exclusive "
+                             "(set CacheConfig.deep_compact_fraction for "
+                             "the hybrid, which returns all three)")
+        if hybrid and ctx is not None:
+            raise ValueError("deep x compact hybrid is dense-path only")
         n_levels = len(cfg.block_out_channels)
         boundary = deep_boundary if deep_boundary is not None else n_levels - 1
         temb = self.time_embed(params, timesteps, added_cond, dtype=sample.dtype)
@@ -479,6 +520,15 @@ class UNet2DConditionModel:
         if compact:
             n_active = max(1, round(sample.shape[0]
                                     * cache.config.compact_fraction))
+        if hybrid:
+            # deep x compact hybrid (CacheConfig.deep_compact_fraction):
+            # SHALLOW steps gate their pairs at top-K row capacity; FULL
+            # steps compute everything and write the row caches through
+            # (inp/out refresh + hits reset), bounding row staleness by the
+            # deep refresh policy itself.
+            compact = caching and deep_mode == "shallow"
+            n_active = max(1, round(sample.shape[0]
+                                    * cache.config.deep_compact_fraction))
         sub_ctx = caps = None
         if patch_compact:
             from sduss_tpu.ops.patch_ctx import PatchContext
@@ -498,6 +548,14 @@ class UNet2DConditionModel:
             st = cache_state.get(key)
             if st is None:  # ungated level (below cache min_level)
                 return compute_fn(x, temb, ehs, ctx)
+            if hybrid and deep_mode == "full":
+                # write-through: full steps recompute everything and
+                # re-anchor the row caches (drift reference + hits reset),
+                # so row staleness is bounded by the deep refresh policy
+                y = compute_fn(x, temb, ehs, ctx)
+                new_state[key] = {"inp": x, "out": y,
+                                  "hits": jnp.zeros_like(st["hits"])}
+                return y
             if compact:
                 fn = lambda x_c, idx: compute_fn(x_c, temb[idx], ehs[idx], None)  # noqa: E731
                 y, ns, _ = cache.gate_compact(key, x, t_norm, st, fn,
@@ -599,6 +657,8 @@ class UNet2DConditionModel:
         h = _gn_silu_conv(params["conv_norm_out"], params["conv_out"], h,
                           cfg.norm_num_groups, ctx, 0)
         if deep_mode is not None:
+            if caching:  # deep x compact hybrid
+                return h, deep_feature, new_state
             return h, deep_feature
         if cache is not None and cache_state is not None:
             return h, new_state

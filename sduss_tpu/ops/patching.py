@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -313,3 +313,53 @@ def haloed(x: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.ndarray:
     mid = jnp.concatenate([left, x, right], axis=2)    # (P, s, s+2, C)
     bot = jnp.concatenate([dl, down, dr], axis=2)      # (P, 1, s+2, C)
     return jnp.concatenate([top, mid, bot], axis=1)
+
+
+def enumerate_mixed_compositions(
+        res_to_grid: Dict[int, int], max_batch: int,
+        patch_buckets: Sequence[int],
+        image_buckets: Sequence[int]) -> List[Dict[int, int]]:
+    """One representative composition per REACHABLE mixed compile key.
+
+    The patched step's jit key is ``PatchMeta.compile_key`` — entirely a
+    function of bucketed counts, so the infinite composition space folds
+    into a small finite key set.  Prewarm warms exactly this set; listing
+    compositions by hand under-covers (measured: the r2l mixed serving run
+    prewarmed {512:2,1024:2} and {512:4,1024:4}, then a 512:1+1024:1
+    admission minted TWO cold keys mid-pass — ~150 s each through the
+    relay — and aborted 10/12 requests, exp/serving_sdxl_mixed_v5e_r2.json).
+
+    ``res_to_grid``: resolution -> patch-grid side g for PATCHABLE
+    resolutions (hw % cells == 0; the caller filters).  Enumerates every
+    multiset with >=2 distinct resolutions and total count <= max_batch
+    (a superset of what any admission policy can form), keyed by
+    (build_meta.compile_key, double_meta.compile_key) — the PAIR, because
+    the step closure bakes in both metas' statics and the doubled meta can
+    bucket differently for compositions whose single metas collide
+    (pipelines/base.py denoise_step_mixed jit_key).
+    """
+    reps: Dict[Tuple, Dict[int, int]] = {}
+    res_list = sorted(res_to_grid)
+    if len(res_list) < 2 or max_batch < 2:
+        return []
+
+    def rec(i: int, left: int, counts: List[int]):
+        if i == len(res_list):
+            if sum(1 for c in counts if c) >= 2:
+                # grids ordered like denoise_step_mixed: requests sorted
+                # by resolution ascending
+                grids = tuple(g for res, c in zip(res_list, counts)
+                              for g in [res_to_grid[res]] * c)
+                key = (build_meta(grids, 0, tuple(patch_buckets),
+                                  tuple(image_buckets)).compile_key
+                       + double_meta(grids, 0, tuple(patch_buckets),
+                                     tuple(image_buckets)).compile_key)
+                if key not in reps:
+                    reps[key] = {res: c for res, c in zip(res_list, counts)
+                                 if c}
+            return
+        for c in range(0, left + 1):
+            rec(i + 1, left - c, counts + [c])
+
+    rec(0, max_batch, [])
+    return list(reps.values())

@@ -21,6 +21,7 @@ sampler coefficient rows (sduss_tpu/samplers/base.py).
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -77,6 +78,12 @@ class BasePipeline:
         self._params_device: Optional[dict] = None
         # jit caches are keyed by (name, *static shape info)
         self._fns: Dict[Any, Callable] = {}
+        # keys whose program has EXECUTED at least once (jit compiles at
+        # first call, not at _jit() time) — drives mixed warm-key routing
+        self._executed_keys: set = set()
+        self._mixed_warm_pending: set = set()
+        self._mixed_warm_lock = threading.Lock()
+        self._mixed_warm_thread: Optional[threading.Thread] = None
 
     # -- device placement ----------------------------------------------------
 
@@ -168,9 +175,18 @@ class BasePipeline:
 
     # -- stage 2: one denoising step ----------------------------------------
 
-    def denoise_step(self, reqs_by_res: Dict[int, List[Request]]) -> None:
+    def denoise_step(self, reqs_by_res: Dict[int, List[Request]],
+                     allow_cold: bool = True) -> None:
         """Run ONE denoiser step for every request in the groups (dense path:
-        one jitted call per resolution group)."""
+        one jitted call per resolution group).
+
+        ``allow_cold`` is accepted for signature parity with
+        denoise_step_mixed (the Worker passes False everywhere): dense keys
+        are the finite (res x bucket) set uniform prewarm always covers, so
+        the dense path itself never routes — but subclasses that REDIRECT
+        uniform batches onto a combinatorial-key path (SD3's token path)
+        propagate it."""
+        del allow_cold
         for res in sorted(reqs_by_res):
             reqs = reqs_by_res[res]
             if not reqs:
@@ -455,6 +471,7 @@ class BasePipeline:
         member lacks a fresh deep feature, else shallow until deep_interval.
         """
         interval, warmup, adaptive = self._deep_policy()
+        hybrid = self.config.cache.deep_compact_fraction is not None
         need_full = any(
             r.deep_state is None or r.deep_age >= interval - 1
             or r.sampler_table.step < warmup
@@ -463,6 +480,7 @@ class BasePipeline:
             or r.deep_state.shape[0] != 2
             or r.deep_state.shape[1] != latents.shape[1] // self._deep_factor()
             or (adaptive and self._drift_exceeds(r))
+            or (hybrid and self._hybrid_rows_stale(r, res))
             for r in reqs)
         mode = "full" if need_full else "shallow"
 
@@ -477,11 +495,15 @@ class BasePipeline:
         else:
             deep = None
 
-        fn = self._jit(("denoise_deep", mode, res, bb),
-                       self._make_deep_fn(mode))
-        new_latents, deep_out = fn(self.params, latents, jnp.asarray(t),
-                                   jnp.asarray(coeffs), jnp.asarray(guidance),
-                                   cond, deep)
+        if hybrid:
+            new_latents, deep_out = self._deep_hybrid_call(
+                res, reqs, bb, latents, t, coeffs, guidance, cond, mode, deep)
+        else:
+            fn = self._jit(("denoise_deep", mode, res, bb),
+                           self._make_deep_fn(mode))
+            new_latents, deep_out = fn(self.params, latents, jnp.asarray(t),
+                                       jnp.asarray(coeffs),
+                                       jnp.asarray(guidance), cond, deep)
         for i, r in enumerate(reqs):
             if mode == "full":
                 r.deep_state = jnp.stack(
@@ -554,6 +576,94 @@ class BasePipeline:
 
         return fn
 
+    # -- deep x compact hybrid (CacheConfig.deep_compact_fraction) -------------
+
+    def _hybrid_layout(self, res):
+        """Gated-pair layout for the hybrid: only the pairs a SHALLOW step
+        runs (models/unet.py shallow_cache_layout)."""
+        cells = res // self.vae_scale
+        return self.bundle.denoiser.shallow_cache_layout(
+            cells, self.config.cache.deep_boundary)
+
+    def _hybrid_rows_stale(self, r, res) -> bool:
+        """True when the request's hybrid row caches don't match the layout
+        (fresh request, resolution change, or rows from another cache mode).
+        Stale rows force a FULL step, whose write-through re-anchors them."""
+        layout = self._hybrid_layout(res)
+        rows = r.cache_rows
+        if rows is None or set(rows) != set(layout):
+            return True
+        first = next(iter(layout))
+        return rows[first]["inp"].shape[:2] != (2, layout[first][0])
+
+    def _deep_hybrid_call(self, res, reqs, bb, latents, t, coeffs, guidance,
+                          cond, mode: str, deep):
+        """One deep-mode step with per-pair compact row gating on shallow
+        steps (write-through on full steps).  Threads per-request row caches
+        exactly like _denoise_group_compact: rows are CFG-doubled
+        ([uncond x bb | cond x bb], matching _cfg_step's concat order)."""
+        from sduss_tpu.cache.manager import BlockCache
+
+        if not hasattr(self, "_cache_obj"):
+            self._cache_obj = BlockCache(self.config.cache)
+        cache = self._cache_obj
+        layout = self._hybrid_layout(res)
+        dtype = self._latent_dtype()
+        b = len(reqs)
+        for r in reqs:
+            if self._hybrid_rows_stale(r, res):
+                r.cache_rows = {
+                    key: cache.init_rows(key, 2, s, c_in, c_out, dtype)
+                    for key, (s, c_in, c_out) in layout.items()}
+        state = {}
+        pad = bb - b
+        for key, (s, c_in, c_out) in layout.items():
+            parts_u = [jax.tree.map(lambda a: a[0:1], r.cache_rows[key])
+                       for r in reqs]
+            parts_c = [jax.tree.map(lambda a: a[1:2], r.cache_rows[key])
+                       for r in reqs]
+            if pad:
+                z = cache.init_rows(key, pad, s, c_in, c_out, dtype)
+                parts_u.append(z)
+                parts_c.append(z)
+            state[key] = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *(parts_u + parts_c))
+        row_valid = np.zeros((bb,), bool)
+        row_valid[:b] = True
+        fn = self._jit(("denoise_deep_hybrid", mode, res, bb),
+                       self._make_deep_hybrid_fn(mode))
+        new_latents, deep_out, new_state = fn(
+            self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
+            jnp.asarray(guidance), cond, deep, state, jnp.asarray(row_valid))
+        for key, entry in new_state.items():
+            for i, r in enumerate(reqs):
+                r.cache_rows[key] = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a[i : i + 1], a[bb + i : bb + i + 1]], axis=0), entry)
+        return new_latents, deep_out
+
+    def _make_deep_hybrid_fn(self, mode: str):
+        cache = self._cache_obj
+
+        def fn(params, latents, t, coeffs, guidance, cond, deep, cache_state,
+               row_valid):
+            rv2 = jnp.concatenate([row_valid, row_valid], axis=0)
+
+            def call(lat_in, t2):
+                h, deep_out, new_state = self.denoiser_forward(
+                    params, lat_in, t2, cond, cache=cache,
+                    cache_state=cache_state, deep_mode=mode, deep_state=deep,
+                    row_valid=rv2)
+                return h, (deep_out, new_state)
+
+            noise_pred, c0, c1, extra = self._cfg_step(
+                latents, t, coeffs, guidance, call)
+            deep_out, new_state = extra
+            return (self.sampler.step(latents, noise_pred, c0, c1),
+                    deep_out, new_state)
+
+        return fn
+
     def _denoise_fn_stateful(self, params, latents, t, coeffs, guidance, cond, state):
         noise_pred, c0, c1 = self._cfg_forward(params, latents, t, coeffs,
                                                guidance, cond)
@@ -583,13 +693,24 @@ class BasePipeline:
 
     # -- stage 2b: mixed-resolution patch step -------------------------------
 
-    def denoise_step_mixed(self, reqs_by_res: Dict[int, List[Request]]) -> None:
+    def denoise_step_mixed(self, reqs_by_res: Dict[int, List[Request]],
+                           allow_cold: bool = True) -> None:
         """ONE denoiser step over a mixed-resolution patch batch.
 
         All requests share a single jitted UNet forward: latents are sliced
         into patch_size patches, concatenated patch-major (sorted by
         resolution, reference FCFS_Mixed.py:59-70), and the patch context
         provides halo convs / per-image group norm / grouped attention.
+
+        ``allow_cold=False`` (the serving Worker): a COLD mixed compile key
+        must never stall the serving loop (measured: ~150 s per cold key
+        through the relay; the r2l mixed pass aborted 10/12 requests on two
+        such stalls, exp/serving_sdxl_mixed_v5e_r2.json).  The batch serves
+        as dense per-res groups this step (those keys are always warm from
+        uniform prewarm) while a daemon thread warms the mixed key on
+        throwaway requests; later steps take the patched path.  Direct
+        callers (tests, prewarm, offline exactness checks) default to the
+        old block-on-compile behavior.
         """
         from sduss_tpu.ops import patching
 
@@ -619,6 +740,25 @@ class BasePipeline:
         meta2 = patching.double_meta(grids, cells, tuple(sc.patch_buckets),
                                      tuple(sc.batch_buckets))
 
+        # -- warm-key routing (host-only decision, before any device work)
+        stateful = self.sampler.needs_state
+        cache = self._block_cache()
+        deep_mode = self._deep_mode_mixed(ordered, grids)
+        cache_tag = type(cache).__name__ if cache is not None else (
+            "sampler_state" if stateful else None)
+        # BOTH metas' compile keys: the closure bakes in meta AND meta2
+        # statics, and compositions can share meta.compile_key while their
+        # CFG-DOUBLED metas bucket differently (512:1 and 512:2 both bucket
+        # the single class to ipc 2, but double to ipc 2 vs 4 — measured:
+        # the colliding retrace crashed the r2n mixed serving pass with a
+        # grouped-attention reshape error).
+        jit_key = (("denoise_mixed", cache_tag, deep_mode)
+                   + meta.compile_key + meta2.compile_key)
+        if not allow_cold and jit_key not in self._executed_keys:
+            self._queue_mixed_warm(tuple(sorted(
+                (res, len(rs)) for res, rs in reqs_by_res.items())))
+            return self.denoise_step(reqs_by_res)
+
         # patch batch (device)
         parts = [patching.split_latent(r.latents, cells) for r in ordered]
         x = jnp.concatenate(parts, axis=0)
@@ -647,15 +787,13 @@ class BasePipeline:
 
         cache, cache_state = self._gather_cache_state(ordered, grids, meta, cells)
 
-        deep_mode, deep_batch = self._gather_deep_mixed(ordered, grids, meta)
+        deep_mode, deep_batch = self._gather_deep_mixed(ordered, grids, meta,
+                                                        deep_mode)
 
         from sduss_tpu.ops.patch_ctx import ctx_arrays
 
         a1, a2 = ctx_arrays(meta), ctx_arrays(meta2)
-        stateful = self.sampler.needs_state
-        cache_tag = type(cache).__name__ if cache is not None else (
-            "sampler_state" if stateful else None)
-        fn = self._jit(("denoise_mixed", cache_tag, deep_mode) + meta.compile_key,
+        fn = self._jit(jit_key,
                        self._make_mixed_fn(meta, meta2, cache, deep_mode,
                                            stateful=stateful))
         if deep_mode is not None:
@@ -676,6 +814,8 @@ class BasePipeline:
             new_x, new_state = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
                                   jnp.asarray(guidance), cond, a1, a2, cache_state)
             self._scatter_cache_state(ordered, grids, meta, new_state)
+        # the call above compiled synchronously: the key is warm
+        self._executed_keys.add(jit_key)
 
         # unpack per request
         off = 0
@@ -691,6 +831,77 @@ class BasePipeline:
                 # features were computed from); shallow: this step's output
                 self._note_drift(r, deep_mode,
                                  prev if deep_mode == "full" else r.latents)
+
+    # -- background mixed-key warming (warm-key routing) -----------------------
+
+    def _queue_mixed_warm(self, comp) -> None:
+        """Warm a mixed composition's step programs in a daemon thread.
+
+        ``comp``: sorted ((res, count), ...).  JAX jit dispatch and XLA
+        compilation are thread-safe; the warm drive uses THROWAWAY requests,
+        so the only shared mutable state is the _fns dict (GIL-atomic) and
+        _executed_keys.  The serving loop keeps serving the mix dense until
+        the key lands.
+        """
+        with self._mixed_warm_lock:
+            if comp in self._mixed_warm_pending:
+                return
+            self._mixed_warm_pending.add(comp)
+            if (self._mixed_warm_thread is None
+                    or not self._mixed_warm_thread.is_alive()):
+                self._mixed_warm_thread = threading.Thread(
+                    target=self._mixed_warm_loop, daemon=True,
+                    name="mixed-key-warm")
+                self._mixed_warm_thread.start()
+
+    def _mixed_warm_loop(self) -> None:
+        done: set = set()
+        while True:
+            with self._mixed_warm_lock:
+                todo = next((c for c in self._mixed_warm_pending
+                             if c not in done), None)
+                if todo is None:
+                    self._mixed_warm_thread = None
+                    return
+            try:
+                self._warm_composition(todo)
+                logger.info("mixed warm: composition %s ready", dict(todo))
+            except Exception:  # never kill serving over a warm failure
+                logger.exception("mixed warm failed for %s", dict(todo))
+            done.add(todo)
+
+    def _warm_composition(self, comp) -> None:
+        """Drive enough mixed steps on throwaway requests to mint every
+        program variant the production loop will ask for (full + shallow
+        under the deep cache; the single cached/plain program otherwise)."""
+        from sduss_tpu.request import SamplingParams, Stage
+
+        cc = self.config.cache
+        steps = 2
+        if cc.enabled and cc.mode == "deep":
+            interval = max(cc.deep_max_interval if cc.deep_adaptive
+                           else cc.deep_interval, 1)
+            steps = cc.deep_warmup + interval + 1
+        reqs_by_res: Dict[int, List[Request]] = {}
+        flat: List[Request] = []
+        for res, count in comp:
+            rs = [Request(f"mixwarm-{res}-{i}", SamplingParams(
+                      prompt="", resolution=res,
+                      num_inference_steps=steps + 2, seed=0))
+                  for i in range(count)]
+            reqs_by_res[res] = rs
+            flat.extend(rs)
+        self.prepare(flat)
+        for r in flat:
+            r.stage = Stage.DENOISING
+        for _ in range(steps):
+            for r in flat:
+                # quiet the adaptive drift trigger PER REQUEST (random
+                # activations drift wildly; a shared-config pin like
+                # Engine.prewarm's would corrupt concurrent production)
+                r.drift_pending.clear()
+                r.drift_last = 0.0
+            self.denoise_step_mixed(reqs_by_res, allow_cold=True)
 
     # -- stateful sampler state on the patch path ------------------------------
 
@@ -833,11 +1044,12 @@ class BasePipeline:
             state[key] = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         return cache, state
 
-    def _gather_deep_mixed(self, ordered, grids, meta):
-        """Mixed-path deep reuse: per-request deep-feature rows -> CFG-doubled
-        batch ([uncond | pad | cond | pad], like the cache rows)."""
+    def _deep_mode_mixed(self, ordered, grids) -> Optional[str]:
+        """Host-only full/shallow decision for the mixed path (no device
+        work — also drives warm-key routing, which must know the jit key
+        BEFORE any batch gathering)."""
         if not self._deep_cache_active():
-            return None, None
+            return None
         interval, warmup, adaptive = self._deep_policy()
         # a request may flip between the dense and patched paths across steps
         # (batch composition changes); a layout mismatch forces a full pass
@@ -847,8 +1059,13 @@ class BasePipeline:
             or r.deep_state.shape[0] != 2 * g * g
             or (adaptive and self._drift_exceeds(r))
             for r, g in zip(ordered, grids))
-        if need_full:
-            return "full", None
+        return "full" if need_full else "shallow"
+
+    def _gather_deep_mixed(self, ordered, grids, meta, mode: Optional[str]):
+        """Mixed-path deep reuse: per-request deep-feature rows -> CFG-doubled
+        batch ([uncond | pad | cond | pad], like the cache rows)."""
+        if mode != "shallow":
+            return mode, None
         pad_rows = meta.p_pad - sum(g * g for g in grids)
         halves = {0: [], 1: []}
         for r, g in zip(ordered, grids):
@@ -942,6 +1159,13 @@ class BasePipeline:
             reqs = [r for r in all_reqs if r.params.output_type != "latent"]
             # chunk: full-res decode activations are the pipeline's HBM peak
             chunk = max(self.config.scheduler.decode_batch, 1)
+            tile = self.config.model.vae_tile_latent
+            if tile and res // self.vae_scale > tile:
+                # Tiled decode is active because even ONE image's decode
+                # presses the HBM ceiling (SD3 16-ch VAE); batching tiles
+                # multiplies the per-tile live set and OOMs a 16 GB v5e at
+                # b2 (measured, r2l serving prewarm) — decode one at a time.
+                chunk = 1
             for i in range(0, len(reqs), chunk):
                 self._decode_group(res, reqs[i : i + chunk])
 

@@ -91,7 +91,7 @@ class StableDiffusion3Pipeline(BasePipeline):
 
         return MMDiTShardContext
 
-    def denoise_step(self, reqs_by_res):
+    def denoise_step(self, reqs_by_res, allow_cold: bool = True):
         """Uniform-resolution batches route through the TOKEN path when the
         token cache is on: the worker's ``mixed`` flag reflects only the
         resolution mixture (engine/worker.py:122), but the MMDiT's ONLY
@@ -100,10 +100,10 @@ class StableDiffusion3Pipeline(BasePipeline):
         token-cache support), so cache-mode runs measured dense."""
         if self._sd3_cache() is not None and not (
                 self.sampler.needs_state and self.config.cache.enabled):
-            return self.denoise_step_mixed(reqs_by_res)
+            return self.denoise_step_mixed(reqs_by_res, allow_cold=allow_cold)
         return super().denoise_step(reqs_by_res)
 
-    def denoise_step_mixed(self, reqs_by_res):
+    def denoise_step_mixed(self, reqs_by_res, allow_cold: bool = True):
         """ONE MMDiT step over a mixed-resolution PADDED-TOKEN batch.
 
         The transformer analog of the UNet patch batch (reference
@@ -111,6 +111,11 @@ class StableDiffusion3Pipeline(BasePipeline):
         latent token runs are right-padded to a shared sequence bucket and
         masked in attention, so the 24-block trunk compiles once per
         (seq bucket, batch bucket) and serves any resolution mixture.
+
+        ``allow_cold=False``: warm-key routing like the UNet patch path
+        (base.py denoise_step_mixed) — a cold (seq, batch, cache) trunk key
+        serves this step as dense per-res groups (no token cache) while a
+        daemon thread warms the token-path programs on throwaways.
         """
         import jax
         import jax.numpy as jnp
@@ -136,6 +141,25 @@ class StableDiffusion3Pipeline(BasePipeline):
         s_pad = bucket_for(max(lens), seq_buckets)
         b = len(ordered)
         bb = bucket_for(b, self.config.scheduler.batch_buckets)
+
+        # -- warm-key routing (host-only; before any device work).  kv_stale
+        # flips per step with host-tracked sync state, so require BOTH trunk
+        # variants warm when fine_stale_kv is configured.
+        if not allow_cold:
+            cc = self.config.cache
+            has_cache = self._sd3_cache() is not None
+            fine_kv = (has_cache and getattr(cc, "fine_stale_kv", False)
+                       and cc.patch_fraction < 1.0)
+            variants = [("sd3_mixed", s_pad, bb, has_cache, kvs)
+                        for kvs in ((False, True) if fine_kv else (False,))]
+            if any(k not in self._executed_keys for k in variants):
+                self._queue_mixed_warm(tuple(sorted(
+                    (res, len(rs)) for res, rs in reqs_by_res.items())))
+                for r in ordered:
+                    # dense steps advance latents without refreshing KV
+                    # rows; force a sync pass when the token path resumes
+                    r.fine_kv_ok = False
+                return super().denoise_step(reqs_by_res)
 
         # -- embed per resolution group (scale_model_input + patch+pos embed)
         tables = [r.sampler_table for r in ordered]
@@ -193,8 +217,8 @@ class StableDiffusion3Pipeline(BasePipeline):
                     and getattr(cache.config, "fine_stale_kv", False)
                     and cache.config.patch_fraction < 1.0
                     and all(getattr(r, "fine_kv_ok", False) for r in ordered))
-        fn = self._jit(("sd3_mixed", s_pad, bb, cache is not None, kv_stale),
-                       self._make_sd3_trunk_fn(cache, kv_stale))
+        trunk_key = ("sd3_mixed", s_pad, bb, cache is not None, kv_stale)
+        fn = self._jit(trunk_key, self._make_sd3_trunk_fn(cache, kv_stale))
         if cache is None:
             out_tokens = fn(self.params, tokens, jnp.asarray(mask),
                             jnp.asarray(t), jnp.asarray(guidance), cond)
@@ -210,6 +234,8 @@ class StableDiffusion3Pipeline(BasePipeline):
                     and cache.config.patch_fraction < 1.0:
                 for r in ordered:
                     r.fine_kv_ok = True
+        # the call above compiled synchronously: the key is warm
+        self._executed_keys.add(trunk_key)
 
         # -- unpatchify + sampler step per resolution group
         i = 0

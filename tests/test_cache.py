@@ -764,3 +764,102 @@ class TestTokenFineSD3:
                 assert "out" not in rows  # fine state is inp+hits only
                 hits = max(hits, int(np.asarray(rows["hits"]).max()))
         assert hits >= 1
+
+
+class TestDeepHybrid:
+    """Deep x compact hybrid (CacheConfig.deep_compact_fraction): shallow
+    steps gate their pairs with top-K compact row recompute; full steps
+    write the row caches through."""
+
+    def _pipe(self, fraction, interval=3, adaptive=False):
+        from sduss_tpu.config import Config, ModelConfig, SchedulerConfig
+        from sduss_tpu.pipelines import build_pipeline
+
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=False)
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_interval = interval
+        config.cache.deep_warmup = 1
+        config.cache.deep_compact_fraction = fraction
+        if adaptive:
+            config.cache.deep_adaptive = True
+            config.cache.deep_drift_threshold = 0.05
+            config.cache.deep_max_interval = 4
+        return build_pipeline(config)
+
+    def _run(self, pipe, steps=6, n=2, res=256):
+        reqs = make_reqs(n=n, res=res, steps=steps)
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        for _ in range(steps):
+            pipe.denoise_step({res: reqs})
+        return reqs
+
+    def _run_plain_deep(self, interval, steps=6, n=2, res=256):
+        from sduss_tpu.config import Config, ModelConfig, SchedulerConfig
+        from sduss_tpu.pipelines import build_pipeline
+
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=False)
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_interval = interval
+        config.cache.deep_warmup = 1
+        pipe = build_pipeline(config)
+        return self._run(pipe, steps=steps, n=n, res=res)
+
+    def test_fraction_1_matches_plain_deep(self):
+        """Full row capacity selects every row: the hybrid's gather/scatter
+        wiring must reproduce the plain deep trajectory exactly."""
+        a = self._run(self._pipe(1.0), steps=6)
+        b = self._run_plain_deep(interval=3, steps=6)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x.latents),
+                                       np.asarray(y.latents), atol=1e-5)
+
+    def test_half_fraction_runs_reuses_and_tracks(self):
+        pipe = self._pipe(0.5)
+        reqs = self._run(pipe, steps=6)
+        base = self._run_plain_deep(interval=10**9, steps=6)  # warmup 1 + shallow
+        saw_hit = False
+        for r, b in zip(reqs, base):
+            x = np.asarray(r.latents, np.float32)
+            assert np.isfinite(x).all()
+            assert r.cache_rows is not None
+            for rows in r.cache_rows.values():
+                assert rows["inp"].shape[0] == 2  # uncond/cond rows
+                saw_hit |= int(np.asarray(rows["hits"]).max()) >= 1
+        assert saw_hit, "no row ever reused under fraction 0.5"
+
+    def test_full_step_write_through_resets_hits(self):
+        pipe = self._pipe(0.5, interval=2)
+        # steps: 0 full (warmup), 1 shallow, 2 full (interval) ...
+        reqs = self._run(pipe, steps=3)
+        for r in reqs:
+            assert r.deep_age == 0  # last step was full
+            for rows in r.cache_rows.values():
+                assert int(np.asarray(rows["hits"]).max()) == 0
+
+    def test_divergence_bounded_vs_cache_off(self):
+        reqs = self._run(self._pipe(0.5), steps=6)
+        pipe0 = make_pipe(cache_enabled=False)
+        reqs0 = make_reqs(n=2, res=256, steps=6)
+        pipe0.prepare(reqs0)
+        for r in reqs0:
+            r.stage = Stage.DENOISING
+        for _ in range(6):
+            pipe0.denoise_step({256: reqs0})
+        for a, b in zip(reqs, reqs0):
+            x = np.asarray(a.latents, np.float32)
+            y = np.asarray(b.latents, np.float32)
+            err = np.abs(x - y).mean() / (np.abs(y).mean() + 1e-8)
+            assert err < 0.5, f"hybrid drifted too far: {err}"
+
+    def test_adaptive_composes_with_hybrid(self):
+        pipe = self._pipe(0.5, adaptive=True)
+        reqs = self._run(pipe, steps=6)
+        assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
