@@ -32,6 +32,11 @@ Env knobs:
                 the fixed BENCH_DEEP interval; BENCH_DEEP_CAP safety
                 interval, BENCH_DEEP_WARMUP always-full prefix); reports
                 the realized full-step count
+  BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (0 = off): shallow
+                steps additionally gate their block pairs at top-K row
+                capacity (CacheConfig.deep_compact_fraction), full steps
+                write the row caches through; composes with the adaptive
+                schedule above
 """
 
 from __future__ import annotations
@@ -232,6 +237,78 @@ def build_step(batch: int):
 
         return run
 
+    def make_hybrid_trajectory(n_steps: int, threshold: float, cap: int,
+                               warmup: int, fraction: float):
+        """Adaptive deep refresh x compact row gating on shallow steps
+        (CacheConfig.deep_compact_fraction): SHALLOW steps recompute only
+        the fraction*rows most-drifted CFG rows of each shallow block pair
+        and splice cached outputs for the rest; FULL steps recompute
+        everything and write the row caches through.  Returns
+        (final latents, n_full) like the adaptive trajectory."""
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="deep",
+                                       deep_compact_fraction=fraction,
+                                       max_hits=4))
+        layout = unet.shallow_cache_layout(hw)
+        state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, jnp.bfloat16)
+                  for key, (s, cin, cout) in layout.items()}
+        table = sampler.make_table(n_steps)
+        ts = jnp.asarray(table.timesteps)
+        cs = jnp.asarray(table.coeffs)
+        hw_deep, c_deep = _deep_shapes()
+
+        def mk(mode):
+            def f(params, lat, deep, st, i):
+                t_i = jnp.full((2 * b,), ts[i], jnp.float32)
+                c0 = jnp.full((b,), cs[i, 0])
+                c1 = jnp.full((b,), cs[i, 1])
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = sampler.scale_model_input(
+                    lat_in, jnp.concatenate([c0, c0]))
+                added = {"text_embeds": jnp.concatenate([pooled, pooled], axis=0),
+                         "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
+                out, deep2, st2 = unet.apply(
+                    params, lat_in, t_i, jnp.concatenate([ehs, ehs], axis=0),
+                    added_cond=added, deep_mode=mode,
+                    deep_state=deep if mode == "shallow" else None,
+                    cache=cache, cache_state=st)
+                u, c = jnp.split(out, 2, axis=0)
+                eps = u + guidance.reshape(-1, 1, 1, 1) * (c - u)
+                return sampler.step(lat, eps, c0, c1), deep2, st2
+
+            return f
+
+        full_f = mk("full")
+        shallow_f = mk("shallow")
+
+        @jax.jit
+        def run(params, latents, guidance_, ehs_, pooled_, time_ids_):
+            deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), jnp.bfloat16)
+
+            def body(i, carry):
+                lat, deep, st, lat_ref, age, n_full = carry
+                drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
+                         / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
+                full = ((i < warmup) | (age >= cap - 1) | (drift > threshold))
+                lat2, deep2, st2 = jax.lax.cond(
+                    full,
+                    lambda args: full_f(params, *args),
+                    lambda args: shallow_f(params, *args),
+                    (lat, deep, st, i))
+                lat_ref = jnp.where(full, lat, lat_ref)
+                age = jnp.where(full, 0, age + 1)
+                return (lat2, deep2, st2, lat_ref, age,
+                        n_full + full.astype(jnp.int32))
+
+            lat, _, _, _, _, n_full = jax.lax.fori_loop(
+                0, n_steps, body,
+                (latents, deep0, state0, latents, jnp.int32(0), jnp.int32(0)))
+            return lat, n_full
+
+        return run
+
     def make_compact_trajectory(n_steps: int, fraction: float):
         """Trajectory with the compact top-K block cache (mode 'compact'):
         every gated (resnet+attention) pair recomputes only the
@@ -298,7 +375,8 @@ def build_step(batch: int):
 
     args = (params, latents, t, coeffs, guidance, ehs, pooled, time_ids)
     return (step, make_trajectory, make_deep_trajectory,
-            make_compact_trajectory, make_adaptive_deep_trajectory, args)
+            make_compact_trajectory, make_adaptive_deep_trajectory,
+            make_hybrid_trajectory, args)
 
 
 def main() -> None:
@@ -331,15 +409,23 @@ def main() -> None:
         try:
             (step, make_trajectory, make_deep_trajectory,
              make_compact_trajectory, make_adaptive_deep_trajectory,
-             args) = build_step(b)
+             make_hybrid_trajectory, args) = build_step(b)
             (params, latents, t, coeffs, guidance, ehs, pooled, time_ids) = args
             deep_interval = int(os.environ.get("BENCH_DEEP", "3"))
             compact_frac = float(os.environ.get("BENCH_COMPACT", "0"))
             adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05"))
+            hybrid_frac = float(os.environ.get("BENCH_DEEP_HYBRID", "0"))
             n_full = None
             if mode == "scan":
-                adaptive = adaptive_thresh > 0 and compact_frac <= 0
-                if adaptive:
+                adaptive = ((adaptive_thresh > 0 or hybrid_frac > 0)
+                            and compact_frac <= 0)
+                if hybrid_frac > 0:
+                    run = make_hybrid_trajectory(
+                        n_steps, adaptive_thresh or 0.05,
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "6")),
+                        warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")),
+                        fraction=hybrid_frac)
+                elif adaptive:
                     run = make_adaptive_deep_trajectory(
                         n_steps, adaptive_thresh,
                         cap=int(os.environ.get("BENCH_DEEP_CAP", "6")),
@@ -407,6 +493,7 @@ def main() -> None:
         "deep_adaptive_threshold": float(
             os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05")),
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
+        "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0")),
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 

@@ -209,6 +209,75 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         return run
 
     @functools.lru_cache(maxsize=None)
+    def run_deep_hybrid(threshold: float, fraction: float,
+                        max_interval: int = 6, warmup: int = 0):
+        """Deep x compact HYBRID (CacheConfig.deep_compact_fraction): the
+        adaptive deep schedule, with SHALLOW steps additionally gating their
+        block pairs at top-K row capacity ``fraction`` (full steps recompute
+        everything and write the row caches through).  Mirrors production
+        unet.apply's hybrid path exactly — same BlockCache, same layout.
+        Returns (final latents, n_full, full_mask) like run_deep_adaptive."""
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="deep",
+                                       deep_compact_fraction=fraction,
+                                       max_hits=4))
+        layout = unet.shallow_cache_layout(hw)
+        state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, dtype)
+                  for key, (s, cin, cout) in layout.items()}
+        hw_deep, c_deep = _deep_shapes()
+
+        @jax.jit
+        def run(params, lat, g, ehs, pooled, tid):
+            deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
+
+            def step_mode(mode):
+                def f(args):
+                    lat, deep, st, i = args
+                    c0 = jnp.full((b,), cs[i, 0])
+                    c1 = jnp.full((b,), cs[i, 1])
+                    t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+                    lat_in = sampler.scale_model_input(
+                        jnp.concatenate([lat, lat]), jnp.concatenate([c0, c0]))
+                    added = {"text_embeds": pooled, "time_ids": tid}
+                    out, d2, st2 = unet.apply(
+                        params, lat_in, t2, ehs, added_cond=added,
+                        deep_mode=mode,
+                        deep_state=deep if mode == "shallow" else None,
+                        cache=cache, cache_state=st)
+                    u, c = jnp.split(out, 2)
+                    eps = u + g.reshape(-1, 1, 1, 1) * (c - u)
+                    return sampler.step(lat, eps, c0, c1), d2, st2
+
+                return f
+
+            full_f = step_mode("full")
+            shallow_f = step_mode("shallow")
+
+            def body(i, carry):
+                lat, deep, st, lat_ref, age, n_full, mask = carry
+                drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
+                         / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
+                full = ((i < warmup) | (i == 0) | (age >= max_interval - 1)
+                        | (drift > threshold))
+                lat2, deep2, st2 = jax.lax.cond(full, full_f, shallow_f,
+                                                (lat, deep, st, i))
+                lat_ref = jnp.where(full, lat, lat_ref)
+                age = jnp.where(full, 0, age + 1)
+                return (lat2, deep2, st2, lat_ref, age,
+                        n_full + full.astype(jnp.int32),
+                        mask.at[i].set(full.astype(jnp.int32)))
+
+            lat, _, _, _, _, n_full, mask = jax.lax.fori_loop(
+                0, n_steps, body,
+                (lat, deep0, state0, lat, jnp.int32(0), jnp.int32(0),
+                 jnp.zeros((n_steps,), jnp.int32)))
+            return lat, n_full, mask
+
+        return run
+
+    @functools.lru_cache(maxsize=None)
     def run_compact(fraction: float):
         from sduss_tpu.cache.manager import BlockCache
         from sduss_tpu.config import CacheConfig
@@ -233,7 +302,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         return run
 
     return (run_plain, run_deep, run_compact, make_inputs, params,
-            run_drift, run_deep_adaptive)
+            run_drift, run_deep_adaptive, run_deep_hybrid)
 
 
 def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
@@ -349,7 +418,8 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
-    return run_plain, None, run_compact, make_inputs, params, run_drift, None
+    return (run_plain, None, run_compact, make_inputs, params, run_drift,
+            None, None)
 
 
 def main():
@@ -367,6 +437,11 @@ def main():
                          "full exceeds the threshold; sdxl only)")
     ap.add_argument("--max-interval", type=int, default=6)
     ap.add_argument("--compact", default="0.3,0.5,0.7")
+    ap.add_argument("--hybrid", default="",
+                    help="deep x compact hybrid row fractions (sdxl only); "
+                         "each runs the adaptive schedule at "
+                         "--hybrid-threshold with shallow-pair row gating")
+    ap.add_argument("--hybrid-threshold", type=float, default=0.05)
     ap.add_argument("--fine", default="0.3,0.5,0.7",
                     help="per-token fine fractions (sd3 only)")
     ap.add_argument("--out", default="")
@@ -387,8 +462,8 @@ def main():
     # with the program through the relay on every compile; measured warning
     # in the r2 chip queue).
     (run_plain, run_deep, run_compact, make_inputs, params,
-     run_drift, run_deep_adaptive) = build(args.tiny, args.batch, res,
-                                           args.steps)
+     run_drift, run_deep_adaptive, run_deep_hybrid) = build(
+         args.tiny, args.batch, res, args.steps)
 
     configs = []
     if run_deep is not None:
@@ -400,6 +475,9 @@ def main():
             configs += [("deep_warmup", int(v))
                         for v in args.deep.split(",") if v]
     configs += [("compact", float(v)) for v in args.compact.split(",") if v]
+    if run_deep_hybrid is not None:
+        configs += [("deep_hybrid", float(v))
+                    for v in args.hybrid.split(",") if v]
     if args.family == "sd3":
         configs += [("token_fine", float(v)) for v in args.fine.split(",") if v]
 
@@ -426,13 +504,16 @@ def main():
                 # warmup 3 like production deep_warmup / the deep_warmup
                 # rows, so full counts compare apples-to-apples
                 run = run_deep_adaptive(param, args.max_interval, 3)
+            elif kind == "deep_hybrid":
+                run = run_deep_hybrid(args.hybrid_threshold, param,
+                                      args.max_interval, 3)
             elif kind == "token_fine":
                 run = run_compact(param, fine=True)
             else:
                 run = run_compact(param)
             got = run(params, *inputs)
             pattern = None
-            if kind == "deep_adaptive":
+            if kind in ("deep_adaptive", "deep_hybrid"):
                 got, n_full, mask = got
                 full_frac = float(np.asarray(n_full)) / args.steps
                 pattern = np.asarray(mask).astype(int).tolist()
@@ -452,8 +533,10 @@ def main():
             w, n = 3, args.steps
             row["full_fraction"] = round(
                 (w + (n - w + param - 1) // param) / n, 4)
-        elif kind == "deep_adaptive":
+        elif kind in ("deep_adaptive", "deep_hybrid"):
             row["full_fraction"] = round(full_frac, 4)
+            if kind == "deep_hybrid":
+                row["threshold"] = args.hybrid_threshold
         results.append(row)
         print(json.dumps(row), flush=True)
 

@@ -23,7 +23,7 @@ def tiny_bench(monkeypatch):
 
 class TestBenchTrajectories:
     def test_adaptive_deep_runs_and_counts(self, tiny_bench):
-        (_, _, _, _, mk_adaptive, args) = tiny_bench.build_step(1)
+        (_, _, _, _, mk_adaptive, _, args) = tiny_bench.build_step(1)
         params, latents, t, coeffs, guidance, ehs, pooled, time_ids = args
         run = mk_adaptive(6, threshold=1e9, cap=3, warmup=1)
         out, n_full = run(params, latents, guidance, ehs, pooled, time_ids)
@@ -34,7 +34,7 @@ class TestBenchTrajectories:
 
     def test_adaptive_negative_threshold_all_full_matches_plain(self,
                                                                 tiny_bench):
-        (_, mk, _, _, mk_adaptive, args) = tiny_bench.build_step(1)
+        (_, mk, _, _, mk_adaptive, _, args) = tiny_bench.build_step(1)
         params, latents, t, coeffs, guidance, ehs, pooled, time_ids = args
         run_a = mk_adaptive(3, threshold=-1.0, cap=8, warmup=0)
         out_a, n_full = run_a(params, latents, guidance, ehs, pooled,
@@ -44,3 +44,27 @@ class TestBenchTrajectories:
         np.testing.assert_allclose(np.asarray(out_a, np.float32),
                                    np.asarray(out_p, np.float32),
                                    atol=2e-2, rtol=2e-2)
+
+    def test_hybrid_fraction_1_matches_adaptive(self, tiny_bench):
+        """Full row capacity selects every row: the hybrid trajectory must
+        reproduce the plain adaptive trajectory (same refresh decisions,
+        same latents) — the wiring-correctness control."""
+        (_, _, _, _, mk_adaptive, mk_hybrid, args) = tiny_bench.build_step(1)
+        params, latents, t, coeffs, guidance, ehs, pooled, time_ids = args
+        run_a = mk_adaptive(6, threshold=0.05, cap=4, warmup=1)
+        out_a, nf_a = run_a(params, latents, guidance, ehs, pooled, time_ids)
+        run_h = mk_hybrid(6, threshold=0.05, cap=4, warmup=1, fraction=1.0)
+        out_h, nf_h = run_h(params, latents, guidance, ehs, pooled, time_ids)
+        assert int(np.asarray(nf_a)) == int(np.asarray(nf_h))
+        np.testing.assert_allclose(np.asarray(out_h, np.float32),
+                                   np.asarray(out_a, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_hybrid_half_fraction_runs(self, tiny_bench):
+        (_, _, _, _, _, mk_hybrid, args) = tiny_bench.build_step(1)
+        params, latents, t, coeffs, guidance, ehs, pooled, time_ids = args
+        run = mk_hybrid(6, threshold=0.05, cap=4, warmup=1, fraction=0.5)
+        out, n_full = run(params, latents, guidance, ehs, pooled, time_ids)
+        assert out.shape == latents.shape
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        assert 1 <= int(np.asarray(n_full)) <= 6
