@@ -65,6 +65,8 @@ async def _run(args):
         config.cache.enabled = True
         config.cache.mode = "deep"
         config.cache.deep_interval = args.deep_interval
+        if args.deep_hybrid > 0:
+            config.cache.deep_compact_fraction = args.deep_hybrid
         if args.deep_adaptive > 0:
             # drift-triggered refresh; the fixed interval becomes moot and
             # --deep-interval is reused as the max_interval safety cap
@@ -250,6 +252,10 @@ def main():
                     help="drift threshold for adaptive deep refresh "
                          "(>0 enables; --deep-interval becomes the "
                          "max-interval safety cap)")
+    ap.add_argument("--deep-hybrid", type=float, default=0.0,
+                    help="deep x compact hybrid row fraction (>0 enables "
+                         "CacheConfig.deep_compact_fraction: shallow steps "
+                         "gate their block pairs at top-K row capacity)")
     ap.add_argument("--cache-mode", default="deep",
                     choices=("deep", "compact", "fine", "off"),
                     help="serving cache: deep (UNet temporal reuse), compact "

@@ -103,16 +103,22 @@ def collect_traces(pipeline, requests, steps: Optional[int] = None
         pipeline.denoise_step_mixed(by_res)
         if step_i == 0:
             continue  # first step has no previous state to compare against
-        for r in requests:
-            for key, entry in (r.cache_rows or {}).items():
-                if "rel_in" not in entry:
-                    continue
-                rel_in = np.asarray(entry["rel_in"])
-                rel_out = np.asarray(entry["rel_out"])
-                ts = np.asarray(entry["t"])
-                rows = dataset.setdefault(key, [])
-                for a, t, b in zip(rel_in, ts, rel_out):
-                    rows.append((float(a), float(t), float(b)))
+        per_key_rows = [(key, entry) for r in requests
+                        for key, entry in (r.cache_rows or {}).items()]
+        # MMDiT token path: state lives per batch composition on the
+        # pipeline store (sd3.py _sd3_state_entry), not per request
+        per_key_rows += [(key, entry)
+                         for st in getattr(pipeline, "_sd3_state", {}).values()
+                         for key, entry in st["state"].items()]
+        for key, entry in per_key_rows:
+            if "rel_in" not in entry:
+                continue
+            rel_in = np.asarray(entry["rel_in"])
+            rel_out = np.asarray(entry["rel_out"])
+            ts = np.asarray(entry["t"])
+            rows = dataset.setdefault(key, [])
+            for a, t, b in zip(rel_in, ts, rel_out):
+                rows.append((float(a), float(t), float(b)))
     return dataset
 
 

@@ -258,6 +258,11 @@ class CacheConfig:
     # step), approximate below it — the first step of a request (or after a
     # sequence-bucket change) runs a sync program that computes full K/V.
     fine_stale_kv: bool = False
+    # LRU bound on the SD3 token-path state store (sd3.py _sd3_state_entry:
+    # one cache-state pytree per batch COMPOSITION).  Each 1024^2 fine
+    # stale-KV entry is GBs; 1 is the safe setting there next to 5 GB of
+    # params, 2 tolerates alternating compositions at smaller footprints.
+    sd3_state_lru: int = 2
     deep_interval: int = 2
     # Always-full steps at the start of each trajectory (activation drift is
     # largest early in denoising; mirrors DistriFuser's warmup_steps idea).

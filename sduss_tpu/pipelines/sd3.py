@@ -155,10 +155,10 @@ class StableDiffusion3Pipeline(BasePipeline):
             if any(k not in self._executed_keys for k in variants):
                 self._queue_mixed_warm(tuple(sorted(
                     (res, len(rs)) for res, rs in reqs_by_res.items())))
-                for r in ordered:
-                    # dense steps advance latents without refreshing KV
-                    # rows; force a sync pass when the token path resumes
-                    r.fine_kv_ok = False
+                # dense steps advance latents without refreshing KV rows;
+                # force a sync pass when the token path resumes
+                for st in getattr(self, "_sd3_state", {}).values():
+                    st["kv_ok"] = False
                 return super().denoise_step(reqs_by_res)
 
         # -- embed per resolution group (scale_model_input + patch+pos embed)
@@ -207,16 +207,19 @@ class StableDiffusion3Pipeline(BasePipeline):
                         for r in ordered]
         cond = self._stack_cond([r.conditioning for r in ordered], bb)
 
-        cache, cache_state = self._gather_sd3_cache(ordered, bb, s_pad)
+        cache = self._sd3_cache()
+        entry = None
+        if cache is not None:
+            entry = self._sd3_state_entry(ordered, bb, s_pad, cache)
         # Stale-KV fine cache (CacheConfig.fine_stale_kv): the STALE program
         # splices previous-step K/V for unselected tokens; it is valid only
-        # once every batch member has emitted KV rows through the SYNC
-        # program (host-tracked — no device fetch; the same sync-at-state-
+        # once the COMPOSITION's state has been through the SYNC program
+        # (host-tracked kv_ok — no device fetch; the same sync-at-state-
         # boundary shape as displaced serving, pipelines/base.py).
-        kv_stale = (cache is not None
-                    and getattr(cache.config, "fine_stale_kv", False)
-                    and cache.config.patch_fraction < 1.0
-                    and all(getattr(r, "fine_kv_ok", False) for r in ordered))
+        fine = (cache is not None and cache.config.mode == "compact"
+                and cache.config.patch_fraction < 1.0)
+        kv_stale = (fine and getattr(cache.config, "fine_stale_kv", False)
+                    and entry["kv_ok"])
         trunk_key = ("sd3_mixed", s_pad, bb, cache is not None, kv_stale)
         fn = self._jit(trunk_key, self._make_sd3_trunk_fn(cache, kv_stale))
         if cache is None:
@@ -227,13 +230,11 @@ class StableDiffusion3Pipeline(BasePipeline):
             row_valid[:b] = True
             out_tokens, new_state = fn(self.params, tokens, jnp.asarray(mask),
                                        jnp.asarray(t), jnp.asarray(guidance),
-                                       cond, cache_state,
+                                       cond, entry["state"],
                                        jnp.asarray(row_valid))
-            self._scatter_sd3_cache(ordered, bb, new_state)
-            if getattr(cache.config, "fine_stale_kv", False) \
-                    and cache.config.patch_fraction < 1.0:
-                for r in ordered:
-                    r.fine_kv_ok = True
+            entry["state"] = new_state
+            if fine and getattr(cache.config, "fine_stale_kv", False):
+                entry["kv_ok"] = True
         # the call above compiled synchronously: the key is warm
         self._executed_keys.add(trunk_key)
 
@@ -278,81 +279,71 @@ class StableDiffusion3Pipeline(BasePipeline):
             self._sd3_cache_obj = BlockCache(cfg)
         return self._sd3_cache_obj
 
-    def _gather_sd3_cache(self, ordered, bb, s_pad):
-        """Per-request (2, s_pad, dim) token cache rows -> batched state."""
-        cache = self._sd3_cache()
-        if cache is None:
-            return None, None
-        import jax
-        import jax.numpy as jnp
+    def _sd3_state_entry(self, ordered, bb, s_pad, cache) -> dict:
+        """Batch-composition-keyed token-cache state (LRU-bounded).
 
+        Round-2 session 6 redesign: state previously lived per REQUEST
+        (gathered into a batch at step entry, scattered back at exit).  At
+        SD3 1024^2 that is unserveable on a 16 GB chip: fine stale-KV rows
+        are ~1.5 GB per request and the gather/scatter held up to four
+        transient copies — the r2n SD3 serving leg died RESOURCE_EXHAUSTED
+        at b2 next to 5 GB of params.  Like displaced serving KV
+        (base.py _denoise_group_displaced), ONE state pytree now lives per
+        batch COMPOSITION: a stable batch reuses it across steps with zero
+        per-step reshuffling; any change (membership, seq bucket, cache
+        mode) resets to fresh rows.  Fresh rows are the same zeros a new
+        request always got (init hits = max_hits outranks everything in the
+        gates), and fine stale-KV re-syncs through the kv_ok flag, so the
+        only behavior change is that a REGROUPED surviving request loses
+        its drift references for one step.
+
+        Returns the store entry: {"state": pytree, "kv_ok": bool}.
+        """
+        import collections
+
+        if not hasattr(self, "_sd3_state"):
+            self._sd3_state = collections.OrderedDict()
+        cfg = cache.config
         tr = self.bundle.models["transformer"]
-        layout = tr.token_cache_layout(s_pad)
-        dtype = self._latent_dtype()
-        # per-token fine mode (patch_fraction < 1) keeps only inp+hits;
-        # request-granular compact mode also caches the evolving context
-        token_fine = (cache.config.mode == "compact"
-                      and cache.config.patch_fraction < 1.0)
+        token_fine = cfg.mode == "compact" and cfg.patch_fraction < 1.0
+        want_kv = token_fine and getattr(cfg, "fine_stale_kv", False)
         ctx_seq = None
-        if cache.config.mode == "compact" and not token_fine:
+        if cfg.mode == "compact" and not token_fine:
             ctx_seq = ordered[0].conditioning["embeds"].shape[1]
-
-        want_kv = token_fine and getattr(cache.config, "fine_stale_kv", False)
-        dual = set(tr.cfg.dual_attention_layers)
-
-        def fresh_rows(n):
+        mode_sig = (type(cache).__name__, cfg.mode, token_fine, want_kv,
+                    ctx_seq)
+        key = (s_pad, bb, tuple(r.request_id for r in ordered), mode_sig)
+        entry = self._sd3_state.get(key)
+        if entry is None:
+            layout = tr.token_cache_layout(s_pad)
+            dtype = self._latent_dtype()
+            # rows are CFG-doubled [uncond x bb | cond x bb], matching the
+            # trunk's concat order; zeros for the bb-b padding slots too
             if token_fine:
-                def pairs(key):
+                dual = set(tr.cfg.dual_attention_layers)
+
+                def pairs(k):
                     if not want_kv:
                         return 0
-                    return 2 if int(key.removeprefix("block")) in dual else 1
+                    return 2 if int(k.removeprefix("block")) in dual else 1
 
-                return {key: cache.init_token_rows_fine(
-                            key, n, seq, dim, dtype, kv_pairs=pairs(key))
-                        for key, (seq, dim) in layout.items()}
-            return {key: cache.init_token_rows(key, n, seq, dim, dtype,
-                                               ctx_seq=ctx_seq)
-                    for key, (seq, dim) in layout.items()}
-
-        for r in ordered:
-            rows = r.cache_rows
-            first = None if rows is None else next(iter(rows.values()))
-            stale = (rows is None
-                     or first["inp"].shape[1] != s_pad
-                     or ("out" not in first) != token_fine
-                     or (token_fine and ("k" in first) != want_kv)
-                     or (not token_fine
-                         and isinstance(first["out"], dict) != (ctx_seq is not None)))
-            if stale:
-                r.cache_rows = fresh_rows(2)
-                # stale-KV rows are zeros: the request's next step must run
-                # the SYNC program (full K/V compute) before stale splicing
-                r.fine_kv_ok = False
-        state = {}
-        pad = bb - len(ordered)
-        pad_rows = fresh_rows(pad) if pad else None
-        for key in layout:
-            # stacked batch [u..., pad, c..., pad]; entries may be pytrees
-            parts_u = [jax.tree.map(lambda a: a[0:1], r.cache_rows[key])
-                       for r in ordered]
-            parts_c = [jax.tree.map(lambda a: a[1:2], r.cache_rows[key])
-                       for r in ordered]
-            if pad:
-                parts_u.append(pad_rows[key])
-                parts_c.append(pad_rows[key])
-            state[key] = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *(parts_u + parts_c))
-        return cache, state
-
-    def _scatter_sd3_cache(self, ordered, bb, new_state) -> None:
-        import jax
-        import jax.numpy as jnp
-
-        for key, entry in new_state.items():
-            for i, r in enumerate(ordered):
-                r.cache_rows[key] = jax.tree.map(
-                    lambda a: jnp.concatenate(
-                        [a[i : i + 1], a[bb + i : bb + i + 1]], axis=0), entry)
+                state = {k: cache.init_token_rows_fine(
+                             k, 2 * bb, seq, dim, dtype, kv_pairs=pairs(k))
+                         for k, (seq, dim) in layout.items()}
+            else:
+                state = {k: cache.init_token_rows(k, 2 * bb, seq, dim, dtype,
+                                                  ctx_seq=ctx_seq)
+                         for k, (seq, dim) in layout.items()}
+            entry = {"state": state, "kv_ok": False}
+            self._sd3_state[key] = entry
+        self._sd3_state.move_to_end(key)
+        # Each 1024^2 fine entry is GBs; the bound trades re-sync steps on
+        # composition alternation against HBM (sd3_state_lru=1 is the safe
+        # setting at 1024^2 fine stale-KV next to 5 GB of params).
+        lru = max(int(getattr(cfg, "sd3_state_lru", 2)), 1)
+        while len(self._sd3_state) > lru:
+            self._sd3_state.popitem(last=False)
+        return entry
 
     def _make_sd3_trunk_fn(self, cache, kv_stale: bool = False):
         def fn(params, tokens, mask, t, guidance, cond, cache_state=None,

@@ -757,13 +757,33 @@ class TestTokenFineSD3:
         pipe = self._pipe(0.5)
         reqs = self._reqs(steps=6)
         run_denoise(pipe, reqs, 5)
-        hits = 0
         for r in reqs:
             assert np.isfinite(np.asarray(r.latents)).all()
-            for rows in r.cache_rows.values():
+        # token state lives per batch COMPOSITION on the pipeline store
+        # (sd3.py _sd3_state_entry), not per request
+        assert len(pipe._sd3_state) == 1
+        hits = 0
+        for entry in pipe._sd3_state.values():
+            for rows in entry["state"].values():
                 assert "out" not in rows  # fine state is inp+hits only
                 hits = max(hits, int(np.asarray(rows["hits"]).max()))
         assert hits >= 1
+
+    def test_state_store_lru_and_composition_reset(self):
+        """A composition change mints a fresh state entry and the LRU bound
+        evicts the old one (the HBM guarantee that replaced per-request
+        rows after the r2n serving OOM)."""
+        pipe = self._pipe(0.5)
+        pipe.config.cache.sd3_state_lru = 1
+        reqs = self._reqs(steps=8)
+        run_denoise(pipe, reqs, 2)
+        assert len(pipe._sd3_state) == 1
+        key0 = next(iter(pipe._sd3_state))
+        run_denoise(pipe, reqs[:1], 2)  # composition shrinks
+        assert len(pipe._sd3_state) == 1
+        assert next(iter(pipe._sd3_state)) != key0
+        for r in reqs[:1]:
+            assert np.isfinite(np.asarray(r.latents)).all()
 
 
 class TestDeepHybrid:
