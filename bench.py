@@ -11,16 +11,18 @@ sduss/worker/scheduler/configs/esymred.json:34-39), i.e. ~0.45 img/s/GPU at
 measured img/s/chip divided by that 0.45 anchor.
 
 The default configuration enables temporal deep-block reuse with
-DRIFT-TRIGGERED refresh (threshold 0.05) — the reference's headline figures
-likewise run WITH its learned block cache on (reference
-scripts/paper/e2e.sh:32-37 exports ESYMRED_USE_CACHE=TRUE for the
-esymred/fcfs_mixed rows), so cache-on vs cache-on is the apples-to-apples
-comparison.  Measured on chip (exp/bench_sdxl_adaptive05_v5e.json): 0.6462
-img/s at 7/30 full steps vs 0.5684 at fixed interval 3 (12/30 fulls), at a
-TIGHTER quality bound (tiny-harness trajectory divergence: adaptive 0.03-0.1
-band rel_mse 0.0014-0.0056 vs fixed-3+warmup 0.0040,
-exp/cache_quality_sdxl_adaptive_tiny.json).  The cache-off number is
-reported alongside.
+DRIFT-TRIGGERED refresh (threshold 0.05) COMPOSED with compact row gating on
+the shallow steps (deep x compact HYBRID, row fraction 0.5) — the
+reference's headline figures likewise run WITH its learned block cache on
+(reference scripts/paper/e2e.sh:32-37 exports ESYMRED_USE_CACHE=TRUE for
+the esymred/fcfs_mixed rows), so cache-on vs cache-on is the
+apples-to-apples comparison.  Measured on chip: hybrid 0.5 = 0.7575 img/s
+at 7/30 full steps (exp/bench_sdxl_hybrid05_v5e.json) vs 0.6475 plain
+adaptive vs 0.5684 fixed interval 3, at an equal quality bound
+(tiny-harness trajectory divergence: hybrid-0.5 rel_mse 0.0028 vs plain
+adaptive 0.0024, exp/cache_quality_sdxl_hybrid_tiny.json; fraction 0.3
+reaches 0.8171 img/s but diverges 5x — not the default).  The cache-off
+number is reported alongside.
 
 Env knobs:
   BENCH_BATCH   image batch per step (default 8; measured best on v5e)
@@ -32,11 +34,13 @@ Env knobs:
                 the fixed BENCH_DEEP interval; BENCH_DEEP_CAP safety
                 interval, BENCH_DEEP_WARMUP always-full prefix); reports
                 the realized full-step count
-  BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (0 = off): shallow
-                steps additionally gate their block pairs at top-K row
-                capacity (CacheConfig.deep_compact_fraction), full steps
-                write the row caches through; composes with the adaptive
-                schedule above
+  BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (default 0.5, the
+                measured on-chip winner at the adaptive quality bound;
+                0 = plain adaptive): shallow steps additionally gate their
+                block pairs at top-K row capacity
+                (CacheConfig.deep_compact_fraction), full steps write the
+                row caches through; composes with the adaptive schedule
+                above
 """
 
 from __future__ import annotations
@@ -238,7 +242,8 @@ def build_step(batch: int):
         return run
 
     def make_hybrid_trajectory(n_steps: int, threshold: float, cap: int,
-                               warmup: int, fraction: float):
+                               warmup: int, fraction: float,
+                               pairwise: bool = False):
         """Adaptive deep refresh x compact row gating on shallow steps
         (CacheConfig.deep_compact_fraction): SHALLOW steps recompute only
         the fraction*rows most-drifted CFG rows of each shallow block pair
@@ -250,10 +255,17 @@ def build_step(batch: int):
 
         cache = BlockCache(CacheConfig(enabled=True, mode="deep",
                                        deep_compact_fraction=fraction,
+                                       deep_compact_pairwise=pairwise,
                                        max_hits=4))
         layout = unet.shallow_cache_layout(hw)
-        state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, jnp.bfloat16)
-                  for key, (s, cin, cout) in layout.items()}
+
+        def mk_state0():
+            # built INSIDE the jit trace: zeros lower to XLA broadcasts, not
+            # multi-GB lowered constants shipped through the relay compile
+            return {key: cache.init_rows(key, 2 * b, s, cin, cout,
+                                         jnp.bfloat16)
+                    for key, (s, cin, cout) in layout.items()}
+
         table = sampler.make_table(n_steps)
         ts = jnp.asarray(table.timesteps)
         cs = jnp.asarray(table.coeffs)
@@ -304,7 +316,8 @@ def build_step(batch: int):
 
             lat, _, _, _, _, n_full = jax.lax.fori_loop(
                 0, n_steps, body,
-                (latents, deep0, state0, latents, jnp.int32(0), jnp.int32(0)))
+                (latents, deep0, mk_state0(), latents, jnp.int32(0),
+                 jnp.int32(0)))
             return lat, n_full
 
         return run
@@ -320,8 +333,12 @@ def build_step(batch: int):
         cache = BlockCache(CacheConfig(enabled=True, mode="compact",
                                        compact_fraction=fraction, max_hits=4))
         layout = unet.cache_layout(hw, min_level=1)
-        state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, jnp.bfloat16)
-                  for key, (s, cin, cout) in layout.items()}
+
+        def mk_state0():
+            return {key: cache.init_rows(key, 2 * b, s, cin, cout,
+                                         jnp.bfloat16)
+                    for key, (s, cin, cout) in layout.items()}
+
         table = sampler.make_table(n_steps)
         ts = jnp.asarray(table.timesteps)
         cs = jnp.asarray(table.coeffs)
@@ -345,7 +362,8 @@ def build_step(batch: int):
                 eps = u + guidance_.reshape(-1, 1, 1, 1) * (c - u)
                 return sampler.step(lat, eps, c0, c1), st2
 
-            lat, _ = jax.lax.fori_loop(0, n_steps, body, (latents, state0))
+            lat, _ = jax.lax.fori_loop(0, n_steps, body,
+                                       (latents, mk_state0()))
             return lat
 
         return run
@@ -414,17 +432,19 @@ def main() -> None:
             deep_interval = int(os.environ.get("BENCH_DEEP", "3"))
             compact_frac = float(os.environ.get("BENCH_COMPACT", "0"))
             adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05"))
-            hybrid_frac = float(os.environ.get("BENCH_DEEP_HYBRID", "0"))
+            hybrid_frac = float(os.environ.get("BENCH_DEEP_HYBRID", "0.5"))
             n_full = None
             if mode == "scan":
                 adaptive = ((adaptive_thresh > 0 or hybrid_frac > 0)
                             and compact_frac <= 0)
-                if hybrid_frac > 0:
+                if hybrid_frac > 0 and compact_frac <= 0:
                     run = make_hybrid_trajectory(
                         n_steps, adaptive_thresh or 0.05,
                         cap=int(os.environ.get("BENCH_DEEP_CAP", "6")),
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")),
-                        fraction=hybrid_frac)
+                        fraction=hybrid_frac,
+                        pairwise=os.environ.get("BENCH_HYBRID_PAIRWISE",
+                                                "0") == "1")
                 elif adaptive:
                     run = make_adaptive_deep_trajectory(
                         n_steps, adaptive_thresh,
@@ -493,7 +513,7 @@ def main() -> None:
         "deep_adaptive_threshold": float(
             os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05")),
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
-        "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0")),
+        "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.5")),
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 

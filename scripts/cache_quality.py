@@ -210,7 +210,8 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
     @functools.lru_cache(maxsize=None)
     def run_deep_hybrid(threshold: float, fraction: float,
-                        max_interval: int = 6, warmup: int = 0):
+                        max_interval: int = 6, warmup: int = 0,
+                        pairwise: bool = False):
         """Deep x compact HYBRID (CacheConfig.deep_compact_fraction): the
         adaptive deep schedule, with SHALLOW steps additionally gating their
         block pairs at top-K row capacity ``fraction`` (full steps recompute
@@ -222,6 +223,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         cache = BlockCache(CacheConfig(enabled=True, mode="deep",
                                        deep_compact_fraction=fraction,
+                                       deep_compact_pairwise=pairwise,
                                        max_hits=4))
         layout = unet.shallow_cache_layout(hw)
         state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, dtype)
@@ -442,6 +444,9 @@ def main():
                          "each runs the adaptive schedule at "
                          "--hybrid-threshold with shallow-pair row gating")
     ap.add_argument("--hybrid-threshold", type=float, default=0.05)
+    ap.add_argument("--hybrid-pairwise", action="store_true",
+                    help="CFG-pair-symmetric row selection for the hybrid "
+                         "rows (gate_compact_pairs)")
     ap.add_argument("--fine", default="0.3,0.5,0.7",
                     help="per-token fine fractions (sd3 only)")
     ap.add_argument("--out", default="")
@@ -506,7 +511,8 @@ def main():
                 run = run_deep_adaptive(param, args.max_interval, 3)
             elif kind == "deep_hybrid":
                 run = run_deep_hybrid(args.hybrid_threshold, param,
-                                      args.max_interval, 3)
+                                      args.max_interval, 3,
+                                      args.hybrid_pairwise)
             elif kind == "token_fine":
                 run = run_compact(param, fine=True)
             else:
@@ -537,6 +543,7 @@ def main():
             row["full_fraction"] = round(full_frac, 4)
             if kind == "deep_hybrid":
                 row["threshold"] = args.hybrid_threshold
+                row["pairwise"] = args.hybrid_pairwise
         results.append(row)
         print(json.dumps(row), flush=True)
 

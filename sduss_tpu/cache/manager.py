@@ -190,6 +190,43 @@ class BlockCache:
         }
         return y, new_state, {"idx": idx, "scores": scores}
 
+    def gate_compact_pairs(self, key: str, x, t_norm, state_k: Optional[dict],
+                           compute_fn: Callable, n_pairs: int,
+                           row_valid=None):
+        """CFG-PAIR-symmetric top-K compact recompute.
+
+        Rows are the [uncond | cond] halves of the same images.  Selecting
+        halves independently (gate_compact) lets an odd capacity recompute
+        one half of an image while splicing the other, and the CFG combine
+        u + g*(c - u) amplifies the asymmetry — measured: tiny-harness
+        hybrid divergence is NON-monotonic in fraction (0.7 WORSE than 0.5,
+        exp/cache_quality_sdxl_hybrid_tiny.json).  Here the selection unit
+        is the PAIR: pair score = sum of both halves' drift scores, and
+        both rows of a selected pair recompute together.  Same contract as
+        gate_compact; ``row_valid`` marks real rows in BOTH halves.
+        """
+        if state_k is None:
+            full = compute_fn(x, jnp.arange(x.shape[0]))
+            return full, None, None
+        n = x.shape[0] // 2
+        scores = self._scores(key, x, state_k, t_norm)
+        if row_valid is not None:
+            scores = jnp.where(row_valid, scores, -jnp.inf)
+        pair_scores = scores[:n] + scores[n:]
+        _, pidx = jax.lax.top_k(pair_scores, n_pairs)
+        idx = jnp.concatenate([pidx, pidx + n], axis=0)
+        x_c = x[idx]
+        y_c = compute_fn(x_c, idx)
+        y = jax.tree.map(
+            lambda cached, fresh: cached.astype(fresh.dtype).at[idx].set(fresh),
+            state_k["out"], y_c)
+        new_state = {
+            "inp": state_k["inp"].astype(x.dtype).at[idx].set(x_c),
+            "out": y,
+            "hits": (state_k["hits"] + 1).at[idx].set(0),
+        }
+        return y, new_state, {"idx": idx, "scores": scores}
+
     def init_token_rows_fine(self, key: str, n_rows: int, seq: int, dim: int,
                              dtype=jnp.bfloat16, kv_pairs: int = 0) -> dict:
         """State for per-TOKEN delta-skip compaction (gate_tokens_fine):

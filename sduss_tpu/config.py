@@ -258,11 +258,12 @@ class CacheConfig:
     # step), approximate below it — the first step of a request (or after a
     # sequence-bucket change) runs a sync program that computes full K/V.
     fine_stale_kv: bool = False
-    # LRU bound on the SD3 token-path state store (sd3.py _sd3_state_entry:
-    # one cache-state pytree per batch COMPOSITION).  Each 1024^2 fine
+    # LRU bound on the batch-composition row-state stores (base.py
+    # _comp_state_entry for the UNet compact/hybrid paths; sd3.py
+    # _sd3_state_entry for the MMDiT token path).  Each 1024^2 SD3 fine
     # stale-KV entry is GBs; 1 is the safe setting there next to 5 GB of
     # params, 2 tolerates alternating compositions at smaller footprints.
-    sd3_state_lru: int = 2
+    comp_state_lru: int = 2
     deep_interval: int = 2
     # Always-full steps at the start of each trajectory (activation drift is
     # largest early in denoising; mirrors DistriFuser's warmup_steps idea).
@@ -304,6 +305,12 @@ class CacheConfig:
     # 1.0 = on at full capacity (exactly equal to plain deep mode — the
     # correctness control, tests/test_cache.py).
     deep_compact_fraction: Optional[float] = None
+    # Hybrid row selection unit: True = CFG PAIRS (both halves of an image
+    # recompute together — odd independent top-K counts break uncond/cond
+    # symmetry and the CFG combine amplifies it; cache/manager.py
+    # gate_compact_pairs).  Default False until the chip A/B (the measured
+    # hybrid headline ran independent selection).
+    deep_compact_pairwise: bool = False
     # Deep boundary level; None => deepest level + mid.
     deep_boundary: Optional[int] = None
     # Force recompute after this many consecutive cache hits (reference uses

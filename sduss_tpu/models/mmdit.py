@@ -408,7 +408,7 @@ class SD3Transformer2DModel:
 
     def _trunk(self, params, x, c, temb, ctx=None, cache=None,
                cache_state=None, t_norm=None, row_valid=None,
-               fine_kv_stale: bool = False):
+               fine_kv_stale: bool = False, compact_sync: bool = False):
         """Joint blocks + final modulation/projection over token sequences.
 
         With cache/cache_state: per-block per-request output caching over the
@@ -440,6 +440,11 @@ class SD3Transformer2DModel:
                     "per-token fine flavor (patch_fraction < 1), whose "
                     "gated queries compose with the KV exchange")
             n_active = max(1, round(x.shape[0] * cache.config.compact_fraction))
+            if compact_sync:
+                # ANCHORING sync step for a fresh composition's state: full
+                # capacity recomputes every row so the out rows are real
+                # before any splice (pipelines/sd3.py _sd3_state_entry)
+                n_active = x.shape[0]
         for i, blk in enumerate(params["blocks"]):
             last = i == cfg.num_layers - 1
             dual = i in cfg.dual_attention_layers
@@ -557,7 +562,8 @@ class SD3Transformer2DModel:
     def apply_tokens(self, params, tokens, token_mask, timesteps,
                      encoder_hidden_states, pooled_projections,
                      cache=None, cache_state=None, row_valid=None,
-                     fine_kv_stale: bool = False):
+                     fine_kv_stale: bool = False,
+                     compact_sync: bool = False):
         """Mixed-resolution forward over PADDED token sequences.
 
         tokens: (B, S_pad, dim) patch-embedded + position-embedded latent
@@ -577,7 +583,8 @@ class SD3Transformer2DModel:
         t_norm = timesteps.astype("float32") / 1000.0
         return self._trunk(params, tokens, c, temb, ctx=ctx, cache=cache,
                            cache_state=cache_state, t_norm=t_norm,
-                           row_valid=row_valid, fine_kv_stale=fine_kv_stale)
+                           row_valid=row_valid, fine_kv_stale=fine_kv_stale,
+                           compact_sync=compact_sync)
 
 
 class MMDiTMaskCtx:

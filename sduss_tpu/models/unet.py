@@ -468,7 +468,7 @@ class UNet2DConditionModel:
               added_cond=None, ctx: Any = None, cache: Any = None,
               cache_state: Any = None, deep_mode: Optional[str] = None,
               deep_state: Any = None, deep_boundary: Optional[int] = None,
-              row_valid: Any = None):
+              row_valid: Any = None, compact_sync: bool = False):
         """Denoise forward.
 
         sample: (B, H, W, C) dense latents, or (P, ph, pw, C) patches with ctx.
@@ -520,6 +520,13 @@ class UNet2DConditionModel:
         if compact:
             n_active = max(1, round(sample.shape[0]
                                     * cache.config.compact_fraction))
+            if compact_sync:
+                # ANCHORING sync step (fresh composition state): full
+                # capacity selects every row, so the state's out rows are
+                # real before any splice — splicing a fresh entry's zero
+                # "out" rows was the first-step corruption the composition
+                # store made visible (pipelines/base.py _comp_state_entry)
+                n_active = sample.shape[0]
         if hybrid:
             # deep x compact hybrid (CacheConfig.deep_compact_fraction):
             # SHALLOW steps gate their pairs at top-K row capacity; FULL
@@ -558,8 +565,17 @@ class UNet2DConditionModel:
                 return y
             if compact:
                 fn = lambda x_c, idx: compute_fn(x_c, temb[idx], ehs[idx], None)  # noqa: E731
-                y, ns, _ = cache.gate_compact(key, x, t_norm, st, fn,
-                                              n_active, row_valid=row_valid)
+                if hybrid and getattr(cache.config, "deep_compact_pairwise",
+                                      False):
+                    y, ns, _ = cache.gate_compact_pairs(
+                        key, x, t_norm, st, fn,
+                        max(1, round(x.shape[0] // 2
+                                     * cache.config.deep_compact_fraction)),
+                        row_valid=row_valid)
+                else:
+                    y, ns, _ = cache.gate_compact(key, x, t_norm, st, fn,
+                                                  n_active,
+                                                  row_valid=row_valid)
             elif patch_compact:
                 if cache.config.patch_fraction < 1.0:
                     # two-level: per-patch tail compaction inside the

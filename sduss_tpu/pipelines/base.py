@@ -268,6 +268,50 @@ class BasePipeline:
                 and self.config.cache.mode == "compact"
                 and hasattr(self.bundle.denoiser, "cache_layout"))  # UNet only
 
+    # -- batch-composition row-state store (serving row caches) ----------------
+
+    def _comp_state_entry(self, kind, res, reqs, bb, sig, mk_state) -> dict:
+        """Row-cache state keyed by batch COMPOSITION, LRU-bounded.
+
+        Serving row caches used to live per REQUEST, gathered into a batch
+        at step entry and scattered back at exit.  At full size that
+        pattern is unserveable: SDXL compact rows are ~0.4 GB/request (b8 =
+        3+ GB with up to 4 transient copies next to 5 GB of params), and
+        the SD3 analog OOMed a 16 GB chip outright (sd3.py
+        _sd3_state_entry, the same redesign).  Like displaced serving KV
+        (_denoise_group_displaced), ONE state pytree lives per composition:
+        a stable batch reuses it across steps with zero reshuffling; any
+        change (membership, bucket, cache config) resets to fresh state.
+
+        ``mk_state(n_rows)`` builds zero state for the CFG-doubled padded
+        batch.  The entry is {"state": pytree, "anchored": False}; callers
+        must run an ANCHORING step (full-capacity recompute that writes the
+        out rows through) before trusting splices — splicing a fresh
+        entry's zero "out" rows corrupts unselected rows.  (That flaw
+        predates the store: a fresh per-request batch over capacity zero-
+        spliced its first step too; anchoring fixes both.)
+        """
+        import collections
+
+        if not hasattr(self, "_comp_state"):
+            self._comp_state = collections.OrderedDict()
+        key = (kind, res, bb, tuple(r.request_id for r in reqs), sig)
+        entry = self._comp_state.get(key)
+        if entry is None:
+            entry = {"state": mk_state(2 * bb), "anchored": False}
+            self._comp_state[key] = entry
+        self._comp_state.move_to_end(key)
+        lru = max(int(self.config.cache.comp_state_lru), 1)
+        while len(self._comp_state) > lru:
+            self._comp_state.popitem(last=False)
+        return entry
+
+    def _comp_state_peek(self, kind, res, reqs, bb, sig):
+        if not hasattr(self, "_comp_state"):
+            return None
+        return self._comp_state.get(
+            (kind, res, bb, tuple(r.request_id for r in reqs), sig))
+
     def _denoise_group_compact(self, res, reqs, bb, latents, t, coeffs,
                                guidance, cond):
         """Dense-path denoise with per-block top-K compact recompute.
@@ -276,7 +320,9 @@ class BasePipeline:
         block, so each gated block gathers its n_active most-drifted rows,
         recomputes them, and splices cached outputs for the rest — REAL
         per-row-adaptive compute saving (the static-shape counterpart of the
-        reference's threshold cache, cache_manager.py:101-191).
+        reference's threshold cache, cache_manager.py:101-191).  State lives
+        per batch composition (_comp_state_entry); a fresh composition's
+        first step runs the full-capacity SYNC program to anchor the rows.
         """
         from sduss_tpu.cache.manager import BlockCache
 
@@ -288,44 +334,29 @@ class BasePipeline:
             cells, self.config.cache.min_level)
         dtype = self._latent_dtype()
         b = len(reqs)
-        first = next(iter(layout))
-        for r in reqs:
-            rows = r.cache_rows
-            stale = (rows is None or first not in rows
-                     or rows[first]["inp"].shape[:2] != (2, layout[first][0])
-                     or "mid1" in rows[first])  # patched-compact rows
-            if stale:
-                r.cache_rows = {
-                    key: cache.init_rows(key, 2, s, c_in, c_out, dtype)
-                    for key, (s, c_in, c_out) in layout.items()}
-        state = {}
-        pad = bb - b
-        for key, (s, c_in, c_out) in layout.items():
-            parts_u = [jax.tree.map(lambda a: a[0:1], r.cache_rows[key])
-                       for r in reqs]
-            parts_c = [jax.tree.map(lambda a: a[1:2], r.cache_rows[key])
-                       for r in reqs]
-            if pad:
-                z = cache.init_rows(key, pad, s, c_in, c_out, dtype)
-                parts_u.append(z)
-                parts_c.append(z)
-            state[key] = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *(parts_u + parts_c))
+        sig = (type(cache).__name__, self.config.cache.min_level,
+               self.config.cache.compact_fraction)
 
+        def mk_state(n):
+            return {key: cache.init_rows(key, n, s, c_in, c_out, dtype)
+                    for key, (s, c_in, c_out) in layout.items()}
+
+        entry = self._comp_state_entry("unet_compact", res, reqs, bb, sig,
+                                       mk_state)
+        sync = not entry["anchored"]
         row_valid = np.zeros((bb,), bool)
         row_valid[:b] = True
-        fn = self._jit(("denoise_compact", res, bb), self._make_compact_fn(cache))
+        fn = self._jit(("denoise_compact", res, bb, sync),
+                       self._make_compact_fn(cache, sync))
         new_latents, new_state = fn(self.params, latents, jnp.asarray(t),
                                     jnp.asarray(coeffs), jnp.asarray(guidance),
-                                    cond, state, jnp.asarray(row_valid))
-        for key, entry in new_state.items():
-            for i, r in enumerate(reqs):
-                r.cache_rows[key] = jax.tree.map(
-                    lambda a: jnp.concatenate(
-                        [a[i : i + 1], a[bb + i : bb + i + 1]], axis=0), entry)
+                                    cond, entry["state"],
+                                    jnp.asarray(row_valid))
+        entry["state"] = new_state
+        entry["anchored"] = True
         return new_latents
 
-    def _make_compact_fn(self, cache):
+    def _make_compact_fn(self, cache, sync: bool = False):
         def fn(params, latents, t, coeffs, guidance, cond, cache_state,
                row_valid):
             rv2 = jnp.concatenate([row_valid, row_valid], axis=0)
@@ -333,7 +364,8 @@ class BasePipeline:
                 latents, t, coeffs, guidance,
                 lambda lat_in, t2: self.denoiser_forward(
                     params, lat_in, t2, cond, cache=cache,
-                    cache_state=cache_state, row_valid=rv2))
+                    cache_state=cache_state, row_valid=rv2,
+                    compact_sync=sync))
             return self.sampler.step(latents, noise_pred, c0, c1), new_state
 
         return fn
@@ -480,8 +512,12 @@ class BasePipeline:
             or r.deep_state.shape[0] != 2
             or r.deep_state.shape[1] != latents.shape[1] // self._deep_factor()
             or (adaptive and self._drift_exceeds(r))
-            or (hybrid and self._hybrid_rows_stale(r, res))
             for r in reqs)
+        if hybrid and self._comp_state_peek(
+                "unet_hybrid", res, reqs, bb, self._hybrid_sig()) is None:
+            # fresh composition row state: the full step's write-through is
+            # the anchoring sync (splicing zero out rows would corrupt)
+            need_full = True
         mode = "full" if need_full else "shallow"
 
         if mode == "shallow":
@@ -585,16 +621,11 @@ class BasePipeline:
         return self.bundle.denoiser.shallow_cache_layout(
             cells, self.config.cache.deep_boundary)
 
-    def _hybrid_rows_stale(self, r, res) -> bool:
-        """True when the request's hybrid row caches don't match the layout
-        (fresh request, resolution change, or rows from another cache mode).
-        Stale rows force a FULL step, whose write-through re-anchors them."""
-        layout = self._hybrid_layout(res)
-        rows = r.cache_rows
-        if rows is None or set(rows) != set(layout):
-            return True
-        first = next(iter(layout))
-        return rows[first]["inp"].shape[:2] != (2, layout[first][0])
+    def _hybrid_sig(self):
+        """Composition-store signature for the hybrid row caches: any knob
+        that changes the state layout or the gating resets the state."""
+        cc = self.config.cache
+        return ("hybrid", cc.deep_compact_fraction, cc.deep_boundary)
 
     def _deep_hybrid_call(self, res, reqs, bb, latents, t, coeffs, guidance,
                           cond, mode: str, deep):
@@ -610,36 +641,27 @@ class BasePipeline:
         layout = self._hybrid_layout(res)
         dtype = self._latent_dtype()
         b = len(reqs)
-        for r in reqs:
-            if self._hybrid_rows_stale(r, res):
-                r.cache_rows = {
-                    key: cache.init_rows(key, 2, s, c_in, c_out, dtype)
+
+        def mk_state(n):
+            return {key: cache.init_rows(key, n, s, c_in, c_out, dtype)
                     for key, (s, c_in, c_out) in layout.items()}
-        state = {}
-        pad = bb - b
-        for key, (s, c_in, c_out) in layout.items():
-            parts_u = [jax.tree.map(lambda a: a[0:1], r.cache_rows[key])
-                       for r in reqs]
-            parts_c = [jax.tree.map(lambda a: a[1:2], r.cache_rows[key])
-                       for r in reqs]
-            if pad:
-                z = cache.init_rows(key, pad, s, c_in, c_out, dtype)
-                parts_u.append(z)
-                parts_c.append(z)
-            state[key] = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *(parts_u + parts_c))
+
+        entry = self._comp_state_entry("unet_hybrid", res, reqs, bb,
+                                       self._hybrid_sig(), mk_state)
+        # a fresh entry forces mode "full" upstream (_denoise_group_deep's
+        # peek), whose write-through anchors every gated pair's rows
+        assert entry["anchored"] or mode == "full"
         row_valid = np.zeros((bb,), bool)
         row_valid[:b] = True
         fn = self._jit(("denoise_deep_hybrid", mode, res, bb),
                        self._make_deep_hybrid_fn(mode))
         new_latents, deep_out, new_state = fn(
             self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
-            jnp.asarray(guidance), cond, deep, state, jnp.asarray(row_valid))
-        for key, entry in new_state.items():
-            for i, r in enumerate(reqs):
-                r.cache_rows[key] = jax.tree.map(
-                    lambda a: jnp.concatenate(
-                        [a[i : i + 1], a[bb + i : bb + i + 1]], axis=0), entry)
+            jnp.asarray(guidance), cond, deep, entry["state"],
+            jnp.asarray(row_valid))
+        entry["state"] = new_state
+        if mode == "full":
+            entry["anchored"] = True
         return new_latents, deep_out
 
     def _make_deep_hybrid_fn(self, mode: str):

@@ -148,10 +148,17 @@ class StableDiffusion3Pipeline(BasePipeline):
         if not allow_cold:
             cc = self.config.cache
             has_cache = self._sd3_cache() is not None
-            fine_kv = (has_cache and getattr(cc, "fine_stale_kv", False)
-                       and cc.patch_fraction < 1.0)
-            variants = [("sd3_mixed", s_pad, bb, has_cache, kvs)
-                        for kvs in ((False, True) if fine_kv else (False,))]
+            fine = (has_cache and cc.mode == "compact"
+                    and cc.patch_fraction < 1.0)
+            fine_kv = fine and getattr(cc, "fine_stale_kv", False)
+            # non-fine compact runs an ANCHORING sync program on fresh
+            # composition state, then the steady capacity-bounded one
+            syncs = ((False, True)
+                     if has_cache and cc.mode == "compact" and not fine
+                     else (False,))
+            kvs = (False, True) if fine_kv else (False,)
+            variants = [("sd3_mixed", s_pad, bb, has_cache, s, k)
+                        for s in syncs for k in kvs]
             if any(k not in self._executed_keys for k in variants):
                 self._queue_mixed_warm(tuple(sorted(
                     (res, len(rs)) for res, rs in reqs_by_res.items())))
@@ -220,8 +227,14 @@ class StableDiffusion3Pipeline(BasePipeline):
                 and cache.config.patch_fraction < 1.0)
         kv_stale = (fine and getattr(cache.config, "fine_stale_kv", False)
                     and entry["kv_ok"])
-        trunk_key = ("sd3_mixed", s_pad, bb, cache is not None, kv_stale)
-        fn = self._jit(trunk_key, self._make_sd3_trunk_fn(cache, kv_stale))
+        # non-fine compact: a fresh composition's state must be ANCHORED by
+        # a full-capacity step before gate_compact may splice its out rows
+        sync = (cache is not None and cache.config.mode == "compact"
+                and not fine and not entry["anchored"])
+        trunk_key = ("sd3_mixed", s_pad, bb, cache is not None, sync,
+                     kv_stale)
+        fn = self._jit(trunk_key,
+                       self._make_sd3_trunk_fn(cache, kv_stale, sync))
         if cache is None:
             out_tokens = fn(self.params, tokens, jnp.asarray(mask),
                             jnp.asarray(t), jnp.asarray(guidance), cond)
@@ -233,6 +246,7 @@ class StableDiffusion3Pipeline(BasePipeline):
                                        cond, entry["state"],
                                        jnp.asarray(row_valid))
             entry["state"] = new_state
+            entry["anchored"] = True
             if fine and getattr(cache.config, "fine_stale_kv", False):
                 entry["kv_ok"] = True
         # the call above compiled synchronously: the key is warm
@@ -334,18 +348,19 @@ class StableDiffusion3Pipeline(BasePipeline):
                 state = {k: cache.init_token_rows(k, 2 * bb, seq, dim, dtype,
                                                   ctx_seq=ctx_seq)
                          for k, (seq, dim) in layout.items()}
-            entry = {"state": state, "kv_ok": False}
+            entry = {"state": state, "kv_ok": False, "anchored": False}
             self._sd3_state[key] = entry
         self._sd3_state.move_to_end(key)
         # Each 1024^2 fine entry is GBs; the bound trades re-sync steps on
-        # composition alternation against HBM (sd3_state_lru=1 is the safe
+        # composition alternation against HBM (comp_state_lru=1 is the safe
         # setting at 1024^2 fine stale-KV next to 5 GB of params).
-        lru = max(int(getattr(cfg, "sd3_state_lru", 2)), 1)
+        lru = max(int(getattr(cfg, "comp_state_lru", 2)), 1)
         while len(self._sd3_state) > lru:
             self._sd3_state.popitem(last=False)
         return entry
 
-    def _make_sd3_trunk_fn(self, cache, kv_stale: bool = False):
+    def _make_sd3_trunk_fn(self, cache, kv_stale: bool = False,
+                           sync: bool = False):
         def fn(params, tokens, mask, t, guidance, cond, cache_state=None,
                row_valid=None):
             import jax.numpy as jnp
@@ -364,7 +379,7 @@ class StableDiffusion3Pipeline(BasePipeline):
                     params["transformer"], tok2, mask2, t2,
                     ehs.astype(tokens.dtype), pooled.astype(tokens.dtype),
                     cache=cache, cache_state=cache_state, row_valid=rv2,
-                    fine_kv_stale=kv_stale)
+                    fine_kv_stale=kv_stale, compact_sync=sync)
             else:
                 out = tr.apply_tokens(
                     params["transformer"], tok2, mask2, t2,

@@ -438,13 +438,26 @@ class TestCompactCacheDense:
         pipe = self._pipe(fraction=0.5)
         reqs = make_reqs(n=3, steps=5)
         self._run(pipe, reqs, 4)
-        hits = 0
         for r in reqs:
-            assert r.cache_rows is not None
             assert np.isfinite(np.asarray(r.latents)).all()
-            for key in r.cache_rows:
-                hits = max(hits, int(np.asarray(r.cache_rows[key]["hits"]).max()))
+        # dense-path row state lives per batch composition on the store
+        (entry,) = pipe._comp_state.values()
+        assert entry["anchored"]
+        hits = max(int(np.asarray(rows["hits"]).max())
+                   for rows in entry["state"].values())
         assert hits >= 1
+
+    def test_fresh_composition_anchors_before_splicing(self):
+        """A fresh composition's first step runs the full-capacity SYNC
+        program: fraction 0.5's first step must equal cache-off exactly
+        (before anchoring, half the rows spliced the zero out rows)."""
+        base_cfg = Config()
+        base_cfg.model = ModelConfig(model="sd15", test_tiny=True,
+                                     dtype="float32")
+        base = self._run(build_pipeline(base_cfg), make_reqs(), 1)
+        compact = self._run(self._pipe(fraction=0.5), make_reqs(), 1)
+        for a, b in zip(base, compact):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
 
 
 class TestCompactCachePatched:
@@ -774,7 +787,7 @@ class TestTokenFineSD3:
         evicts the old one (the HBM guarantee that replaced per-request
         rows after the r2n serving OOM)."""
         pipe = self._pipe(0.5)
-        pipe.config.cache.sd3_state_lru = 1
+        pipe.config.cache.comp_state_lru = 1
         reqs = self._reqs(steps=8)
         run_denoise(pipe, reqs, 2)
         assert len(pipe._sd3_state) == 1
@@ -786,12 +799,75 @@ class TestTokenFineSD3:
             assert np.isfinite(np.asarray(r.latents)).all()
 
 
+class TestGateCompactPairsUnit:
+    def test_pair_selection_keeps_cfg_symmetry(self):
+        """The pair gate must pick the pair with the highest COMBINED drift
+        and recompute BOTH its halves — independent row top-K would split a
+        high-drift half from its partner (the measured non-monotonic
+        quality at fraction 0.7)."""
+        import jax.numpy as jnp
+
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       max_hits=100))
+        n, d = 4, 8
+        rng = np.random.default_rng(0)
+        x = jnp.ones((2 * n, d), jnp.float32)  # unit row power: rel == mse
+        inp = np.asarray(x).copy()
+        # pair 1: both halves drift moderately (9 + 9 = 18 combined);
+        # pair 2: ONE half drifts hard (16 + 0 = 16) — independent top-K
+        # would rank row 2 first, the pair gate must not
+        inp[1] += 3.0
+        inp[n + 1] += 3.0
+        inp[2] += 4.0
+        st = {"inp": jnp.asarray(inp),
+              "out": jnp.asarray(rng.standard_normal((2 * n, d)), jnp.float32),
+              "hits": jnp.zeros((2 * n,), jnp.int32)}
+
+        seen = {}
+
+        def fn(x_c, idx):
+            seen["idx"] = np.asarray(idx)
+            return x_c * 0 + 7.0
+
+        y, ns, _ = cache.gate_compact_pairs("k", x, jnp.zeros(()), st, fn,
+                                            n_pairs=1)
+        # combined drift: pair1 = 2 moderate halves > pair2 = 1 hard half
+        assert set(seen["idx"]) == {1, n + 1}
+        y = np.asarray(y)
+        assert (y[1] == 7.0).all() and (y[n + 1] == 7.0).all()
+        assert (y[2] == np.asarray(st["out"])[2]).all()  # spliced
+        hits = np.asarray(ns["hits"])
+        assert hits[1] == 0 and hits[n + 1] == 0 and hits[2] == 1
+
+    def test_full_pair_capacity_selects_everything(self):
+        import jax.numpy as jnp
+
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="compact",
+                                       max_hits=4))
+        n, d = 3, 4
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2 * n, d)), jnp.float32)
+        st = {"inp": jnp.zeros((2 * n, d), jnp.float32),
+              "out": jnp.zeros((2 * n, d), jnp.float32),
+              "hits": jnp.zeros((2 * n,), jnp.int32)}
+        y, ns, _ = cache.gate_compact_pairs(
+            "k", x, jnp.zeros(()), st,
+            lambda x_c, idx: x_c, n_pairs=n)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
 class TestDeepHybrid:
     """Deep x compact hybrid (CacheConfig.deep_compact_fraction): shallow
     steps gate their pairs with top-K compact row recompute; full steps
     write the row caches through."""
 
-    def _pipe(self, fraction, interval=3, adaptive=False):
+    def _pipe(self, fraction, interval=3, adaptive=False, pairwise=False):
         from sduss_tpu.config import Config, ModelConfig, SchedulerConfig
         from sduss_tpu.pipelines import build_pipeline
 
@@ -803,6 +879,7 @@ class TestDeepHybrid:
         config.cache.deep_interval = interval
         config.cache.deep_warmup = 1
         config.cache.deep_compact_fraction = fraction
+        config.cache.deep_compact_pairwise = pairwise
         if adaptive:
             config.cache.deep_adaptive = True
             config.cache.deep_drift_threshold = 0.05
@@ -844,15 +921,15 @@ class TestDeepHybrid:
     def test_half_fraction_runs_reuses_and_tracks(self):
         pipe = self._pipe(0.5)
         reqs = self._run(pipe, steps=6)
-        base = self._run_plain_deep(interval=10**9, steps=6)  # warmup 1 + shallow
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents, np.float32)).all()
+        # hybrid row state lives per batch composition on the store
+        (entry,) = pipe._comp_state.values()
+        assert entry["anchored"]
         saw_hit = False
-        for r, b in zip(reqs, base):
-            x = np.asarray(r.latents, np.float32)
-            assert np.isfinite(x).all()
-            assert r.cache_rows is not None
-            for rows in r.cache_rows.values():
-                assert rows["inp"].shape[0] == 2  # uncond/cond rows
-                saw_hit |= int(np.asarray(rows["hits"]).max()) >= 1
+        for rows in entry["state"].values():
+            assert rows["inp"].shape[0] == 2 * len(reqs)  # CFG-doubled
+            saw_hit |= int(np.asarray(rows["hits"]).max()) >= 1
         assert saw_hit, "no row ever reused under fraction 0.5"
 
     def test_full_step_write_through_resets_hits(self):
@@ -861,8 +938,9 @@ class TestDeepHybrid:
         reqs = self._run(pipe, steps=3)
         for r in reqs:
             assert r.deep_age == 0  # last step was full
-            for rows in r.cache_rows.values():
-                assert int(np.asarray(rows["hits"]).max()) == 0
+        (entry,) = pipe._comp_state.values()
+        for rows in entry["state"].values():
+            assert int(np.asarray(rows["hits"]).max()) == 0
 
     def test_divergence_bounded_vs_cache_off(self):
         reqs = self._run(self._pipe(0.5), steps=6)
@@ -883,3 +961,26 @@ class TestDeepHybrid:
         pipe = self._pipe(0.5, adaptive=True)
         reqs = self._run(pipe, steps=6)
         assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
+
+    def test_pairwise_fraction_1_matches_plain_deep(self):
+        """Full pair capacity selects every pair: the pairwise gate's
+        wiring control, mirroring test_fraction_1_matches_plain_deep."""
+        a = self._run(self._pipe(1.0, pairwise=True), steps=6)
+        b = self._run_plain_deep(interval=3, steps=6)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x.latents),
+                                       np.asarray(y.latents), atol=1e-5)
+
+    def test_pairwise_half_fraction_runs(self):
+        pipe = self._pipe(0.5, pairwise=True)
+        reqs = self._run(pipe, steps=6)
+        assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
+        (entry,) = pipe._comp_state.values()
+        hits = np.concatenate([np.asarray(rows["hits"])
+                               for rows in entry["state"].values()])
+        assert hits.max() >= 1  # some pair reused
+        # CFG symmetry: both halves of each image always share a hit count
+        for rows in entry["state"].values():
+            h = np.asarray(rows["hits"])
+            n = h.shape[0] // 2
+            np.testing.assert_array_equal(h[:n], h[n:])
