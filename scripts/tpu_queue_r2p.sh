@@ -37,4 +37,13 @@ timeout 10800 python -u scripts/serving_probe.py --model sd3 \
     --batch-buckets 1,2 --probe-batch 2 --cache-mode compact \
     --cache-fraction 0.5 --collect \
     --out exp/serving_sd3_v5e_r2p.json
+#  4. Serving-level SDXL with the hybrid: FIXED interval 3 (the rolling-
+#     admission-friendly schedule per exp/sim_adaptive_serving.json)
+#     composed with hybrid row gating 0.5 — cheaper shallow steps at the
+#     fixed schedule's quality bound.  The serving-side evidence for the
+#     new headline (VERDICT weak #2: the north star is img/s/chip under
+#     load, not bench.py).
+timeout 10800 python -u scripts/serving_probe.py --qps 0.35 --num 12 \
+    --steps 30 --deep-interval 3 --deep-hybrid 0.5 --resolutions 1024 \
+    --collect --out exp/serving_sdxl_hybrid_v5e_r2p.json
 echo QUEUE_R2P_DONE

@@ -136,6 +136,32 @@ class TestEngine:
             outs.extend(eng.step())
         assert len(outs) == 2 and all(o.finished for o in outs)
 
+    def test_prewarm_hybrid_mints_both_programs_and_serves(self):
+        """With the deep x compact hybrid configured (fixed interval — the
+        rolling-serving composition), prewarm must mint BOTH hybrid step
+        programs and serving must then run on the store-backed path."""
+        c = _cfg(policy="esymred")
+        c.scheduler.batch_buckets = (2,)
+        c.scheduler.max_batch_size = 2
+        c.cache.enabled = True
+        c.cache.mode = "deep"
+        c.cache.deep_interval = 2
+        c.cache.deep_warmup = 1
+        c.cache.deep_compact_fraction = 0.5
+        eng = Engine(c)
+        eng.prewarm(resolutions=(128,))
+        fns = eng.workers[0].pipeline._fns
+        modes = {k[1] for k in fns if isinstance(k, tuple)
+                 and k[0] == "denoise_deep_hybrid"}
+        assert modes == {"full", "shallow"}
+        reqs = [_req("h0", steps=4), _req("h1", steps=4)]
+        eng.add_requests(reqs)
+        outs = []
+        while eng.has_unfinished_requests():
+            outs.extend(eng.step())
+        assert len(outs) == 2 and all(o.error is None for o in outs)
+        assert eng.workers[0].pipeline._comp_state  # store-backed rows
+
     def test_prewarm_adaptive_mints_both_deep_programs(self):
         """Under adaptive refresh, prewarm must still compile BOTH the full
         and shallow deep programs (the drift trigger could otherwise force
