@@ -32,6 +32,13 @@ BENCH_DEEP_HYBRID=0.5 BENCH_HYBRID_PAIRWISE=1 timeout 7200 python -u bench.py \
 BENCH_DEEP_HYBRID=0.3 BENCH_HYBRID_PAIRWISE=1 timeout 7200 python -u bench.py \
     > /tmp/bench_hyb03p.json 2>/tmp/bench_hyb03p.log \
     && mv /tmp/bench_hyb03p.json exp/bench_sdxl_hybrid03_pairwise_v5e.json
+# b8 tiny quality frontier (cache_quality_sdxl_hybrid{_pairwise,}_b8_tiny):
+# 0.3-indep 0.00587 (too loose) / 0.3-pair 0.00341 / 0.4 0.00306 /
+# 0.5 0.00277 vs adaptive 0.00248 and the round-1 fixed-3 default 0.0040
+# -> 0.4 is the candidate default sweet spot; bench it too.
+BENCH_DEEP_HYBRID=0.4 BENCH_HYBRID_PAIRWISE=1 timeout 7200 python -u bench.py \
+    > /tmp/bench_hyb04p.json 2>/tmp/bench_hyb04p.log \
+    && mv /tmp/bench_hyb04p.json exp/bench_sdxl_hybrid04_pairwise_v5e.json
 timeout 10800 python -u scripts/serving_probe.py --model sd3 \
     --resolutions 1024 --qps 0.05,0.1 --num 8 --steps 30 \
     --batch-buckets 1,2 --probe-batch 2 --cache-mode compact \
