@@ -297,7 +297,8 @@ class BlockCache:
         return out, new_state, {"sel": sel}
 
     def gate_compact_images(self, key: str, x, t_norm, state_k: dict,
-                            compute_fn: Callable, ctx, caps):
+                            compute_fn: Callable, ctx, caps,
+                            cfg_pair_offset=None, two_level=True):
         """Image-granular compact recompute for the COUPLED patch path.
 
         Patch rows couple through per-image group-norm and grouped
@@ -317,6 +318,15 @@ class BlockCache:
         per-patch scores.  Class pad slots rank -inf; if capacity exceeds a
         class's real images the surplus rows scatter out-of-bounds and are
         dropped.
+
+        ``cfg_pair_offset``: image-slot offset between the CFG halves of a
+        doubled meta (== the single meta's i_pad).  When given, each
+        image's score is symmetrized with its CFG partner's so both halves
+        of a pair rank identically and (with even class caps) are selected
+        together — the patch-path analog of gate_compact_pairs.
+        ``two_level=False`` suppresses the per-token tail compaction even
+        when patch_fraction < 1 (the deep x compact hybrid gates at image
+        granularity only).
         """
         scores = self._scores(key, x, state_k, t_norm)
         valid = ctx.patch_valid
@@ -326,6 +336,10 @@ class BlockCache:
         den = jax.ops.segment_sum(valid.astype(jnp.float32), ctx.image_id,
                                   num_segments=ctx.meta.i_pad)
         img_scores = num / jnp.maximum(den, 1.0)
+        if cfg_pair_offset is not None:
+            h = cfg_pair_offset
+            sym = 0.5 * (img_scores[:h] + img_scores[h : 2 * h])
+            img_scores = jnp.concatenate([sym, sym], axis=0)
         gather_parts, img_parts, valid_parts = [], [], []
         for ci, (g, ipc) in enumerate(ctx.meta.class_info):
             rows = ctx.class_gather[ci].reshape(ipc, g * g)
@@ -342,7 +356,7 @@ class BlockCache:
         sel_imgs = jnp.concatenate(img_parts)
         x_sub = x[jnp.clip(gidx, 0)]
 
-        frac2 = getattr(self.config, "patch_fraction", 1.0)
+        frac2 = getattr(self.config, "patch_fraction", 1.0) if two_level else 1.0
         if frac2 < 1.0:
             # Two-level: within the sub-composition, only the k_q most-
             # drifted PATCH rows run the per-token transformer tail

@@ -496,8 +496,6 @@ class UNet2DConditionModel:
             raise ValueError("deep_mode and cache are mutually exclusive "
                              "(set CacheConfig.deep_compact_fraction for "
                              "the hybrid, which returns all three)")
-        if hybrid and ctx is not None:
-            raise ValueError("deep x compact hybrid is dense-path only")
         n_levels = len(cfg.block_out_channels)
         boundary = deep_boundary if deep_boundary is not None else n_levels - 1
         temb = self.time_embed(params, timesteps, added_cond, dtype=sample.dtype)
@@ -532,10 +530,17 @@ class UNet2DConditionModel:
             # SHALLOW steps gate their pairs at top-K row capacity; FULL
             # steps compute everything and write the row caches through
             # (inp/out refresh + hits reset), bounding row staleness by the
-            # deep refresh policy itself.
-            compact = caching and deep_mode == "shallow"
-            n_active = max(1, round(sample.shape[0]
-                                    * cache.config.deep_compact_fraction))
+            # deep refresh policy itself.  Dense path: row (image) gating;
+            # patch path: image-granular gating via the canonical
+            # sub-composition (rows couple through GN/halo/attention).
+            if ctx is None:
+                compact = caching and deep_mode == "shallow"
+                patch_compact = False
+                n_active = max(1, round(sample.shape[0]
+                                        * cache.config.deep_compact_fraction))
+            else:
+                patch_compact = caching and deep_mode == "shallow"
+                compact = False
         sub_ctx = caps = None
         if patch_compact:
             from sduss_tpu.ops.patch_ctx import PatchContext
@@ -543,7 +548,9 @@ class UNet2DConditionModel:
 
             sub_meta, caps = compact_submeta(
                 ctx.meta.patch_cells, ctx.meta.class_info,
-                cache.config.compact_fraction)
+                cache.config.deep_compact_fraction if hybrid
+                else cache.config.compact_fraction,
+                even=hybrid)  # pair-coherent caps under the hybrid
             # static composition => its index arrays are trace constants
             sub_ctx = PatchContext(sub_meta)
         ehs = encoder_hidden_states
@@ -577,7 +584,7 @@ class UNet2DConditionModel:
                                                   n_active,
                                                   row_valid=row_valid)
             elif patch_compact:
-                if cache.config.patch_fraction < 1.0:
+                if cache.config.patch_fraction < 1.0 and not hybrid:
                     # two-level: per-patch tail compaction inside the
                     # sub-composition (compute_fn returns tok_sel rows only)
                     fn = lambda x_s, gidx, imgs, sel: compute_fn(  # noqa: E731
@@ -585,8 +592,14 @@ class UNet2DConditionModel:
                 else:
                     fn = lambda x_s, gidx, imgs: compute_fn(  # noqa: E731
                         x_s, temb[gidx], ehs[imgs], sub_ctx)
-                y, ns, _ = cache.gate_compact_images(key, x, t_norm, st, fn,
-                                                     ctx, caps)
+                y, ns, _ = cache.gate_compact_images(
+                    key, x, t_norm, st, fn, ctx, caps,
+                    # hybrid: symmetrize each CFG pair's scores (the
+                    # doubled meta's halves are offset by i_pad/2) and
+                    # gate at image granularity only
+                    cfg_pair_offset=(ctx.meta.i_pad // 2 if hybrid
+                                     else None),
+                    two_level=not hybrid)
             else:
                 y, ns, _ = cache.gate(key, x, t_norm, st,
                                       lambda xx: compute_fn(xx, temb, ehs, ctx))

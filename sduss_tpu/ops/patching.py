@@ -201,7 +201,7 @@ def build_meta(grids: Tuple[int, ...], patch_cells: int,
 @functools.lru_cache(maxsize=256)
 def compact_submeta(patch_cells: int,
                     class_info: Tuple[Tuple[int, int], ...],
-                    fraction: float):
+                    fraction: float, even: bool = False):
     """Static sub-composition for image-granular compact recompute.
 
     For cache mode "compact" on the patch path: each step recomputes the
@@ -216,6 +216,11 @@ def compact_submeta(patch_cells: int,
     first), matching the concatenation order of the per-class gathers.
     """
     caps = [max(1, int(round(ipc * fraction))) for (_, ipc) in class_info]
+    if even:
+        # CFG-pair-coherent capacities (deep x compact hybrid on the
+        # doubled meta): with symmetrized pair scores an EVEN cap selects
+        # both halves of each chosen image together
+        caps = [min(ipc, c + (c % 2)) for (_, ipc), c in zip(class_info, caps)]
     grids: List[int] = []
     for (g, _), c in zip(class_info, caps):
         grids += [g] * c

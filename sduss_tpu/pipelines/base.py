@@ -766,7 +766,21 @@ class BasePipeline:
         stateful = self.sampler.needs_state
         cache = self._block_cache()
         deep_mode = self._deep_mode_mixed(ordered, grids)
+        # deep x compact hybrid on the PATCH path: shallow steps gate their
+        # pairs image-granularly (unet.apply patch_compact under hybrid);
+        # state per composition, anchored by the full step's write-through
+        hybrid = (deep_mode is not None
+                  and self.config.cache.deep_compact_fraction is not None
+                  and hasattr(self.bundle.denoiser, "shallow_cache_layout"))
+        hybrid_sig = None
+        if hybrid:
+            hybrid_sig = (self._hybrid_sig() + ("mixed",)
+                          + meta.compile_key + meta2.compile_key)
+            if self._comp_state_peek("unet_hybrid_mixed", 0, ordered,
+                                     meta.i_pad, hybrid_sig) is None:
+                deep_mode = "full"  # anchoring step for fresh row state
         cache_tag = type(cache).__name__ if cache is not None else (
+            "deep_hybrid" if hybrid else
             "sampler_state" if stateful else None)
         # BOTH metas' compile keys: the closure bakes in meta AND meta2
         # statics, and compositions can share meta.compile_key while their
@@ -817,8 +831,36 @@ class BasePipeline:
         a1, a2 = ctx_arrays(meta), ctx_arrays(meta2)
         fn = self._jit(jit_key,
                        self._make_mixed_fn(meta, meta2, cache, deep_mode,
-                                           stateful=stateful))
-        if deep_mode is not None:
+                                           stateful=stateful,
+                                           hybrid=hybrid))
+        if deep_mode is not None and hybrid:
+            from sduss_tpu.cache.manager import BlockCache
+
+            if not hasattr(self, "_cache_obj"):
+                self._cache_obj = BlockCache(self.config.cache)
+            hcache = self._cache_obj
+            layout = self.bundle.denoiser.shallow_cache_layout(
+                cells, self.config.cache.deep_boundary)
+            dtype = self._latent_dtype()
+
+            def mk_state(_n):
+                # rows = the DOUBLED patch batch (meta2.p_pad), not 2*bb
+                return {key: hcache.init_rows(key, meta2.p_pad, s, ci, co,
+                                              dtype)
+                        for key, (s, ci, co) in layout.items()}
+
+            entry = self._comp_state_entry("unet_hybrid_mixed", 0, ordered,
+                                           meta.i_pad, hybrid_sig, mk_state)
+            assert entry["anchored"] or deep_mode == "full"
+            new_x, deep_out, new_cstate = fn(
+                self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
+                jnp.asarray(guidance), cond, a1, a2,
+                (deep_batch, entry["state"]))
+            entry["state"] = new_cstate
+            if deep_mode == "full":
+                entry["anchored"] = True
+            self._scatter_deep_mixed(ordered, grids, meta, deep_mode, deep_out)
+        elif deep_mode is not None:
             new_x, deep_out = fn(self.params, x, jnp.asarray(t), jnp.asarray(coeffs),
                                  jnp.asarray(guidance), cond, a1, a2, deep_batch)
             self._scatter_deep_mixed(ordered, grids, meta, deep_mode, deep_out)
@@ -1127,8 +1169,13 @@ class BasePipeline:
                 off += n
 
     def _make_mixed_fn(self, meta, meta2, cache=None, deep_mode=None,
-                       stateful=False):
+                       stateful=False, hybrid=False):
         from sduss_tpu.ops.patch_ctx import PatchContext
+
+        if hybrid and not hasattr(self, "_cache_obj"):
+            from sduss_tpu.cache.manager import BlockCache
+
+            self._cache_obj = BlockCache(self.config.cache)
 
         def fn(params, x, t, coeffs, guidance, cond, ctx1_arrays, ctx2_arrays,
                extra_state=None):
@@ -1142,7 +1189,14 @@ class BasePipeline:
             c0_patch2 = jnp.concatenate([c0, c0])[ctx2.image_id]
             x2 = self.sampler.scale_model_input(x2, c0_patch2)
             new_state = None
-            if deep_mode is not None:
+            new_cstate = None
+            if deep_mode is not None and hybrid:
+                deep_st, cache_st = extra_state
+                model_out, new_state, new_cstate = self.denoiser_forward(
+                    params, x2, t2, cond, ctx=ctx2, cache=self._cache_obj,
+                    cache_state=cache_st, deep_mode=deep_mode,
+                    deep_state=deep_st)
+            elif deep_mode is not None:
                 model_out, new_state = self.denoiser_forward(
                     params, x2, t2, cond, ctx=ctx2, deep_mode=deep_mode,
                     deep_state=extra_state)
@@ -1163,6 +1217,8 @@ class BasePipeline:
                 return self.sampler.step_with_state(x, noise_pred, c0p, c1p,
                                                     extra_state)
             stepped = self.sampler.step(x, noise_pred, c0p, c1p)
+            if deep_mode is not None and hybrid:
+                return stepped, new_state, new_cstate
             if cache is not None or deep_mode is not None:
                 return stepped, new_state
             return stepped

@@ -81,6 +81,16 @@ class FCFSSingle(Policy):
 
 
 class FCFSMixed(Policy):
+    """FCFS with mixed-resolution denoise batches (reference FCFS_Mixed.py).
+
+    Note the run-to-completion admission semantics shared by the FCFS
+    baselines: ``_oldest_nonempty_stage`` favors the oldest request's
+    stage, so arrivals that stagger into PREPARE while an older batch is
+    DENOISING wait for it to drain — mixed batches form from requests
+    admitted together.  Mid-flight admission (continuous batching) is
+    ESyMReD's job (slack-driven, deep-phase-aligned); measured mixed-batch
+    serving runs under it (exp/serving_sdxl_mixed_v5e_r2n.json)."""
+
     supports_mixed_resolution = True
 
     def schedule(self, pool: RequestPool) -> Optional[ScheduledBatch]:

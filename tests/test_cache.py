@@ -400,6 +400,74 @@ class TestDeepReuseMixed:
         assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
 
 
+class TestDeepHybridMixed:
+    """Deep x compact hybrid on the MIXED patch path: shallow steps gate
+    their pairs image-granularly (gate_compact_images with symmetrized CFG
+    pair scores + even caps); full steps write the row caches through."""
+
+    def _pipe(self, fraction, interval=2):
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True,
+                                           patch_size=256)
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_interval = interval
+        config.cache.deep_warmup = 1
+        config.cache.deep_compact_fraction = fraction
+        return build_pipeline(config)
+
+    def _run_mixed(self, pipe, steps=4, n512=2):
+        reqs = make_reqs(n=n512, res=512, steps=steps)
+        reqs.append(Request("rx", SamplingParams(prompt="px", resolution=256,
+                                                 num_inference_steps=steps,
+                                                 seed=7)))
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        for _ in range(steps):
+            by_res = {}
+            for r in reqs:
+                by_res.setdefault(r.resolution, []).append(r)
+            pipe.denoise_step_mixed(by_res)
+        return reqs
+
+    def test_fraction_1_matches_plain_mixed_deep(self):
+        """Full image capacity gates every image: the mixed hybrid must
+        reproduce the plain mixed deep trajectory."""
+        a = self._run_mixed(self._pipe(1.0), steps=4)
+
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=True,
+                                           patch_size=256)
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_interval = 2
+        config.cache.deep_warmup = 1
+        plain = build_pipeline(config)
+        b = self._run_mixed(plain, steps=4)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x.latents, np.float32),
+                                       np.asarray(y.latents, np.float32),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_half_fraction_runs_and_anchors(self):
+        # interval 3, 6 steps: full(warmup), shallow, shallow, full,
+        # shallow, shallow — ends on a shallow so splice hits survive the
+        # full steps' write-through (which resets them to 0)
+        pipe = self._pipe(0.5, interval=3)
+        reqs = self._run_mixed(pipe, steps=6, n512=3)
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents, np.float32)).all()
+        entries = [e for k, e in pipe._comp_state.items()
+                   if k[0] == "unet_hybrid_mixed"]
+        assert entries and all(e["anchored"] for e in entries)
+        saw_hit = any(int(np.asarray(rows["hits"]).max()) >= 1
+                      for e in entries for rows in e["state"].values())
+        assert saw_hit, "no patch row ever reused under fraction 0.5"
+
+
 class TestCompactCacheDense:
     """Dense-path (image-row) top-K compact recompute."""
 
