@@ -11,18 +11,22 @@ sduss/worker/scheduler/configs/esymred.json:34-39), i.e. ~0.45 img/s/GPU at
 measured img/s/chip divided by that 0.45 anchor.
 
 The default configuration enables temporal deep-block reuse with
-DRIFT-TRIGGERED refresh (threshold 0.05) COMPOSED with compact row gating on
-the shallow steps (deep x compact HYBRID, row fraction 0.5) — the
-reference's headline figures likewise run WITH its learned block cache on
-(reference scripts/paper/e2e.sh:32-37 exports ESYMRED_USE_CACHE=TRUE for
-the esymred/fcfs_mixed rows), so cache-on vs cache-on is the
-apples-to-apples comparison.  Measured on chip: hybrid 0.5 = 0.7575 img/s
-at 7/30 full steps (exp/bench_sdxl_hybrid05_v5e.json) vs 0.6475 plain
-adaptive vs 0.5684 fixed interval 3, at an equal quality bound
-(tiny-harness trajectory divergence: hybrid-0.5 rel_mse 0.0028 vs plain
-adaptive 0.0024, exp/cache_quality_sdxl_hybrid_tiny.json; fraction 0.3
-reaches 0.8171 img/s but diverges 5x — not the default).  The cache-off
-number is reported alongside.
+DRIFT-TRIGGERED refresh (threshold 0.05) COMPOSED with CFG-pair-symmetric
+compact row gating on the shallow steps (deep x compact HYBRID, row
+fraction 0.3, pairwise selection) — the reference's headline figures
+likewise run WITH its learned block cache on (reference
+scripts/paper/e2e.sh:32-37 exports ESYMRED_USE_CACHE=TRUE for the
+esymred/fcfs_mixed rows), so cache-on vs cache-on is the apples-to-apples
+comparison.  Measured on chip: hybrid 0.3-pairwise = 0.8752 img/s at 7/30
+full steps (exp/bench_sdxl_hybrid03_pairwise_v5e.json) vs 0.7575 hybrid
+0.5, 0.6475 plain adaptive, 0.5684 fixed interval 3.  Quality ladder
+(batch-8 tiny-harness trajectory divergence,
+exp/cache_quality_sdxl_hybrid{_pairwise,}_b8_tiny.json): plain adaptive
+0.00248 < hybrid-0.5 0.00277 < hybrid-0.3-pairwise 0.00341 < the round-1
+shipped default (fixed interval 3) 0.0040 — the default is faster AND
+tighter-bounded than round 1's.  Pairwise selection is what clears 0.3:
+independent top-K picks 5 of 16 rows (odd) and splits CFG pairs
+(0.00587).  The cache-off number is reported alongside.
 
 Env knobs:
   BENCH_BATCH   image batch per step (default 8; measured best on v5e)
@@ -34,13 +38,17 @@ Env knobs:
                 the fixed BENCH_DEEP interval; BENCH_DEEP_CAP safety
                 interval, BENCH_DEEP_WARMUP always-full prefix); reports
                 the realized full-step count
-  BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (default 0.5, the
-                measured on-chip winner at the adaptive quality bound;
+  BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (default 0.3, the
+                measured on-chip winner inside the round-1 quality bound;
                 0 = plain adaptive): shallow steps additionally gate their
                 block pairs at top-K row capacity
                 (CacheConfig.deep_compact_fraction), full steps write the
                 row caches through; composes with the adaptive schedule
                 above
+  BENCH_HYBRID_PAIRWISE  1 (default) = CFG-pair-symmetric row selection
+                (gate_compact_pairs; odd independent top-K counts split
+                uncond/cond pairs and the CFG combine amplifies it);
+                0 = independent rows
 """
 
 from __future__ import annotations
@@ -432,7 +440,7 @@ def main() -> None:
             deep_interval = int(os.environ.get("BENCH_DEEP", "3"))
             compact_frac = float(os.environ.get("BENCH_COMPACT", "0"))
             adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05"))
-            hybrid_frac = float(os.environ.get("BENCH_DEEP_HYBRID", "0.5"))
+            hybrid_frac = float(os.environ.get("BENCH_DEEP_HYBRID", "0.3"))
             n_full = None
             if mode == "scan":
                 adaptive = ((adaptive_thresh > 0 or hybrid_frac > 0)
@@ -444,7 +452,7 @@ def main() -> None:
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")),
                         fraction=hybrid_frac,
                         pairwise=os.environ.get("BENCH_HYBRID_PAIRWISE",
-                                                "0") == "1")
+                                                "1") == "1")
                 elif adaptive:
                     run = make_adaptive_deep_trajectory(
                         n_steps, adaptive_thresh,
@@ -513,7 +521,8 @@ def main() -> None:
         "deep_adaptive_threshold": float(
             os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05")),
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
-        "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.5")),
+        "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
+        "hybrid_pairwise": os.environ.get("BENCH_HYBRID_PAIRWISE", "1") == "1",
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 

@@ -308,9 +308,11 @@ class CacheConfig:
     # Hybrid row selection unit: True = CFG PAIRS (both halves of an image
     # recompute together — odd independent top-K counts break uncond/cond
     # symmetry and the CFG combine amplifies it; cache/manager.py
-    # gate_compact_pairs).  Default False until the chip A/B (the measured
-    # hybrid headline ran independent selection).
-    deep_compact_pairwise: bool = False
+    # gate_compact_pairs).  Chip A/B: exact perf parity at 0.5, and at 0.3
+    # pairwise is both faster (4 vs 5 of 16 rows) and 42% tighter-bounded
+    # (exp/bench_sdxl_hybrid0{5,3}_pairwise_v5e.json,
+    # cache_quality_sdxl_hybrid_pairwise_b8_tiny.json).
+    deep_compact_pairwise: bool = True
     # Deep boundary level; None => deepest level + mid.
     deep_boundary: Optional[int] = None
     # Force recompute after this many consecutive cache hits (reference uses
