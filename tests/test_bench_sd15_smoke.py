@@ -1,0 +1,39 @@
+"""scripts/bench_sd15.py smoke-tested at tiny scale (same rationale as
+test_bench_smoke.py: a bench code change must not brick a relay compile)."""
+
+import importlib
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def bench_sd15(monkeypatch):
+    import sduss_tpu.models.unet as unet_mod
+
+    monkeypatch.setattr(unet_mod, "SD15_UNET", unet_mod.TINY_UNET)
+    mod = importlib.import_module("scripts.bench_sd15")
+    return mod
+
+
+@pytest.mark.parametrize("mode", ["dense", "deep", "hybrid"])
+def test_bench_sd15_modes(bench_sd15, monkeypatch, capsys, mode):
+    import sduss_tpu.models.unet as unet_mod
+
+    monkeypatch.setenv("BENCH_SD15_RES", "256")
+    monkeypatch.setenv("BENCH_BATCH", "2")
+    monkeypatch.setenv("BENCH_STEPS", "4")
+    monkeypatch.setenv("BENCH_REPEATS", "1")
+    monkeypatch.setenv("BENCH_MODE", mode)
+    # tiny cross-attention width
+    monkeypatch.setattr(unet_mod, "SD15_UNET", unet_mod.TINY_UNET)
+    bench_sd15.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["unit"] == "img/s"
+    assert out["value"] > 0
+    assert np.isfinite(out["value"])
+    if mode == "dense":
+        assert out["n_full"] == 4
+    else:
+        assert 1 <= out["n_full"] <= 4
