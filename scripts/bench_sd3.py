@@ -32,19 +32,23 @@ def main():
     model = SD3Transformer2DModel(SD35_MEDIUM)
     params = random_params(model, dtype=jnp.bfloat16)
     sampler = get_sampler("flow_match", shift=3.0)
-    b, hw = int(os.environ.get("BENCH_SD3_BATCH", "1")), 128
+    b = int(os.environ.get("BENCH_SD3_BATCH", "1"))
+    # shapes derive from the model config so the smoke test can swap in
+    # TINY_MMDIT (tests/test_bench_sd3_smoke.py); chip default = 1024^2
+    hw = int(os.environ.get("BENCH_SD3_HW", "128"))
     n_steps = 10
     table = sampler.make_table(n_steps)
     ts = jnp.asarray(table.timesteps)
     cs = jnp.asarray(table.coeffs)
 
-    lat = jnp.zeros((b, hw, hw, 16), jnp.bfloat16)
+    lat = jnp.zeros((b, hw, hw, model.cfg.in_channels), jnp.bfloat16)
     # context padded 333 -> 384 so the joint sequence (4096+384=4480) is
     # 128-aligned and the flash kernel can engage (set BENCH_SD3_CTX=333 for
     # the unaligned/dense variant)
     ctx_len = int(os.environ.get("BENCH_SD3_CTX", "384"))
-    ehs = jnp.zeros((2 * b, ctx_len, 4096), jnp.bfloat16)
-    pooled = jnp.zeros((2 * b, 2048), jnp.bfloat16)
+    ehs = jnp.zeros((2 * b, ctx_len, model.cfg.joint_attention_dim),
+                    jnp.bfloat16)
+    pooled = jnp.zeros((2 * b, model.cfg.pooled_projection_dim), jnp.bfloat16)
     g = jnp.full((b,), 4.5)
 
     # BENCH_SD3_CACHE=0.5 -> compact top-K token cache at that fraction
@@ -53,12 +57,27 @@ def main():
     # BENCH_SD3_FINE_STALE_KV=1 -> unselected tokens splice the previous
     # step's K/V (CacheConfig.fine_stale_kv) — one sync step primes the
     # state OUTSIDE the timed loop, so ms_per_step is the steady stale cost.
+    # BENCH_SD3_DEEP="lo:hi" -> SPAN-SKIP deep cache (mmdit.py _trunk
+    # deep_mode): full step every BENCH_SD3_DEEP_INTERVAL (default 3) steps
+    # emits the span's residual delta; shallow steps skip blocks [lo,hi) and
+    # splice it.  Composes with CACHE/FINE (the SD3 deep x compact hybrid).
     frac = float(os.environ.get("BENCH_SD3_CACHE", "0"))
     fine = float(os.environ.get("BENCH_SD3_FINE", "0"))
     stale_kv = (fine > 0
                 and os.environ.get("BENCH_SD3_FINE_STALE_KV", "0") == "1")
+    deep_env = os.environ.get("BENCH_SD3_DEEP", "")
+    deep_span = (tuple(int(v) for v in deep_env.split(":"))
+                 if deep_env else None)
+    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "3"))
     prime = None
-    if frac > 0 or fine > 0:
+    use_cache = frac > 0 or fine > 0
+    cache = None
+    seq = (hw // 2) ** 2
+    if deep_span is not None and stale_kv:
+        raise SystemExit("BENCH_SD3_DEEP does not compose with "
+                         "BENCH_SD3_FINE_STALE_KV (stale-KV lost on chip, "
+                         "exp/bench_sd3_v5e_r2n_fine_stale.json)")
+    if use_cache:
         from sduss_tpu.cache.manager import BlockCache
         from sduss_tpu.config import CacheConfig
 
@@ -68,7 +87,6 @@ def main():
             patch_fraction=fine if fine > 0 else 1.0,
             fine_stale_kv=stale_kv,
             max_hits=4))
-        seq = (hw // 2) ** 2
         layout = model.token_cache_layout(seq)
 
         def mk_state0():
@@ -91,62 +109,92 @@ def main():
             return {key: cache.init_token_rows(key, 2 * b, s, d,
                                                jnp.bfloat16, ctx_seq=ctx_len)
                     for key, (s, d) in layout.items()}
+    else:
+        def mk_state0():
+            return None
 
-        mask0 = jnp.ones((2 * b, seq), bool)
+    mask0 = jnp.ones((2 * b, seq), bool)
 
-        def make_body(kv_flag, params):
-            # params is threaded EXPLICITLY: resolved from main()'s scope it
-            # is a concrete 5.1 GB pytree and lowers as jit constants (the
-            # dense leg below shadows it via run's signature, which is why
-            # only the cached legs broke the relay compile)
-            def body(i, carry):
-                x, st = carry
-                c0 = jnp.full((b,), cs[i, 0])
-                c1 = jnp.full((b,), cs[i, 1])
-                t2 = jnp.full((2 * b,), ts[i], jnp.float32)
-                x2 = jnp.concatenate([x, x])
-                toks = model.embed_latents(
-                    params, sampler.scale_model_input(x2, jnp.concatenate([c0, c0])))
-                out, st = model.apply_tokens(params, toks, mask0, t2, ehs,
-                                             pooled, cache=cache,
-                                             cache_state=st,
-                                             fine_kv_stale=kv_flag)
+    def mk_deep0():
+        """Zero deep state (built in-trace); step 0 is always FULL under
+        i % interval == 0, so the zeros are never consumed."""
+        if deep_span is None:
+            return None
+        d = {"dx": jnp.zeros((2 * b, seq, model.cfg.dim), jnp.bfloat16)}
+        if deep_span[1] < model.cfg.num_layers:
+            d["c"] = jnp.zeros((2 * b, ctx_len, model.cfg.dim), jnp.bfloat16)
+        return d
+
+    def make_step(deep_mode, kv_flag, params):
+        # params is threaded EXPLICITLY: resolved from main()'s scope it
+        # is a concrete 5.1 GB pytree and lowers as jit constants (the
+        # r2n cached legs broke the relay compile that way)
+        def step(i, x, st, dp):
+            c0 = jnp.full((b,), cs[i, 0])
+            c1 = jnp.full((b,), cs[i, 1])
+            t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+            x2 = sampler.scale_model_input(
+                jnp.concatenate([x, x]), jnp.concatenate([c0, c0]))
+            kw = ({} if deep_mode is None else
+                  dict(deep_mode=deep_mode, deep_span=deep_span,
+                       deep_state=dp))
+            if use_cache:
+                toks = model.embed_latents(params, x2)
+                res = model.apply_tokens(params, toks, mask0, t2, ehs,
+                                         pooled, cache=cache, cache_state=st,
+                                         fine_kv_stale=kv_flag, **kw)
+                if deep_mode is not None:
+                    out, st, dp = res
+                else:
+                    out, st = res
                 out = model.unpatchify(out, hw // 2, hw // 2)
-                u, c = jnp.split(out, 2)
-                v = u + g.reshape(-1, 1, 1, 1) * (c - u)
-                return sampler.step(x, v.astype(x.dtype), c0, c1), st
+            else:
+                res = model.apply(params, x2, t2, ehs, pooled, **kw)
+                if deep_mode is not None:
+                    out, dp = res
+                else:
+                    out = res
+            u, c = jnp.split(out, 2)
+            v = u + g.reshape(-1, 1, 1, 1) * (c - u)
+            return sampler.step(x, v.astype(x.dtype), c0, c1), st, dp
 
-            return body
+        return step
 
-        if stale_kv:
-            @jax.jit
-            def prime(params, lat, g, ehs, pooled):
-                return make_body(False, params)(0, (lat, mk_state0()))
+    def make_body(kv_flag, params):
+        if deep_span is not None:
+            full_s = make_step("full", kv_flag, params)
+            sh_s = make_step("shallow", kv_flag, params)
 
-            @jax.jit
-            def run(params, carry0, g, ehs, pooled):
-                x, _ = jax.lax.fori_loop(1, n_steps, make_body(True, params),
-                                         carry0)
-                return x
+            def body(i, carry):
+                return jax.lax.cond(i % deep_interval == 0,
+                                    lambda a: full_s(i, *a),
+                                    lambda a: sh_s(i, *a),
+                                    carry)
         else:
-            @jax.jit
-            def run(params, lat, g, ehs, pooled):
-                x, _ = jax.lax.fori_loop(0, n_steps, make_body(False, params),
-                                         (lat, mk_state0()))
-                return x
+            plain = make_step(None, kv_flag, params)
+
+            def body(i, carry):
+                return plain(i, *carry)
+
+        return body
+
+    if stale_kv:
+        @jax.jit
+        def prime(params, lat, g, ehs, pooled):
+            return make_body(False, params)(
+                0, (lat, mk_state0(), mk_deep0()))
+
+        @jax.jit
+        def run(params, carry0, g, ehs, pooled):
+            x, _, _ = jax.lax.fori_loop(1, n_steps, make_body(True, params),
+                                        carry0)
+            return x
     else:
         @jax.jit
         def run(params, lat, g, ehs, pooled):
-            def body(i, x):
-                c0 = jnp.full((b,), cs[i, 0])
-                c1 = jnp.full((b,), cs[i, 1])
-                t2 = jnp.full((2 * b,), ts[i], jnp.float32)
-                out = model.apply(params, jnp.concatenate([x, x]), t2, ehs, pooled)
-                u, c = jnp.split(out, 2)
-                v = u + g.reshape(-1, 1, 1, 1) * (c - u)
-                return sampler.step(x, v, c0, c1)
-
-            return jax.lax.fori_loop(0, n_steps, body, lat)
+            x, _, _ = jax.lax.fori_loop(0, n_steps, make_body(False, params),
+                                        (lat, mk_state0(), mk_deep0()))
+            return x
 
     if prime is not None:
         arg0 = prime(params, lat, g, ehs, pooled)  # sync step, untimed
@@ -169,6 +217,8 @@ def main():
         "compact_cache_fraction": frac,
         "token_fine_fraction": fine,
         "fine_stale_kv": stale_kv,
+        "deep_span": list(deep_span) if deep_span else None,
+        "deep_interval": deep_interval if deep_span else None,
         "h100_anchor_ms": 65.0,
         "vs_anchor": round(65.0 / ms * b, 3),
     }))

@@ -304,11 +304,18 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         return run
 
     return (run_plain, run_deep, run_compact, make_inputs, params,
-            run_drift, run_deep_adaptive, run_deep_hybrid)
+            run_drift, run_deep_adaptive, run_deep_hybrid, None)
 
 
-def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
-    """SD3 compact token cache: (run_plain, None, run_compact, make_inputs)."""
+def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
+                     layers: int = 0):
+    """SD3 compact token cache: (run_plain, None, run_compact, make_inputs).
+
+    ``layers`` (tiny only): deepen TINY_MMDIT to this many blocks (dual
+    attention in the first half, matching SD3.5-medium's 13/24 layout) so
+    span-SKIP deep-cache spans can be ranked — the 2-block tiny config
+    degenerates every span choice."""
+    import dataclasses
     import functools
 
     import jax
@@ -318,6 +325,10 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
     from sduss_tpu.samplers import get_sampler
 
     cfg = TINY_MMDIT if tiny else SD35_MEDIUM
+    if tiny and layers:
+        cfg = dataclasses.replace(
+            TINY_MMDIT, num_layers=layers,
+            dual_attention_layers=tuple(range((layers + 1) // 2)))
     model = SD3Transformer2DModel(cfg)
     sampler = get_sampler("flow_match", shift=3.0)
     dtype = jnp.float32 if tiny else jnp.bfloat16
@@ -420,8 +431,78 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
+    @functools.lru_cache(maxsize=None)
+    def run_deep_span(lo: int, hi: int, interval: int, fine: float = 0.0):
+        """Span-skip deep cache (mmdit.py _trunk deep_mode): full step every
+        ``interval`` steps emits dx = x_at_hi - x_at_lo (+ c_at_hi for
+        interior spans); shallow steps skip blocks [lo,hi) and splice it.
+        ``fine`` > 0 additionally gates the computed blocks per token (the
+        SD3 deep x compact hybrid)."""
+        use_cache = fine > 0
+        cache = None
+        if use_cache:
+            from sduss_tpu.cache.manager import BlockCache
+            from sduss_tpu.config import CacheConfig
+
+            cache = BlockCache(CacheConfig(
+                enabled=True, mode="compact", compact_fraction=1.0,
+                patch_fraction=fine, max_hits=4))
+            layout = model.token_cache_layout(seq)
+            state0 = {key: cache.init_token_rows_fine(key, 2 * b, s, d, dtype)
+                      for key, (s, d) in layout.items()}
+        else:
+            state0 = None
+        deep0 = {"dx": jnp.zeros((2 * b, seq, cfg.dim), dtype)}
+        if hi < cfg.num_layers:
+            deep0["c"] = jnp.zeros((2 * b, ctx_len, cfg.dim), dtype)
+
+        @jax.jit
+        def run(params, lat, g, ehs, pooled, _tid):
+            mask = jnp.ones((2 * b, seq), bool)
+
+            def step(mode):
+                def f(args):
+                    x, st, dp, i = args
+                    c0 = jnp.full((b,), cs[i, 0])
+                    c1 = jnp.full((b,), cs[i, 1])
+                    t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+                    x2 = sampler.scale_model_input(
+                        jnp.concatenate([x, x]), jnp.concatenate([c0, c0]))
+                    toks = model.embed_latents(params, x2)
+                    if use_cache:
+                        out, st, dp = model.apply_tokens(
+                            params, toks, mask, t2, ehs, pooled,
+                            cache=cache, cache_state=st,
+                            deep_mode=mode, deep_span=(lo, hi),
+                            deep_state=dp)
+                    else:
+                        out, dp = model.apply_tokens(
+                            params, toks, mask, t2, ehs, pooled,
+                            deep_mode=mode, deep_span=(lo, hi),
+                            deep_state=dp)
+                    out = model.unpatchify(out, hw // cfg.patch_size,
+                                           hw // cfg.patch_size)
+                    u, c = jnp.split(out, 2)
+                    v = u + g.reshape(-1, 1, 1, 1) * (c - u)
+                    return sampler.step(x, v.astype(x.dtype), c0, c1), st, dp
+
+                return f
+
+            full_f, sh_f = step("full"), step("shallow")
+
+            def body(i, carry):
+                x, st, dp = carry
+                return jax.lax.cond(i % interval == 0, full_f, sh_f,
+                                    (x, st, dp, i))
+
+            x, _, _ = jax.lax.fori_loop(0, n_steps, body,
+                                        (lat, state0, deep0))
+            return x
+
+        return run
+
     return (run_plain, None, run_compact, make_inputs, params, run_drift,
-            None, None)
+            None, None, run_deep_span)
 
 
 def main():
@@ -449,6 +530,14 @@ def main():
                          "rows (gate_compact_pairs)")
     ap.add_argument("--fine", default="0.3,0.5,0.7",
                     help="per-token fine fractions (sd3 only)")
+    ap.add_argument("--sd3-deep", default="",
+                    help="span-skip deep configs (sd3 only): "
+                         "'lo:hi@interval' or 'lo:hi@interval@fine' "
+                         "comma-separated, e.g. '13:24@3,0:13@3@0.5'")
+    ap.add_argument("--mmdit-layers", type=int, default=0,
+                    help="deepen the tiny MMDiT to N blocks (dual attention "
+                         "in the first half) so --sd3-deep spans can be "
+                         "ranked; 0 = stock config")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -466,9 +555,11 @@ def main():
     # full-size bundle captured it as 5.13 GB of lowered CONSTANTS (shipped
     # with the program through the relay on every compile; measured warning
     # in the r2 chip queue).
+    build_kw = ({"layers": args.mmdit_layers}
+                if args.family == "sd3" and args.mmdit_layers else {})
     (run_plain, run_deep, run_compact, make_inputs, params,
-     run_drift, run_deep_adaptive, run_deep_hybrid) = build(
-         args.tiny, args.batch, res, args.steps)
+     run_drift, run_deep_adaptive, run_deep_hybrid, run_deep_span) = build(
+         args.tiny, args.batch, res, args.steps, **build_kw)
 
     configs = []
     if run_deep is not None:
@@ -485,6 +576,13 @@ def main():
                     for v in args.hybrid.split(",") if v]
     if args.family == "sd3":
         configs += [("token_fine", float(v)) for v in args.fine.split(",") if v]
+        for spec in (s for s in args.sd3_deep.split(",") if s):
+            span, rest = spec.split("@", 1)
+            lo, hi = (int(v) for v in span.split(":"))
+            parts = rest.split("@")
+            interval = int(parts[0])
+            fine = float(parts[1]) if len(parts) > 1 else 0.0
+            configs.append(("sd3_deep", (lo, hi, interval, fine)))
 
     # cache-off reference trajectories: one per seed, shared by all configs
     refs = {}
@@ -515,6 +613,8 @@ def main():
                                       args.hybrid_pairwise)
             elif kind == "token_fine":
                 run = run_compact(param, fine=True)
+            elif kind == "sd3_deep":
+                run = run_deep_span(*param)
             else:
                 run = run_compact(param)
             got = run(params, *inputs)
@@ -533,6 +633,11 @@ def main():
         if pattern is not None:
             # realized refresh pattern (last seed) for sim_serving replay
             row["full_pattern"] = pattern
+        if kind == "sd3_deep":
+            lo_, hi_, itv_, fine_ = param
+            row.update(span=[lo_, hi_], interval=itv_, fine=fine_,
+                       param=f"{lo_}:{hi_}@{itv_}" + (f"@{fine_}" if fine_
+                                                      else ""))
         if kind == "deep":
             row["full_fraction"] = round(1.0 / param, 4)
         elif kind == "deep_warmup":

@@ -408,18 +408,46 @@ class SD3Transformer2DModel:
 
     def _trunk(self, params, x, c, temb, ctx=None, cache=None,
                cache_state=None, t_norm=None, row_valid=None,
-               fine_kv_stale: bool = False, compact_sync: bool = False):
+               fine_kv_stale: bool = False, compact_sync: bool = False,
+               deep_mode=None, deep_span=None, deep_state=None):
         """Joint blocks + final modulation/projection over token sequences.
 
         With cache/cache_state: per-block per-request output caching over the
         LATENT token stream (the MMDiT analog of the reference's per-block
         CacheManagers in PatchSD3Transformer, modules/SD3Transformer.py:25-262
         with max 2 consecutive hits).  Returns (tokens, new_cache_state).
+
+        deep_mode/deep_span/deep_state: SPAN-SKIP deep cache — the MMDiT
+        analog of the UNet's temporal deep-block reuse (unet.py apply
+        deep_mode; reference DeepCache semantics, modules/cache_manager.py).
+        A transformer trunk has no encoder/decoder skip seam, so the cached
+        feature is the residual CONTRIBUTION of a contiguous block span
+        ``[lo, hi)``: on a "full" step every block runs and the span's delta
+        ``dx = x_at_hi - x_at_lo`` (plus the evolved context ``c_at_hi`` when
+        the span is interior) is emitted; on a "shallow" step blocks in the
+        span are skipped and the cached delta is spliced in at ``lo`` — the
+        fresh prefix/tail still run, and the AdaLN head always modulates with
+        the CURRENT timestep.  Composes with the per-block token gates (the
+        deep x compact hybrid): gated blocks outside the span run normally,
+        skipped blocks pass their cache rows through untouched.
+        Returns append ``deep_out`` (the {"dx"[, "c"]} pytree) when
+        deep_mode is given: full emits fresh deltas, shallow passes
+        ``deep_state`` through so lax.cond branches carry one structure.
         """
         cfg = self.cfg
         new_state: dict = {}
         caching = cache is not None and cache_state is not None
-        if not caching:
+        deep = deep_mode is not None
+        if deep:
+            lo, hi = deep_span
+            if not (0 <= lo < hi <= cfg.num_layers):
+                raise ValueError(f"deep_span {deep_span} out of range for "
+                                 f"{cfg.num_layers} blocks")
+            if deep_mode == "shallow" and deep_state is None:
+                raise ValueError("shallow deep_mode needs deep_state")
+            x_lo = None
+            deep_out = deep_state
+        if not caching and not deep:
             x, c = self.trunk_blocks(params, x, c, temb, start=0, ctx=ctx)
             return self.head(params, x, temb)
         compact = caching and cache.config.mode == "compact"
@@ -448,6 +476,26 @@ class SD3Transformer2DModel:
         for i, blk in enumerate(params["blocks"]):
             last = i == cfg.num_layers - 1
             dual = i in cfg.dual_attention_layers
+            if deep:
+                if deep_mode == "full" and i == lo:
+                    x_lo = x
+                if i == hi:
+                    if deep_mode == "full":
+                        deep_out = {"dx": x - x_lo}
+                        if hi < cfg.num_layers:
+                            deep_out["c"] = c
+                    else:
+                        x = x + deep_state["dx"].astype(x.dtype)
+                        if "c" in deep_state:
+                            c = deep_state["c"].astype(c.dtype)
+                if deep_mode == "shallow" and lo <= i < hi:
+                    # skipped span: block-cache rows pass through untouched so
+                    # full/shallow programs carry one state structure
+                    if caching:
+                        st = cache_state.get(f"block{i}")
+                        if st is not None:
+                            new_state[f"block{i}"] = st
+                    continue
             if token_fine:
                 key = f"block{i}"
                 st = cache_state.get(key)
@@ -511,7 +559,17 @@ class SD3Transformer2DModel:
             else:
                 x, c = self._joint_block(blk, x, c, temb, last, dual, ctx=ctx)
 
-        return self.head(params, x, temb), new_state
+        if deep and hi == cfg.num_layers:
+            if deep_mode == "full":
+                deep_out = {"dx": x - x_lo}
+            else:
+                x = x + deep_state["dx"].astype(x.dtype)
+        out = self.head(params, x, temb)
+        if deep and caching:
+            return out, new_state, deep_out
+        if deep:
+            return out, deep_out
+        return out, new_state
 
     def unpatchify(self, x, hp: int, wp: int):
         """(B, hp*wp, ps*ps*C) -> (B, H, W, C)."""
@@ -524,7 +582,8 @@ class SD3Transformer2DModel:
 
     def apply(self, params, latents, timesteps, encoder_hidden_states, pooled_projections,
               ctx=None, cache=None, cache_state=None,
-              fine_kv_stale: bool = False):
+              fine_kv_stale: bool = False,
+              deep_mode=None, deep_span=None, deep_state=None):
         """Denoise forward.
 
         latents: (B, H, W, C); timesteps: (B,); encoder_hidden_states:
@@ -544,13 +603,17 @@ class SD3Transformer2DModel:
         x, c, temb = self.prelude(params, latents, timesteps,
                                   encoder_hidden_states,
                                   pooled_projections, ctx=ctx)
-        if cache is not None and cache_state is not None:
+        caching = cache is not None and cache_state is not None
+        if caching or deep_mode is not None:
             t_norm = timesteps.astype("float32") / 1000.0
-            x, new_state = self._trunk(params, x, c, temb, ctx=ctx,
-                                       cache=cache, cache_state=cache_state,
-                                       t_norm=t_norm,
-                                       fine_kv_stale=fine_kv_stale)
-            return self.unpatchify(x, hp, wp), new_state
+            out = self._trunk(params, x, c, temb, ctx=ctx,
+                              cache=cache if caching else None,
+                              cache_state=cache_state if caching else None,
+                              t_norm=t_norm,
+                              fine_kv_stale=fine_kv_stale,
+                              deep_mode=deep_mode, deep_span=deep_span,
+                              deep_state=deep_state)
+            return (self.unpatchify(out[0], hp, wp),) + tuple(out[1:])
         x = self._trunk(params, x, c, temb, ctx=ctx)
         return self.unpatchify(x, hp, wp)
 
@@ -563,7 +626,8 @@ class SD3Transformer2DModel:
                      encoder_hidden_states, pooled_projections,
                      cache=None, cache_state=None, row_valid=None,
                      fine_kv_stale: bool = False,
-                     compact_sync: bool = False):
+                     compact_sync: bool = False,
+                     deep_mode=None, deep_span=None, deep_state=None):
         """Mixed-resolution forward over PADDED token sequences.
 
         tokens: (B, S_pad, dim) patch-embedded + position-embedded latent
@@ -584,7 +648,9 @@ class SD3Transformer2DModel:
         return self._trunk(params, tokens, c, temb, ctx=ctx, cache=cache,
                            cache_state=cache_state, t_norm=t_norm,
                            row_valid=row_valid, fine_kv_stale=fine_kv_stale,
-                           compact_sync=compact_sync)
+                           compact_sync=compact_sync,
+                           deep_mode=deep_mode, deep_span=deep_span,
+                           deep_state=deep_state)
 
 
 class MMDiTMaskCtx:
