@@ -315,6 +315,15 @@ class CacheConfig:
     deep_compact_pairwise: bool = True
     # Deep boundary level; None => deepest level + mid.
     deep_boundary: Optional[int] = None
+    # SD3/MMDiT SPAN-SKIP deep cache (models/mmdit.py _trunk deep_mode):
+    # (lo, hi) block span skipped on shallow steps via the cached residual
+    # delta from the last full step; scheduling reuses deep_interval /
+    # deep_warmup.  Orthogonal to the token gates — set alongside mode
+    # "compact"/patch_fraction for the SD3 deep x fine hybrid, or with the
+    # token gates off for pure span-skip (tiny-harness quality: any span at
+    # interval 3 ~2.5e-5 rel_mse vs fine-0.5's 1.1e-3,
+    # exp/cache_quality_sd3_deepspan_tiny.json).  None = off.
+    sd3_deep_span: Optional[Tuple[int, int]] = None
     # Force recompute after this many consecutive cache hits (reference uses
     # 4 for UNet blocks, 2 for the SD3 MMDiT, cache_manager.py:101-191).
     max_hits: int = 4

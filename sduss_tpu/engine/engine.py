@@ -168,7 +168,11 @@ class Engine:
                        else cc.deep_interval, 1)
         if steps is None:
             steps = 2
-            if cc.enabled and cc.mode == "deep":
+            if cc.enabled and (cc.mode == "deep"
+                               or getattr(cc, "sd3_deep_span", None)):
+                # enough steps past warmup that BOTH the full and the
+                # shallow programs mint (span-skip: the shallow key only
+                # compiles once a full step's delta exists)
                 steps = cc.deep_warmup + interval + 1
         if self.config.parallel.sp_mode == "displaced":
             # mint BOTH the sync (warmup) and the stale step program

@@ -98,7 +98,8 @@ class StableDiffusion3Pipeline(BasePipeline):
         cached trunk is the padded-token one — without this override the
         cache silently never engaged in serving (the dense path has no
         token-cache support), so cache-mode runs measured dense."""
-        if self._sd3_cache() is not None and not (
+        if (self._sd3_cache() is not None
+                or self._sd3_deep_span() is not None) and not (
                 self.sampler.needs_state and self.config.cache.enabled):
             return self.denoise_step_mixed(reqs_by_res, allow_cold=allow_cold)
         return super().denoise_step(reqs_by_res)
@@ -127,10 +128,13 @@ class StableDiffusion3Pipeline(BasePipeline):
         ordered = [r for res in sorted(reqs_by_res) for r in reqs_by_res[res]]
         if not ordered:
             return
-        if len({r.resolution for r in ordered}) <= 1 and self._sd3_cache() is None:
+        if (len({r.resolution for r in ordered}) <= 1
+                and self._sd3_cache() is None
+                and self._sd3_deep_span() is None):
             # single resolution, no cache: the dense path is strictly cheaper
-            # (no pad).  With the block/compact cache the token path serves
-            # single-res batches too (uniform seq -> no padding waste).
+            # (no pad).  With the block/compact cache or the span-skip deep
+            # cache the token path serves single-res batches too (uniform
+            # seq -> no padding waste).
             return self.denoise_step(reqs_by_res)
 
         tr = self.bundle.models["transformer"]
@@ -157,15 +161,19 @@ class StableDiffusion3Pipeline(BasePipeline):
                      if has_cache and cc.mode == "compact" and not fine
                      else (False,))
             kvs = (False, True) if fine_kv else (False,)
-            variants = [("sd3_mixed", s_pad, bb, has_cache, s, k)
-                        for s in syncs for k in kvs]
+            deeps = ((None,) if self._sd3_deep_span() is None
+                     else ("full", "shallow"))
+            variants = [("sd3_mixed", s_pad, bb, has_cache, s, k, dm)
+                        for s in syncs for k in kvs for dm in deeps]
             if any(k not in self._executed_keys for k in variants):
                 self._queue_mixed_warm(tuple(sorted(
                     (res, len(rs)) for res, rs in reqs_by_res.items())))
-                # dense steps advance latents without refreshing KV rows;
-                # force a sync pass when the token path resumes
+                # dense steps advance latents without refreshing KV rows or
+                # the span delta; force a sync/full pass when the token path
+                # resumes
                 for st in getattr(self, "_sd3_state", {}).values():
                     st["kv_ok"] = False
+                    st["deep"] = None
                 return super().denoise_step(reqs_by_res)
 
         # -- embed per resolution group (scale_model_input + patch+pos embed)
@@ -215,8 +223,9 @@ class StableDiffusion3Pipeline(BasePipeline):
         cond = self._stack_cond([r.conditioning for r in ordered], bb)
 
         cache = self._sd3_cache()
+        span = self._sd3_deep_span()
         entry = None
-        if cache is not None:
+        if cache is not None or span is not None:
             entry = self._sd3_state_entry(ordered, bb, s_pad, cache)
         # Stale-KV fine cache (CacheConfig.fine_stale_kv): the STALE program
         # splices previous-step K/V for unselected tokens; it is valid only
@@ -231,24 +240,51 @@ class StableDiffusion3Pipeline(BasePipeline):
         # a full-capacity step before gate_compact may splice its out rows
         sync = (cache is not None and cache.config.mode == "compact"
                 and not fine and not entry["anchored"])
+        # Span-skip deep cache (CacheConfig.sd3_deep_span): one mode per
+        # batch per step (static shapes, like the UNet _denoise_group_deep);
+        # a fresh/reset composition entry has no delta yet -> full.
+        deep_mode = None
+        if span is not None:
+            cc = self.config.cache
+            need_full = (entry["deep"] is None
+                         or entry["deep_age"] >= max(cc.deep_interval, 1) - 1
+                         or any(r.sampler_table.step < cc.deep_warmup
+                                for r in ordered))
+            deep_mode = "full" if need_full else "shallow"
         trunk_key = ("sd3_mixed", s_pad, bb, cache is not None, sync,
-                     kv_stale)
+                     kv_stale, deep_mode)
         fn = self._jit(trunk_key,
-                       self._make_sd3_trunk_fn(cache, kv_stale, sync))
+                       self._make_sd3_trunk_fn(cache, kv_stale, sync,
+                                               deep_mode, span))
+        kw = {}
+        if deep_mode == "shallow":
+            kw["deep_state"] = entry["deep"]
         if cache is None:
-            out_tokens = fn(self.params, tokens, jnp.asarray(mask),
-                            jnp.asarray(t), jnp.asarray(guidance), cond)
+            res_call = fn(self.params, tokens, jnp.asarray(mask),
+                          jnp.asarray(t), jnp.asarray(guidance), cond, **kw)
+            if deep_mode is None:
+                out_tokens = res_call
+            else:
+                out_tokens, deep_out = res_call
         else:
             row_valid = np.zeros((bb,), bool)
             row_valid[:b] = True
-            out_tokens, new_state = fn(self.params, tokens, jnp.asarray(mask),
-                                       jnp.asarray(t), jnp.asarray(guidance),
-                                       cond, entry["state"],
-                                       jnp.asarray(row_valid))
+            res_call = fn(self.params, tokens, jnp.asarray(mask),
+                          jnp.asarray(t), jnp.asarray(guidance),
+                          cond, entry["state"], jnp.asarray(row_valid), **kw)
+            if deep_mode is None:
+                out_tokens, new_state = res_call
+            else:
+                out_tokens, new_state, deep_out = res_call
             entry["state"] = new_state
             entry["anchored"] = True
             if fine and getattr(cache.config, "fine_stale_kv", False):
                 entry["kv_ok"] = True
+        if deep_mode == "full":
+            entry["deep"] = deep_out
+            entry["deep_age"] = 0
+        elif deep_mode == "shallow":
+            entry["deep_age"] += 1
         # the call above compiled synchronously: the key is warm
         self._executed_keys.add(trunk_key)
 
@@ -317,15 +353,16 @@ class StableDiffusion3Pipeline(BasePipeline):
 
         if not hasattr(self, "_sd3_state"):
             self._sd3_state = collections.OrderedDict()
-        cfg = cache.config
+        cfg = self.config.cache
         tr = self.bundle.models["transformer"]
-        token_fine = cfg.mode == "compact" and cfg.patch_fraction < 1.0
+        token_fine = (cache is not None and cfg.mode == "compact"
+                      and cfg.patch_fraction < 1.0)
         want_kv = token_fine and getattr(cfg, "fine_stale_kv", False)
         ctx_seq = None
-        if cfg.mode == "compact" and not token_fine:
+        if cache is not None and cfg.mode == "compact" and not token_fine:
             ctx_seq = ordered[0].conditioning["embeds"].shape[1]
-        mode_sig = (type(cache).__name__, cfg.mode, token_fine, want_kv,
-                    ctx_seq)
+        mode_sig = (cache is not None and type(cache).__name__, cfg.mode,
+                    token_fine, want_kv, ctx_seq, self._sd3_deep_span())
         key = (s_pad, bb, tuple(r.request_id for r in ordered), mode_sig)
         entry = self._sd3_state.get(key)
         if entry is None:
@@ -333,7 +370,9 @@ class StableDiffusion3Pipeline(BasePipeline):
             dtype = self._latent_dtype()
             # rows are CFG-doubled [uncond x bb | cond x bb], matching the
             # trunk's concat order; zeros for the bb-b padding slots too
-            if token_fine:
+            if cache is None:
+                state = None
+            elif token_fine:
                 dual = set(tr.cfg.dual_attention_layers)
 
                 def pairs(k):
@@ -348,7 +387,11 @@ class StableDiffusion3Pipeline(BasePipeline):
                 state = {k: cache.init_token_rows(k, 2 * bb, seq, dim, dtype,
                                                   ctx_seq=ctx_seq)
                          for k, (seq, dim) in layout.items()}
-            entry = {"state": state, "kv_ok": False, "anchored": False}
+            # "deep": the span-skip delta pytree from the last FULL step
+            # (None until one runs); composition changes reset it, so an
+            # admission/finish costs exactly one extra full step.
+            entry = {"state": state, "kv_ok": False, "anchored": False,
+                     "deep": None, "deep_age": 0}
             self._sd3_state[key] = entry
         self._sd3_state.move_to_end(key)
         # Each 1024^2 fine entry is GBs; the bound trades re-sync steps on
@@ -359,10 +402,24 @@ class StableDiffusion3Pipeline(BasePipeline):
             self._sd3_state.popitem(last=False)
         return entry
 
+    def _sd3_deep_span(self):
+        """(lo, hi) span for the MMDiT span-skip deep cache, or None.
+
+        CacheConfig.sd3_deep_span; scheduling reuses deep_interval /
+        deep_warmup.  Orthogonal to the token gates: composes with mode
+        "compact"/patch_fraction (the SD3 deep x fine hybrid) or runs
+        span-only with the gates off."""
+        cc = self.config.cache
+        span = getattr(cc, "sd3_deep_span", None)
+        if not cc.enabled or span is None:
+            return None
+        return tuple(span)
+
     def _make_sd3_trunk_fn(self, cache, kv_stale: bool = False,
-                           sync: bool = False):
+                           sync: bool = False, deep_mode=None,
+                           deep_span=None):
         def fn(params, tokens, mask, t, guidance, cond, cache_state=None,
-               row_valid=None):
+               row_valid=None, deep_state=None):
             import jax.numpy as jnp
 
             tr = self.bundle.models["transformer"]
@@ -374,22 +431,38 @@ class StableDiffusion3Pipeline(BasePipeline):
             rv2 = None
             if row_valid is not None:
                 rv2 = jnp.concatenate([row_valid, row_valid], axis=0)
+            kw = ({} if deep_mode is None else
+                  dict(deep_mode=deep_mode, deep_span=deep_span,
+                       deep_state=deep_state))
+            deep_out = None
             if cache is not None:
-                out, new_state = tr.apply_tokens(
+                res = tr.apply_tokens(
                     params["transformer"], tok2, mask2, t2,
                     ehs.astype(tokens.dtype), pooled.astype(tokens.dtype),
                     cache=cache, cache_state=cache_state, row_valid=rv2,
-                    fine_kv_stale=kv_stale, compact_sync=sync)
+                    fine_kv_stale=kv_stale, compact_sync=sync, **kw)
+                if deep_mode is not None:
+                    out, new_state, deep_out = res
+                else:
+                    out, new_state = res
             else:
-                out = tr.apply_tokens(
+                res = tr.apply_tokens(
                     params["transformer"], tok2, mask2, t2,
-                    ehs.astype(tokens.dtype), pooled.astype(tokens.dtype))
+                    ehs.astype(tokens.dtype), pooled.astype(tokens.dtype),
+                    **kw)
+                if deep_mode is not None:
+                    out, deep_out = res
+                else:
+                    out = res
             uncond, text = jnp.split(out, 2, axis=0)
             g = guidance.reshape(-1, 1, 1)
             combined = uncond + g * (text - uncond)
+            parts = (combined,)
             if cache is not None:
-                return combined, new_state
-            return combined
+                parts += (new_state,)
+            if deep_mode is not None:
+                parts += (deep_out,)
+            return parts if len(parts) > 1 else combined
 
         return fn
 

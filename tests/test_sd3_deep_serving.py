@@ -1,0 +1,142 @@
+"""SD3 span-skip deep cache at the serving layer (pipelines/sd3.py).
+
+The deep delta lives in the batch-COMPOSITION state entry (like the token
+caches, _sd3_state_entry): a stable batch alternates full/shallow on
+deep_interval; any membership change resets the entry, costing one full
+step.  CacheConfig.sd3_deep_span + deep_interval/deep_warmup.
+"""
+
+import numpy as np
+import pytest
+
+from sduss_tpu.config import CacheConfig, Config, ModelConfig, SchedulerConfig
+from sduss_tpu.pipelines import build_pipeline
+from sduss_tpu.request import Request, SamplingParams, Stage
+
+
+def make_pipe(span=(1, 2), interval=3, warmup=0, fine=0.0):
+    config = Config()
+    config.model = ModelConfig(model="sd3", test_tiny=True, dtype="float32",
+                               resolutions=(256, 512))
+    config.scheduler = SchedulerConfig(use_mixed_resolution=True)
+    config.cache = CacheConfig(
+        enabled=True,
+        mode="compact" if fine > 0 else "deep",
+        compact_fraction=1.0,
+        patch_fraction=fine if fine > 0 else 1.0,
+        deep_interval=interval, deep_warmup=warmup,
+        sd3_deep_span=span, max_hits=4)
+    return build_pipeline(config)
+
+
+def make_reqs(steps=6, n=2, res=256):
+    return [Request(f"r{i}", SamplingParams(prompt=f"p{i}", resolution=res,
+                                            num_inference_steps=steps,
+                                            seed=i))
+            for i in range(n)]
+
+
+def prep(pipe, reqs):
+    pipe.prepare(reqs)
+    by_res = {}
+    for r in reqs:
+        r.stage = Stage.DENOISING
+        by_res.setdefault(r.resolution, []).append(r)
+    return by_res
+
+
+def _trunk_deep_keys(pipe):
+    return {k[-1] for k in pipe._executed_keys
+            if isinstance(k, tuple) and k and k[0] == "sd3_mixed"}
+
+
+class TestSD3DeepServing:
+    def test_alternates_modes_and_stays_finite(self):
+        pipe = make_pipe(span=(1, 2), interval=3)
+        reqs = make_reqs(steps=6)
+        by_res = prep(pipe, reqs)
+        for _ in range(6):
+            pipe.denoise_step(by_res)
+        assert _trunk_deep_keys(pipe) == {"full", "shallow"}
+        entry = next(iter(pipe._sd3_state.values()))
+        assert entry["deep"] is not None
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents)).all()
+
+    def test_interval_one_equals_cache_off_token_path(self):
+        """interval 1 => every step full; full-step numerics are the plain
+        token path (the deep bookkeeping must not perturb outputs).  Mixed
+        resolutions keep BOTH runs on the padded-token path."""
+        def mixed_reqs():
+            return [Request("a", SamplingParams(prompt="a", resolution=256,
+                                                num_inference_steps=4,
+                                                seed=0)),
+                    Request("b", SamplingParams(prompt="b", resolution=512,
+                                                num_inference_steps=4,
+                                                seed=1))]
+
+        pipe = make_pipe(span=(1, 2), interval=1)
+        reqs = mixed_reqs()
+        by_res = prep(pipe, reqs)
+        for _ in range(4):
+            pipe.denoise_step_mixed(by_res)
+        assert _trunk_deep_keys(pipe) == {"full"}
+
+        ref_pipe = make_pipe(span=None)
+        ref_pipe.config.cache.enabled = False
+        refs = mixed_reqs()
+        by_res_ref = prep(ref_pipe, refs)
+        for _ in range(4):
+            ref_pipe.denoise_step_mixed(by_res_ref)
+        for a, b in zip(reqs, refs):
+            np.testing.assert_allclose(np.asarray(a.latents),
+                                       np.asarray(b.latents),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_composition_change_resets_delta(self):
+        pipe = make_pipe(span=(1, 2), interval=4)
+        reqs = make_reqs(steps=6, n=2)
+        by_res = prep(pipe, reqs)
+        pipe.denoise_step(by_res)   # full (fresh entry)
+        pipe.denoise_step(by_res)   # shallow
+        # drop one request: new composition -> fresh entry -> full again
+        by_res2 = {reqs[0].resolution: [reqs[0]]}
+        pipe.denoise_step(by_res2)
+        keys = [k for k in pipe._sd3_state
+                if k[2] == (reqs[0].request_id,)]
+        assert keys, "singleton composition entry must exist"
+        assert pipe._sd3_state[keys[0]]["deep_age"] == 0
+
+    def test_warmup_forces_full(self):
+        pipe = make_pipe(span=(1, 2), interval=2, warmup=3)
+        reqs = make_reqs(steps=5)
+        by_res = prep(pipe, reqs)
+        for _ in range(3):
+            pipe.denoise_step(by_res)
+            assert _trunk_deep_keys(pipe) == {"full"}
+        pipe.denoise_step(by_res)
+        assert _trunk_deep_keys(pipe) == {"full", "shallow"}
+
+    def test_hybrid_with_fine_gate(self):
+        pipe = make_pipe(span=(1, 2), interval=3, fine=0.5)
+        reqs = make_reqs(steps=6)
+        by_res = prep(pipe, reqs)
+        for _ in range(6):
+            pipe.denoise_step(by_res)
+        assert _trunk_deep_keys(pipe) == {"full", "shallow"}
+        entry = next(iter(pipe._sd3_state.values()))
+        assert entry["state"] is not None and entry["deep"] is not None
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents)).all()
+
+    def test_mixed_resolution_with_span(self):
+        pipe = make_pipe(span=(1, 2), interval=3)
+        reqs = [Request("a", SamplingParams(prompt="a", resolution=256,
+                                            num_inference_steps=4, seed=0)),
+                Request("b", SamplingParams(prompt="b", resolution=512,
+                                            num_inference_steps=4, seed=1))]
+        by_res = prep(pipe, reqs)
+        for _ in range(4):
+            pipe.denoise_step_mixed(by_res)
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents)).all()
