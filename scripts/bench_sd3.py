@@ -65,10 +65,16 @@ def main():
     fine = float(os.environ.get("BENCH_SD3_FINE", "0"))
     stale_kv = (fine > 0
                 and os.environ.get("BENCH_SD3_FINE_STALE_KV", "0") == "1")
+    # BENCH_SD3_DEEP_ADAPTIVE=0.05 -> drift-triggered refresh instead of the
+    # fixed interval (full when the latent rel-MSE since the last full step
+    # exceeds the threshold; BENCH_SD3_DEEP_CAP shallow-step safety cap) —
+    # the same in-graph trigger as bench.py's SDXL adaptive trajectory.
     deep_env = os.environ.get("BENCH_SD3_DEEP", "")
     deep_span = (tuple(int(v) for v in deep_env.split(":"))
                  if deep_env else None)
     deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "3"))
+    deep_adaptive = float(os.environ.get("BENCH_SD3_DEEP_ADAPTIVE", "0"))
+    deep_cap = int(os.environ.get("BENCH_SD3_DEEP_CAP", "6"))
     prime = None
     use_cache = frac > 0 or fine > 0
     cache = None
@@ -165,11 +171,29 @@ def main():
             full_s = make_step("full", kv_flag, params)
             sh_s = make_step("shallow", kv_flag, params)
 
-            def body(i, carry):
-                return jax.lax.cond(i % deep_interval == 0,
-                                    lambda a: full_s(i, *a),
-                                    lambda a: sh_s(i, *a),
-                                    carry)
+            if deep_adaptive > 0:
+                # carry: (x, st, dp, lat_ref, age, n_full); full when the
+                # latent's rel-MSE vs the last full step's input exceeds the
+                # threshold (or the cap elapses)
+                def body(i, carry):
+                    x, st, dp, lat_ref, age, n_full = carry
+                    drift = (jnp.mean((x - lat_ref) ** 2)
+                             / (jnp.mean(lat_ref**2) + 1e-12))
+                    full = (i == 0) | (age >= deep_cap - 1) | \
+                        (drift > deep_adaptive)
+                    x2, st2, dp2 = jax.lax.cond(
+                        full, lambda a: full_s(i, *a),
+                        lambda a: sh_s(i, *a), (x, st, dp))
+                    lat_ref = jnp.where(full, x, lat_ref)
+                    age = jnp.where(full, 0, age + 1)
+                    return (x2, st2, dp2, lat_ref, age,
+                            n_full + full.astype(jnp.int32))
+            else:
+                def body(i, carry):
+                    return jax.lax.cond(i % deep_interval == 0,
+                                        lambda a: full_s(i, *a),
+                                        lambda a: sh_s(i, *a),
+                                        carry)
         else:
             plain = make_step(None, kv_flag, params)
 
@@ -190,11 +214,18 @@ def main():
                                         carry0)
             return x
     else:
+        adaptive = deep_span is not None and deep_adaptive > 0
+
         @jax.jit
         def run(params, lat, g, ehs, pooled):
-            x, _, _ = jax.lax.fori_loop(0, n_steps, make_body(False, params),
-                                        (lat, mk_state0(), mk_deep0()))
-            return x
+            carry0 = (lat, mk_state0(), mk_deep0())
+            if adaptive:
+                carry0 += (jnp.zeros_like(lat), jnp.int32(0), jnp.int32(0))
+            carry = jax.lax.fori_loop(0, n_steps, make_body(False, params),
+                                      carry0)
+            if adaptive:
+                return carry[0], carry[5]
+            return carry[0]
 
     if prime is not None:
         arg0 = prime(params, lat, g, ehs, pooled)  # sync step, untimed
@@ -202,15 +233,24 @@ def main():
     else:
         arg0 = lat
         denom = n_steps
+
+    def force(out):
+        if isinstance(out, tuple):
+            np.asarray(out[0])
+            return out
+        np.asarray(out)
+        return out
+
     # untimed warmup forces arg0 AND compiles run, so timed repeats measure
     # only the steady (stale) steps
-    np.asarray(run(params, arg0, g, ehs, pooled))
+    out = force(run(params, arg0, g, ehs, pooled))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(run(params, arg0, g, ehs, pooled))
+        out = force(run(params, arg0, g, ehs, pooled))
         best = min(best, time.perf_counter() - t0)
     ms = best / denom * 1e3
+    n_full = int(np.asarray(out[1])) if isinstance(out, tuple) else None
     print(json.dumps({
         "metric": "SD3.5-medium 1024^2 CFG step latency",
         "batch": b, "ms_per_step": round(ms, 1),
@@ -218,7 +258,10 @@ def main():
         "token_fine_fraction": fine,
         "fine_stale_kv": stale_kv,
         "deep_span": list(deep_span) if deep_span else None,
-        "deep_interval": deep_interval if deep_span else None,
+        "deep_interval": (None if deep_span is None or deep_adaptive > 0
+                          else deep_interval),
+        "deep_adaptive_threshold": deep_adaptive or None,
+        "n_full": n_full, "n_steps": n_steps,
         "h100_anchor_ms": 65.0,
         "vs_anchor": round(65.0 / ms * b, 3),
     }))

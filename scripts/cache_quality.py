@@ -432,12 +432,16 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
         return run
 
     @functools.lru_cache(maxsize=None)
-    def run_deep_span(lo: int, hi: int, interval: int, fine: float = 0.0):
+    def run_deep_span(lo: int, hi: int, interval: int, fine: float = 0.0,
+                      adaptive: float = 0.0, cap: int = 6):
         """Span-skip deep cache (mmdit.py _trunk deep_mode): full step every
         ``interval`` steps emits dx = x_at_hi - x_at_lo (+ c_at_hi for
         interior spans); shallow steps skip blocks [lo,hi) and splice it.
         ``fine`` > 0 additionally gates the computed blocks per token (the
-        SD3 deep x compact hybrid)."""
+        SD3 deep x compact hybrid).  ``adaptive`` > 0 replaces the fixed
+        interval with the drift trigger (full when latent rel-MSE since the
+        last full exceeds it; ``cap`` shallow-step bound) and returns
+        (x, n_full)."""
         use_cache = fine > 0
         cache = None
         if use_cache:
@@ -489,6 +493,25 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
                 return f
 
             full_f, sh_f = step("full"), step("shallow")
+
+            if adaptive > 0:
+                def body(i, carry):
+                    x, st, dp, lat_ref, age, n_full = carry
+                    drift = (jnp.mean((x - lat_ref) ** 2)
+                             / (jnp.mean(lat_ref**2) + 1e-12))
+                    full = (i == 0) | (age >= cap - 1) | (drift > adaptive)
+                    x2, st2, dp2 = jax.lax.cond(full, full_f, sh_f,
+                                                (x, st, dp, i))
+                    lat_ref = jnp.where(full, x, lat_ref)
+                    age = jnp.where(full, 0, age + 1)
+                    return (x2, st2, dp2, lat_ref, age,
+                            n_full + full.astype(jnp.int32))
+
+                carry = jax.lax.fori_loop(
+                    0, n_steps, body,
+                    (lat, state0, deep0, jnp.zeros_like(lat),
+                     jnp.int32(0), jnp.int32(0)))
+                return carry[0], carry[5]
 
             def body(i, carry):
                 x, st, dp = carry
@@ -580,9 +603,13 @@ def main():
             span, rest = spec.split("@", 1)
             lo, hi = (int(v) for v in span.split(":"))
             parts = rest.split("@")
-            interval = int(parts[0])
             fine = float(parts[1]) if len(parts) > 1 else 0.0
-            configs.append(("sd3_deep", (lo, hi, interval, fine)))
+            if parts[0].startswith("a"):
+                # adaptive drift trigger, e.g. "2:8@a0.02" or "2:8@a0.02@0.5"
+                configs.append(("sd3_deep",
+                                (lo, hi, 0, fine, float(parts[0][1:]))))
+            else:
+                configs.append(("sd3_deep", (lo, hi, int(parts[0]), fine)))
 
     # cache-off reference trajectories: one per seed, shared by all configs
     refs = {}
@@ -623,6 +650,9 @@ def main():
                 got, n_full, mask = got
                 full_frac = float(np.asarray(n_full)) / args.steps
                 pattern = np.asarray(mask).astype(int).tolist()
+            elif kind == "sd3_deep" and isinstance(got, tuple):
+                got, n_full = got
+                full_frac = float(np.asarray(n_full)) / args.steps
             got = np.asarray(got, np.float32)
             rel, cos = _metrics(got, ref)
             rels.append(rel)
@@ -634,10 +664,15 @@ def main():
             # realized refresh pattern (last seed) for sim_serving replay
             row["full_pattern"] = pattern
         if kind == "sd3_deep":
-            lo_, hi_, itv_, fine_ = param
-            row.update(span=[lo_, hi_], interval=itv_, fine=fine_,
-                       param=f"{lo_}:{hi_}@{itv_}" + (f"@{fine_}" if fine_
-                                                      else ""))
+            lo_, hi_, itv_, fine_ = param[:4]
+            ada_ = param[4] if len(param) > 4 else 0.0
+            tag = f"a{ada_}" if ada_ else str(itv_)
+            row.update(span=[lo_, hi_], interval=itv_ or None, fine=fine_,
+                       adaptive=ada_ or None,
+                       param=f"{lo_}:{hi_}@{tag}" + (f"@{fine_}" if fine_
+                                                     else ""))
+            if ada_ and full_frac is not None:
+                row["full_fraction"] = round(full_frac, 4)
         if kind == "deep":
             row["full_fraction"] = round(1.0 / param, 4)
         elif kind == "deep_warmup":

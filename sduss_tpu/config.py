@@ -264,6 +264,11 @@ class CacheConfig:
     # stale-KV entry is GBs; 1 is the safe setting there next to 5 GB of
     # params, 2 tolerates alternating compositions at smaller footprints.
     comp_state_lru: int = 2
+    # Byte budget across retained composition-state entries (count bound
+    # alone is HBM-blind — entry size scales with bucket x resolution; two
+    # big-bucket SDXL hybrid entries next to full-size params OOMed the
+    # r2r prewarm).  The newest entry is always kept.
+    comp_state_bytes: float = 3e9
     deep_interval: int = 2
     # Always-full steps at the start of each trajectory (activation drift is
     # largest early in denoising; mirrors DistriFuser's warmup_steps idea).

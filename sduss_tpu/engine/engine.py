@@ -235,6 +235,10 @@ class Engine:
                         r.stage = Stage.POSTPROCESSING
                     pipe.postprocess(by_res)
                     n += b
+                    # throwaway composition state must not stack across
+                    # prewarm iterations (r2r: retained big-bucket hybrid
+                    # entries OOMed the 1024^2 b8 step)
+                    pipe.release_serving_state()
                 logger.info("prewarm: rank %d res %d done (%.1fs elapsed)",
                             worker.rank, res, time.time() - t0)
         for comp in compositions or ():
@@ -255,6 +259,7 @@ class Engine:
                 for _ in range(steps):
                     pipe.denoise_step_mixed(reqs_by_res)
                 n += len(flat)
+                pipe.release_serving_state()
             logger.info("prewarm: mixed composition %s done (%.1fs elapsed)",
                         dict(sorted(comp.items())), time.time() - t0)
         self.stats = EngineStats()

@@ -53,6 +53,15 @@ def _latent_drift(new, ref):
     return jnp.mean(d * d) / (jnp.mean(ref.astype(jnp.float32) ** 2) + 1e-12)
 
 
+def _state_nbytes(state) -> int:
+    """Device bytes held by a composition-state pytree (shape math only —
+    no transfer)."""
+    import jax
+
+    return sum(getattr(leaf, "nbytes", 0)
+               for leaf in jax.tree.leaves(state))
+
+
 class BasePipeline:
     """Family-agnostic staged pipeline over a ModelBundle."""
 
@@ -304,6 +313,15 @@ class BasePipeline:
         lru = max(int(self.config.cache.comp_state_lru), 1)
         while len(self._comp_state) > lru:
             self._comp_state.popitem(last=False)
+        # Count bound alone is HBM-blind: entry size scales with bucket x
+        # resolution, and two big-bucket entries next to full-size params
+        # OOMed the r2r hybrid prewarm (16 GB chip).  Evict to the byte
+        # budget too, always keeping the newest entry.
+        budget = float(self.config.cache.comp_state_bytes)
+        while (len(self._comp_state) > 1
+               and sum(_state_nbytes(e["state"])
+                       for e in self._comp_state.values()) > budget):
+            self._comp_state.popitem(last=False)
         return entry
 
     def _comp_state_peek(self, kind, res, reqs, bb, sig):
@@ -311,6 +329,21 @@ class BasePipeline:
             return None
         return self._comp_state.get(
             (kind, res, bb, tuple(r.request_id for r in reqs), sig))
+
+    def release_serving_state(self) -> None:
+        """Drop every batch-composition cache/KV state store.
+
+        The compiled programs (jit keys) stay warm — only device state goes.
+        Engine.prewarm calls this between throwaway iterations: retained
+        big-bucket entries from earlier prewarm rounds otherwise stack next
+        to the live step's workspace (measured: r2r SDXL hybrid prewarm
+        RESOURCE_EXHAUSTED at 1024^2 b8).  Post-release, the next step on
+        any composition re-anchors (one full-capacity step), which serving
+        pays on composition changes anyway."""
+        for attr in ("_comp_state", "_sd3_state", "_disp_state"):
+            store = getattr(self, attr, None)
+            if store is not None:
+                store.clear()
 
     def _denoise_group_compact(self, res, reqs, bb, latents, t, coeffs,
                                guidance, cond):

@@ -400,6 +400,15 @@ class StableDiffusion3Pipeline(BasePipeline):
         lru = max(int(getattr(cfg, "comp_state_lru", 2)), 1)
         while len(self._sd3_state) > lru:
             self._sd3_state.popitem(last=False)
+        # byte budget too (see base._comp_state_entry): token/KV/deep rows
+        # scale with bucket x seq; the newest entry is always kept
+        from sduss_tpu.pipelines.base import _state_nbytes
+
+        budget = float(getattr(cfg, "comp_state_bytes", 3e9))
+        while (len(self._sd3_state) > 1
+               and sum(_state_nbytes(e) for e in self._sd3_state.values())
+               > budget):
+            self._sd3_state.popitem(last=False)
         return entry
 
     def _sd3_deep_span(self):

@@ -57,3 +57,10 @@ def test_deep_dense(run_bench):
 def test_deep_hybrid_fine(run_bench):
     r = run_bench(BENCH_SD3_DEEP="0:1", BENCH_SD3_FINE="0.5")
     assert r["deep_span"] == [0, 1] and r["token_fine_fraction"] == 0.5
+
+
+def test_deep_adaptive(run_bench):
+    r = run_bench(BENCH_SD3_DEEP="1:2", BENCH_SD3_DEEP_ADAPTIVE="0.01",
+                  BENCH_SD3_DEEP_CAP="3")
+    assert r["deep_adaptive_threshold"] == 0.01
+    assert 1 <= r["n_full"] <= r["n_steps"]
