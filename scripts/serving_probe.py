@@ -85,6 +85,16 @@ async def _run(args):
         config.cache.mode = "compact"
         config.cache.patch_fraction = args.cache_fraction
         config.cache.fine_stale_kv = args.fine_stale_kv
+    if args.sd3_deep_span:
+        # MMDiT span-skip deep cache (CacheConfig.sd3_deep_span) — composes
+        # with --cache-mode compact/fine (the hybrid) or runs span-only
+        # (cache mode "deep" engages just the span on the token path)
+        lo, hi = (int(v) for v in args.sd3_deep_span.split(":"))
+        config.cache.enabled = True
+        if args.cache_mode not in ("compact", "fine"):
+            config.cache.mode = "deep"
+        config.cache.sd3_deep_span = (lo, hi)
+        config.cache.deep_interval = args.deep_interval or 3
     clf = f"exp/cache_classifiers_{args.model}_v5e.npz"
     if config.cache.enabled and os.path.exists(clf):
         config.cache.classifier_path = clf
@@ -248,6 +258,9 @@ def main():
     ap.add_argument("--collect", action="store_true",
                     help="record + dump the per-iteration schedule log")
     ap.add_argument("--deep-interval", type=int, default=3)
+    ap.add_argument("--sd3-deep-span", default="",
+                    help="MMDiT span-skip deep cache, 'lo:hi' (sd3 only); "
+                         "composes with --cache-mode compact/fine")
     ap.add_argument("--deep-adaptive", type=float, default=0.0,
                     help="drift threshold for adaptive deep refresh "
                          "(>0 enables; --deep-interval becomes the "
