@@ -69,10 +69,24 @@ def main():
     # fixed interval (full when the latent rel-MSE since the last full step
     # exceeds the threshold; BENCH_SD3_DEEP_CAP shallow-step safety cap) —
     # the same in-graph trigger as bench.py's SDXL adaptive trajectory.
-    deep_env = os.environ.get("BENCH_SD3_DEEP", "")
+    # DEFAULT = span 2:24 @ interval 6, no token cache: 65.6 ms/step = 0.99x
+    # the H100 anchor (exp/bench_sd3_v5e_deep224_i6.json), quality gated
+    # near-lossless on the tiny harness (rel_mse 9.2e-5 vs 6.4e-3 one-step
+    # natural drift, exp/cache_quality_sd3_deepspan_wide_tiny.json).  The
+    # faster span@6+compact0.5 combo (35.7 ms) degrades quality to 0.0179
+    # (~2.8 steps of drift; compact rows staled by the 6-step refresh,
+    # exp/cache_quality_sd3_spancompact_tiny.json) — rejected as default.
+    # BENCH_SD3_DEEP= (empty) reverts to dense.
+    deep_env = os.environ.get("BENCH_SD3_DEEP", "2:24")
     deep_span = (tuple(int(v) for v in deep_env.split(":"))
                  if deep_env else None)
-    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "3"))
+    if deep_span is not None:
+        # Clamp the default span to the model depth (TINY_MMDIT smoke runs
+        # have 2 blocks); an empty clamped span = dense.
+        lo, hi = deep_span
+        hi = min(hi, model.cfg.num_layers)
+        deep_span = (lo, hi) if lo < hi else None
+    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "6"))
     deep_adaptive = float(os.environ.get("BENCH_SD3_DEEP_ADAPTIVE", "0"))
     deep_cap = int(os.environ.get("BENCH_SD3_DEEP_CAP", "6"))
     prime = None

@@ -303,8 +303,58 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
         return run
 
+    @functools.lru_cache(maxsize=None)
+    def run_cfg_reuse(interval: int):
+        """CFG uncond-branch reuse: full steps run both CFG halves and cache
+        the uncond prediction; skip steps run ONLY the cond half (batch b,
+        not 2b) and combine with the stale cached uncond.  Candidate lever
+        because full steps dominate the hybrid headline's wall clock — but
+        the session-6 pairwise finding says CFG asymmetry is what the
+        guidance combine amplifies, so quality gates this."""
+        @jax.jit
+        def run(params, lat, g, ehs, pooled, tid):
+            _, ehs_c = jnp.split(ehs, 2)
+            _, pooled_c = jnp.split(pooled, 2)
+            _, tid_c = jnp.split(tid, 2)
+
+            def full_f(args):
+                lat, u_cache, i = args
+                c0 = jnp.full((b,), cs[i, 0])
+                c1 = jnp.full((b,), cs[i, 1])
+                t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+                lat_in = sampler.scale_model_input(
+                    jnp.concatenate([lat, lat]), jnp.concatenate([c0, c0]))
+                added = {"text_embeds": pooled, "time_ids": tid}
+                out = unet.apply(params, lat_in, t2, ehs, added_cond=added)
+                u, c = jnp.split(out, 2)
+                eps = u + g.reshape(-1, 1, 1, 1) * (c - u)
+                return sampler.step(lat, eps, c0, c1), u
+
+            def skip_f(args):
+                lat, u_cache, i = args
+                c0 = jnp.full((b,), cs[i, 0])
+                c1 = jnp.full((b,), cs[i, 1])
+                t1 = jnp.full((b,), ts[i], jnp.float32)
+                lat_in = sampler.scale_model_input(lat, c0)
+                added = {"text_embeds": pooled_c, "time_ids": tid_c}
+                c = unet.apply(params, lat_in, t1, ehs_c, added_cond=added)
+                eps = u_cache + g.reshape(-1, 1, 1, 1) * (c - u_cache)
+                return sampler.step(lat, eps, c0, c1), u_cache
+
+            def body(i, carry):
+                lat, u_cache = carry
+                return jax.lax.cond(i % interval == 0, full_f, skip_f,
+                                    (lat, u_cache, i))
+
+            u0 = jnp.zeros((b, hw, hw, 4), dtype)
+            lat_f, _ = jax.lax.fori_loop(0, n_steps, body, (lat, u0))
+            return lat_f
+
+        return run
+
     return (run_plain, run_deep, run_compact, make_inputs, params,
-            run_drift, run_deep_adaptive, run_deep_hybrid, None)
+            run_drift, run_deep_adaptive, run_deep_hybrid, None,
+            run_cfg_reuse)
 
 
 def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
@@ -433,27 +483,37 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
 
     @functools.lru_cache(maxsize=None)
     def run_deep_span(lo: int, hi: int, interval: int, fine: float = 0.0,
-                      adaptive: float = 0.0, cap: int = 6):
+                      adaptive: float = 0.0, cap: int = 6,
+                      compact: float = 0.0):
         """Span-skip deep cache (mmdit.py _trunk deep_mode): full step every
         ``interval`` steps emits dx = x_at_hi - x_at_lo (+ c_at_hi for
         interior spans); shallow steps skip blocks [lo,hi) and splice it.
         ``fine`` > 0 additionally gates the computed blocks per token (the
-        SD3 deep x compact hybrid).  ``adaptive`` > 0 replaces the fixed
+        SD3 deep x compact hybrid); ``compact`` > 0 composes the top-K
+        COMPACT token cache instead (bench_sd3.py BENCH_SD3_CACHE — the
+        35.7 ms production combo).  ``adaptive`` > 0 replaces the fixed
         interval with the drift trigger (full when latent rel-MSE since the
         last full exceeds it; ``cap`` shallow-step bound) and returns
         (x, n_full)."""
-        use_cache = fine > 0
+        use_cache = fine > 0 or compact > 0
         cache = None
         if use_cache:
             from sduss_tpu.cache.manager import BlockCache
             from sduss_tpu.config import CacheConfig
 
             cache = BlockCache(CacheConfig(
-                enabled=True, mode="compact", compact_fraction=1.0,
-                patch_fraction=fine, max_hits=4))
+                enabled=True, mode="compact",
+                compact_fraction=compact if compact > 0 else 1.0,
+                patch_fraction=fine if fine > 0 else 1.0, max_hits=4))
             layout = model.token_cache_layout(seq)
-            state0 = {key: cache.init_token_rows_fine(key, 2 * b, s, d, dtype)
-                      for key, (s, d) in layout.items()}
+            if fine > 0:
+                state0 = {key: cache.init_token_rows_fine(
+                              key, 2 * b, s, d, dtype)
+                          for key, (s, d) in layout.items()}
+            else:
+                state0 = {key: cache.init_token_rows(
+                              key, 2 * b, s, d, dtype, ctx_seq=ctx_len)
+                          for key, (s, d) in layout.items()}
         else:
             state0 = None
         deep0 = {"dx": jnp.zeros((2 * b, seq, cfg.dim), dtype)}
@@ -525,7 +585,7 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
         return run
 
     return (run_plain, None, run_compact, make_inputs, params, run_drift,
-            None, None, run_deep_span)
+            None, None, run_deep_span, None)
 
 
 def main():
@@ -551,6 +611,10 @@ def main():
     ap.add_argument("--hybrid-pairwise", action="store_true",
                     help="CFG-pair-symmetric row selection for the hybrid "
                          "rows (gate_compact_pairs)")
+    ap.add_argument("--cfg-reuse", default="",
+                    help="CFG uncond-reuse intervals (sdxl only): full "
+                         "steps run both CFG halves; skip steps run only "
+                         "the cond half against the cached uncond")
     ap.add_argument("--fine", default="0.3,0.5,0.7",
                     help="per-token fine fractions (sd3 only)")
     ap.add_argument("--sd3-deep", default="",
@@ -581,8 +645,9 @@ def main():
     build_kw = ({"layers": args.mmdit_layers}
                 if args.family == "sd3" and args.mmdit_layers else {})
     (run_plain, run_deep, run_compact, make_inputs, params,
-     run_drift, run_deep_adaptive, run_deep_hybrid, run_deep_span) = build(
-         args.tiny, args.batch, res, args.steps, **build_kw)
+     run_drift, run_deep_adaptive, run_deep_hybrid, run_deep_span,
+     run_cfg_reuse) = build(args.tiny, args.batch, res, args.steps,
+                            **build_kw)
 
     configs = []
     if run_deep is not None:
@@ -597,19 +662,32 @@ def main():
     if run_deep_hybrid is not None:
         configs += [("deep_hybrid", float(v))
                     for v in args.hybrid.split(",") if v]
+    if run_cfg_reuse is not None:
+        configs += [("cfg_reuse", int(v))
+                    for v in args.cfg_reuse.split(",") if v]
     if args.family == "sd3":
         configs += [("token_fine", float(v)) for v in args.fine.split(",") if v]
         for spec in (s for s in args.sd3_deep.split(",") if s):
             span, rest = spec.split("@", 1)
             lo, hi = (int(v) for v in span.split(":"))
             parts = rest.split("@")
-            fine = float(parts[1]) if len(parts) > 1 else 0.0
+            fine = compact = 0.0
+            if len(parts) > 1:
+                # "2:8@6@0.5" = fine per-token 0.5; "2:8@6@c0.5" = COMPACT
+                # top-K token cache 0.5 (the production bench combo)
+                if parts[1].startswith("c"):
+                    compact = float(parts[1][1:])
+                else:
+                    fine = float(parts[1])
             if parts[0].startswith("a"):
                 # adaptive drift trigger, e.g. "2:8@a0.02" or "2:8@a0.02@0.5"
                 configs.append(("sd3_deep",
-                                (lo, hi, 0, fine, float(parts[0][1:]))))
+                                (lo, hi, 0, fine, float(parts[0][1:]), 6,
+                                 compact)))
             else:
-                configs.append(("sd3_deep", (lo, hi, int(parts[0]), fine)))
+                configs.append(("sd3_deep",
+                                (lo, hi, int(parts[0]), fine, 0.0, 6,
+                                 compact)))
 
     # cache-off reference trajectories: one per seed, shared by all configs
     refs = {}
@@ -638,6 +716,8 @@ def main():
                 run = run_deep_hybrid(args.hybrid_threshold, param,
                                       args.max_interval, 3,
                                       args.hybrid_pairwise)
+            elif kind == "cfg_reuse":
+                run = run_cfg_reuse(param)
             elif kind == "token_fine":
                 run = run_compact(param, fine=True)
             elif kind == "sd3_deep":
@@ -666,15 +746,21 @@ def main():
         if kind == "sd3_deep":
             lo_, hi_, itv_, fine_ = param[:4]
             ada_ = param[4] if len(param) > 4 else 0.0
+            comp_ = param[6] if len(param) > 6 else 0.0
             tag = f"a{ada_}" if ada_ else str(itv_)
+            suffix = f"@{fine_}" if fine_ else (f"@c{comp_}" if comp_ else "")
             row.update(span=[lo_, hi_], interval=itv_ or None, fine=fine_,
-                       adaptive=ada_ or None,
-                       param=f"{lo_}:{hi_}@{tag}" + (f"@{fine_}" if fine_
-                                                     else ""))
+                       compact=comp_, adaptive=ada_ or None,
+                       param=f"{lo_}:{hi_}@{tag}" + suffix)
             if ada_ and full_frac is not None:
                 row["full_fraction"] = round(full_frac, 4)
         if kind == "deep":
             row["full_fraction"] = round(1.0 / param, 4)
+        elif kind == "cfg_reuse":
+            # skip steps still run the cond half: cost fraction, not fulls
+            n = args.steps
+            n_full = (n + param - 1) // param
+            row["cost_fraction"] = round((n_full + 0.5 * (n - n_full)) / n, 4)
         elif kind == "deep_warmup":
             w, n = 3, args.steps
             row["full_fraction"] = round(

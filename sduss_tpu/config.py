@@ -195,6 +195,13 @@ class SchedulerConfig:
     postprocessing_ratio: float = 0.9
     # Path to a trained latency predictor (npz); None => analytic fallback.
     predictor_path: Optional[str] = None
+    # EMA weight for the realized-step-time correction: the predictor is
+    # fitted on CACHE-OFF profiler steps, but serving runs cache-on (SD3
+    # span-skip realized 322 ms vs 972 ms predicted, r2t) — the policy
+    # learns a multiplicative correction from executed iterations once the
+    # worker's dispatch throttle saturates.  0 disables (tests that assert
+    # exact predicted_step_ms values do).
+    step_time_ema: float = 0.2
     # Per-(family,resolution) standalone stage latencies in SECONDS used for
     # DDLs (StageProfile tables are seconds, scheduler/profiles.py:17-18),
     # populated by profiling (profiles.py has defaults).
@@ -356,6 +363,14 @@ class EngineConfig:
     # postprocess fetches).  2 hides one sync round-trip while keeping the
     # scheduler's wall-clock slack math honest.
     max_inflight_steps: int = 2
+    # Run the prepare stage (text encode + latent init) on a background host
+    # thread so it never blocks denoise iterations.  "auto" = async exactly
+    # when the encoders live on the HOST (ModelConfig.encoders_on_host):
+    # SD3's T5-XXL host encode is ~20 s/batch, and a blocking prepare
+    # starved the r2t serving run (denoise began 171 s after first arrival,
+    # 75% aborts).  On-device encoders are milliseconds — those stay
+    # synchronous and avoid concurrent dispatch entirely.
+    async_prepare: Union[bool, str] = "auto"
     # Seconds between background engine-loop polls when idle.
     poll_interval_s: float = 0.01
     log_requests: bool = True

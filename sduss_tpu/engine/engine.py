@@ -233,12 +233,16 @@ class Engine:
                         pipe.denoise_step(by_res)
                     for r in reqs:
                         r.stage = Stage.POSTPROCESSING
+                    # Throwaway composition state must not stack across
+                    # prewarm iterations (r2r: retained big-bucket hybrid
+                    # entries OOMed the 1024^2 b8 step) — and must be gone
+                    # BEFORE the decode: full-res decode activations are the
+                    # pipeline HBM peak, and with hybrid state still live
+                    # the b8 1024^2 prewarm decode hit RESOURCE_EXHAUSTED
+                    # (r2t).  Decode only needs the request latents.
+                    pipe.release_serving_state()
                     pipe.postprocess(by_res)
                     n += b
-                    # throwaway composition state must not stack across
-                    # prewarm iterations (r2r: retained big-bucket hybrid
-                    # entries OOMed the 1024^2 b8 step)
-                    pipe.release_serving_state()
                 logger.info("prewarm: rank %d res %d done (%.1fs elapsed)",
                             worker.rank, res, time.time() - t0)
         for comp in compositions or ():

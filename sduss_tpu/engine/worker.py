@@ -27,6 +27,7 @@ when it collects each round's outputs, worker.py:107-115).
 from __future__ import annotations
 
 import collections
+import concurrent.futures
 import time
 from typing import Dict, List
 
@@ -56,6 +57,25 @@ class Worker:
         # Bounded async-dispatch runahead (module docstring): 4-byte probes
         # of in-flight denoise outputs, oldest forced past the watermark.
         self._inflight: collections.deque = collections.deque()
+        # Asynchronous prepare (EngineConfig.async_prepare): with HOST-side
+        # encoders (SD3's T5-XXL, ~20 s/encode) a blocking prepare starves
+        # denoising — measured r2t: first denoise 171 s after first arrival,
+        # 75% aborts.  One background thread serializes prepares among
+        # themselves while denoise iterations continue; the only device work
+        # in a host-encoder prepare is the tiny latent device_put.
+        ap = config.engine.async_prepare
+        # encoders_on_host is resolved from "auto" to a bool when the
+        # pipeline is built (pipelines/__init__.py:64), which always
+        # precedes Worker construction; guard against the unresolved
+        # truthy STRING anyway.
+        eoh = config.model.encoders_on_host
+        eoh = eoh if isinstance(eoh, bool) else False
+        self._async_prepare = (eoh if ap == "auto" else bool(ap))
+        self._prepare_pool = (
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=f"prepare-{rank}")
+            if self._async_prepare else None)
+        self._preparing: collections.deque = collections.deque()
 
     # -- request management --------------------------------------------------
 
@@ -83,8 +103,14 @@ class Worker:
 
     def step(self) -> List[Request]:
         """Run one scheduled iteration; return requests finished this step."""
+        self._poll_prepared(block=False)
         batch = self.scheduler.schedule()
         if batch is None or batch.empty:
+            # Nothing schedulable but prepares in flight: block briefly on
+            # the oldest so the engine loop doesn't spin — denoisable work
+            # appears the moment it completes.
+            if self._preparing:
+                self._poll_prepared(block=True)
             return []
         self.iteration += 1
         now = time.time()
@@ -105,19 +131,46 @@ class Worker:
                 "predicted_step_ms": batch.requests[0].predicted_step_ms
                 if batch.requests else 0.0,
             })
+        if batch.stage is Stage.PREPARE and self._prepare_pool is not None:
+            # _execute submitted the encode to the background thread; park
+            # the requests in PREPARING until the future completes.
+            self.scheduler.begin_prepare(batch)
+            return []
         finished = self.scheduler.advance(batch)
         for req in finished:
             req.finish_time = time.time()
         return finished
 
+    def _poll_prepared(self, block: bool) -> None:
+        """Release requests whose background prepare completed; optionally
+        block briefly on the oldest in-flight one."""
+        while self._preparing:
+            fut, reqs = self._preparing[0]
+            if not fut.done():
+                if not block:
+                    return
+                concurrent.futures.wait([fut], timeout=0.05)
+                if not fut.done():
+                    return
+            self._preparing.popleft()
+            fut.result()  # propagate prepare exceptions to the engine loop
+            self.scheduler.finish_prepare(reqs)
+            block = False  # drain further completed futures without waiting
+
     def _execute(self, batch: ScheduledBatch) -> None:
         pipe = self.pipeline
         if batch.stage is Stage.PREPARE:
-            pipe.prepare(batch.requests)
+            if self._prepare_pool is not None:
+                fut = self._prepare_pool.submit(pipe.prepare,
+                                                list(batch.requests))
+                self._preparing.append((fut, list(batch.requests)))
+            else:
+                pipe.prepare(batch.requests)
         elif batch.stage is Stage.DENOISING:
             by_res: Dict[int, List[Request]] = {}
             for r in batch.requests:
                 by_res.setdefault(r.resolution, []).append(r)
+            t0 = time.perf_counter()
             if batch.mixed and self.config.scheduler.use_mixed_resolution \
                     and hasattr(pipe, "denoise_step_mixed"):
                 # allow_cold=False: a cold mixed compile key serves dense
@@ -129,7 +182,16 @@ class Worker:
             for r in batch.requests:
                 if r.start_denoising_time is None:
                     r.start_denoising_time = time.time()
-            self._throttle(batch.requests[0].latents)
+            saturated = self._throttle(batch.requests[0].latents)
+            if saturated:
+                # Steady state (the throttle materialized a probe, so wall
+                # time per iteration tracks device step time): feed the
+                # realized step time back to the policy.  Cache-on steps run
+                # far below the dense profile the predictor was fitted on
+                # (SD3 span: 322 ms realized vs 972 ms predicted, r2t), and
+                # a 3x overestimate turns the SLO slack math into aborts.
+                self.scheduler.policy.observe_step_time(
+                    batch.requests, (time.perf_counter() - t0) * 1e3)
         elif batch.stage is Stage.POSTPROCESSING:
             self._drain_inflight()
             by_res = {}
@@ -139,19 +201,24 @@ class Worker:
         else:  # pragma: no cover
             raise ValueError(batch.stage)
 
-    def _throttle(self, latents) -> None:
+    def _throttle(self, latents) -> bool:
         """Bound async-dispatch runahead to engine.max_inflight_steps.
 
         ``latents`` is a per-request view of this iteration's batched step
         output; a (1,) slice keeps only a 4-byte fetch per sync while still
-        waiting on the whole step (the slice depends on it).
+        waiting on the whole step (the slice depends on it).  Returns True
+        when a probe was materialized this call — i.e. the pipeline is
+        saturated and host wall time per iteration tracks device time.
         """
         depth = self.config.engine.max_inflight_steps
         if depth <= 0:
-            return
+            return False
         self._inflight.append(latents[0, 0, 0, 0:1])
+        saturated = False
         while len(self._inflight) > depth:
             np.asarray(self._inflight.popleft())
+            saturated = True
+        return saturated
 
     def _drain_inflight(self) -> None:
         while self._inflight:

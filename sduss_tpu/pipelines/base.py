@@ -87,6 +87,9 @@ class BasePipeline:
         self._params_device: Optional[dict] = None
         # jit caches are keyed by (name, *static shape info)
         self._fns: Dict[Any, Callable] = {}
+        # Background prepare (engine/worker.py) mints encoder jit keys from
+        # a second thread; minting must be atomic per key.
+        self._jit_lock = threading.Lock()
         # keys whose program has EXECUTED at least once (jit compiles at
         # first call, not at _jit() time) — drives mixed warm-key routing
         self._executed_keys: set = set()
@@ -131,9 +134,12 @@ class BasePipeline:
 
     def _jit(self, name: str, fn: Callable) -> Callable:
         if name not in self._fns:
-            # Computation follows the arguments' device (params are placed on
-            # this pipeline's replica device), so no explicit device pinning.
-            self._fns[name] = jax.jit(fn)
+            with self._jit_lock:
+                if name not in self._fns:
+                    # Computation follows the arguments' device (params are
+                    # placed on this pipeline's replica device), so no
+                    # explicit device pinning.
+                    self._fns[name] = jax.jit(fn)
         return self._fns[name]
 
     # -- family hooks --------------------------------------------------------

@@ -6,6 +6,7 @@ PatchSD3Transformer wrap :30-36, flow-match sampler).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Dict, List
 
 import numpy as np
@@ -19,9 +20,34 @@ class StableDiffusion3Pipeline(BasePipeline):
 
     T5_SEQ_LEN = 256
 
+    # T5-XXL is the prepare-stage cost (host encode ~10 s/row batch on the
+    # relay VM's cores); serving traffic repeats rows constantly — every CFG
+    # request re-encodes the SAME negative prompt (usually "").  Bound: 32
+    # rows x 256 x 4096 f16 = 64 MB host RAM.
+    T5_CACHE_ROWS = 32
+
     def _encode_t5(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        if not hasattr(self, "_t5_row_cache"):
+            self._t5_row_cache: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
+        cache = self._t5_row_cache
+        keys = [ids[i].tobytes() + mask[i].tobytes()
+                for i in range(ids.shape[0])]
+        miss = sorted({i for i, k in enumerate(keys) if k not in cache})
+        if miss:
+            fresh = self._encode_t5_rows(ids[miss], mask[miss])
+            for j, i in enumerate(miss):
+                cache[keys[i]] = fresh[j].astype(np.float16)
+                while len(cache) > self.T5_CACHE_ROWS:
+                    cache.popitem(last=False)
+        out = np.stack([cache[k] for k in keys]).astype(np.float32)
+        for k in keys:  # LRU touch
+            cache.move_to_end(k)
+        return out
+
+    def _encode_t5_rows(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         model = self.bundle.models["text_encoder_3"]
-        bb = bucket_for(ids.shape[0], self.config.scheduler.batch_buckets)
+        n = ids.shape[0]
+        bb = bucket_for(n, self.config.scheduler.batch_buckets)
         ids = _pad_batch(ids, bb)
         mask = _pad_batch(mask, bb)
 
@@ -40,7 +66,7 @@ class StableDiffusion3Pipeline(BasePipeline):
         else:
             ids_a, mask_a = jnp.asarray(ids), jnp.asarray(mask)
         out = self._jit(("t5", bb), fn)(ep, ids_a, mask_a)
-        return np.asarray(out)
+        return np.asarray(out)[:n]
 
     def encode_conditioning(self, prompts: List[str], negatives: List[str],
                             resolutions: List[int]) -> List[Dict[str, np.ndarray]]:
@@ -70,8 +96,12 @@ class StableDiffusion3Pipeline(BasePipeline):
             pooled = np.concatenate([p1, p2], axis=-1)[: len(texts)]
             return embeds.astype(np.float32), pooled.astype(np.float32)
 
-        emb, pooled = enc(prompts)
-        nemb, npooled = enc(negatives)
+        # ONE batched host pass over prompts + negatives: two separate
+        # calls each pad to a batch bucket (a b=1 request encoded 2x2
+        # padded rows = 4 T5 rows of host compute for 2 useful ones).
+        allemb, allpooled = enc(list(prompts) + list(negatives))
+        emb, nemb = allemb[:b], allemb[b:]
+        pooled, npooled = allpooled[:b], allpooled[b:]
         return [{"embeds": emb[i : i + 1], "neg_embeds": nemb[i : i + 1],
                  "pooled": pooled[i : i + 1], "neg_pooled": npooled[i : i + 1]}
                 for i in range(b)]

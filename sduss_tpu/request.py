@@ -42,6 +42,7 @@ class Stage(enum.Enum):
 
     WAITING = "waiting"          # not yet admitted to a replica
     PREPARE = "prepare"          # needs text encode + latent init
+    PREPARING = "preparing"      # prepare running on a background host thread
     DENOISING = "denoising"      # needs remain_steps more denoiser steps
     POSTPROCESSING = "post"      # needs VAE decode
     FINISHED = "finished"

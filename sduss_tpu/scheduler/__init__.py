@@ -48,6 +48,22 @@ class WorkerScheduler:
                 self.pool.move(req, Stage.ABORTED)
         return batch
 
+    # -- asynchronous prepare (engine/worker.py _submit_prepare) -------------
+
+    def begin_prepare(self, batch: ScheduledBatch) -> None:
+        """Park a scheduled PREPARE batch while it encodes on a background
+        host thread: PREPARING requests are invisible to every policy (no
+        policy reads that stage) but still count as unfinished/pending."""
+        for req in batch.requests:
+            self.pool.move(req, Stage.PREPARING)
+
+    def finish_prepare(self, reqs: List[Request]) -> None:
+        """Background prepare completed: release requests to the denoiser.
+        Requests aborted mid-prepare have already left PREPARING — skip."""
+        for req in reqs:
+            if req.stage is Stage.PREPARING:
+                self.pool.move(req, Stage.DENOISING)
+
     def advance(self, batch: ScheduledBatch) -> List[Request]:
         """Update stages after the batch executed; return finished requests."""
         finished: List[Request] = []

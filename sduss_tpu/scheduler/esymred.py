@@ -56,6 +56,35 @@ class ESyMReDPolicy(Policy):
         else:
             self.predictor = LatencyPredictor([], self.profile)
         self._resolutions: List[int] = []
+        # Multiplicative realized/predicted step-time correction (EMA fed by
+        # Worker.observe_step_time).  The fitted predictor measures CACHE-OFF
+        # dense steps; serving runs cache-on, so raw predictions overestimate
+        # ~3x (SD3 span-skip r2t: 972 ms predicted, 322 ms realized) and the
+        # slack math aborts healthy requests.
+        self._step_correction = 1.0
+
+    def observe_step_time(self, requests: List[Request], ms: float) -> None:
+        alpha = getattr(self.config, "step_time_ema", 0.0)
+        if alpha <= 0 or not requests or ms <= 0:
+            return
+        pred = requests[0].predicted_step_ms
+        if pred <= 0.05:
+            return
+        # predicted_step_ms already includes the current correction, so the
+        # observed ratio is the residual multiplier.
+        target = self._step_correction * min(max(ms / pred, 0.05), 20.0)
+        self._step_correction = min(max(
+            (1.0 - alpha) * self._step_correction + alpha * target,
+            0.05), 20.0)
+
+    # corrected prediction helpers --------------------------------------------
+
+    def _predict_counts(self, counts: List[int]) -> float:
+        return self.predictor.predict(counts) * self._step_correction
+
+    def _single_step_s(self, resolution: int) -> float:
+        return self.predictor.single_request_step_s(resolution) \
+            * self._step_correction
 
     def _ensure_resolutions(self, pool: RequestPool) -> None:
         if self.predictor.weights is not None:
@@ -156,7 +185,7 @@ class ESyMReDPolicy(Policy):
         steps_to_full = max(
             min(interval - 1 - r.deep_age for r in running), 1)
         wait_s = steps_to_full * max(step_s, 1e-3)
-        rem = self.predictor.single_request_step_s(urgent.resolution) \
+        rem = self._single_step_s(urgent.resolution) \
             * urgent.remain_steps
         # SLO beats cache: admit now if waiting would sink the candidate.
         return self._denoise_slack(urgent, now, rem) \
@@ -181,14 +210,15 @@ class ESyMReDPolicy(Policy):
             if extra_res is not None:
                 key = self._counts_key(extra_res)
                 c[key] = c.get(key, 0) + 1
-            return self.predictor.predict([c.get(res, 0) for res in self._resolutions])
+            return self._predict_counts(
+                [c.get(res, 0) for res in self._resolutions])
 
         batch = list(running)
         budget = self.config.max_batch_size - len(batch)
 
         # slack-ordered candidates
         def cand_slack(r: Request) -> float:
-            rem = self.predictor.single_request_step_s(r.resolution) * r.remain_steps
+            rem = self._single_step_s(r.resolution) * r.remain_steps
             return self._denoise_slack(r, now, rem)
 
         waiting = sorted(waiting, key=cand_slack)
@@ -219,7 +249,7 @@ class ESyMReDPolicy(Policy):
 
             # Throughput mode: urgent candidate has ample slack => admit the
             # smallest-resolution candidate instead (reference :325-436).
-            rem_t = self.predictor.single_request_step_s(target.resolution) * target.remain_steps
+            rem_t = self._single_step_s(target.resolution) * target.remain_steps
             if rem_t > 0 and t_slack / rem_t > THROUGHPUT_SLACK_RATIO:
                 target = min(waiting, key=lambda r: r.resolution)
 

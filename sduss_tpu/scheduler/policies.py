@@ -51,6 +51,10 @@ class Policy:
     def schedule(self, pool: RequestPool) -> Optional[ScheduledBatch]:
         raise NotImplementedError
 
+    def observe_step_time(self, requests: List[Request], ms: float) -> None:
+        """Realized wall ms of one executed denoise iteration (fed by the
+        worker once its dispatch throttle saturates).  Base: ignored."""
+
     # -- shared helpers ------------------------------------------------------
 
     def _oldest_nonempty_stage(self, pool: RequestPool) -> Optional[Stage]:
