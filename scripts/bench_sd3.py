@@ -61,22 +61,23 @@ def main():
     # deep_mode): full step every BENCH_SD3_DEEP_INTERVAL (default 3) steps
     # emits the span's residual delta; shallow steps skip blocks [lo,hi) and
     # splice it.  Composes with CACHE/FINE (the SD3 deep x compact hybrid).
-    frac = float(os.environ.get("BENCH_SD3_CACHE", "0"))
-    fine = float(os.environ.get("BENCH_SD3_FINE", "0"))
-    stale_kv = (fine > 0
-                and os.environ.get("BENCH_SD3_FINE_STALE_KV", "0") == "1")
     # BENCH_SD3_DEEP_ADAPTIVE=0.05 -> drift-triggered refresh instead of the
     # fixed interval (full when the latent rel-MSE since the last full step
     # exceeds the threshold; BENCH_SD3_DEEP_CAP shallow-step safety cap) —
     # the same in-graph trigger as bench.py's SDXL adaptive trajectory.
-    # DEFAULT = span 2:24 @ interval 6, no token cache: 65.6 ms/step = 0.99x
-    # the H100 anchor (exp/bench_sd3_v5e_deep224_i6.json), quality gated
-    # near-lossless on the tiny harness (rel_mse 9.2e-5 vs 6.4e-3 one-step
-    # natural drift, exp/cache_quality_sd3_deepspan_wide_tiny.json).  The
-    # faster span@6+compact0.5 combo (35.7 ms) degrades quality to 0.0179
-    # (~2.8 steps of drift; compact rows staled by the 6-step refresh,
-    # exp/cache_quality_sd3_spancompact_tiny.json) — rejected as default.
-    # BENCH_SD3_DEEP= (empty) reverts to dense.
+    # DEFAULT = span 2:24 @ interval 3 + compact token cache 0.5: 57.0 ms/
+    # step = 1.14x the H100 anchor (exp/bench_sd3_v5e_deep224_i3_
+    # compact05.json), quality-clean on the tiny harness (rel_mse 0.0019 ~
+    # half a step of SD3's 0.0037/step natural drift,
+    # exp/cache_quality_sd3_spancompact_tiny.json i3 row — the reference's
+    # own classifier threshold is 0.01, cache_manager.py:101-191).
+    # Quality-tighter fallback: interval 6 WITHOUT the token cache =
+    # 66.0 ms, rel_mse 9.2e-5 (near-lossless,
+    # exp/bench_sd3_v5e_deep224_i6.json) — BENCH_SD3_DEEP_INTERVAL=6
+    # BENCH_SD3_CACHE=0.  The 35.7 ms span@6+compact0.5 combo degrades to
+    # 0.0179 (~2.8 steps of drift; compact rows staled by the 6-step
+    # refresh) — rejected.  BENCH_SD3_DEEP= (empty) reverts to dense
+    # (and drops the default token cache with it).
     deep_env = os.environ.get("BENCH_SD3_DEEP", "2:24")
     deep_span = (tuple(int(v) for v in deep_env.split(":"))
                  if deep_env else None)
@@ -86,7 +87,12 @@ def main():
         lo, hi = deep_span
         hi = min(hi, model.cfg.num_layers)
         deep_span = (lo, hi) if lo < hi else None
-    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "6"))
+    frac = float(os.environ.get(
+        "BENCH_SD3_CACHE", "0.5" if deep_span is not None else "0"))
+    fine = float(os.environ.get("BENCH_SD3_FINE", "0"))
+    stale_kv = (fine > 0
+                and os.environ.get("BENCH_SD3_FINE_STALE_KV", "0") == "1")
+    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "3"))
     deep_adaptive = float(os.environ.get("BENCH_SD3_DEEP_ADAPTIVE", "0"))
     deep_cap = int(os.environ.get("BENCH_SD3_DEEP_CAP", "6"))
     prime = None

@@ -50,8 +50,19 @@ def test_fine(run_bench):
 
 
 def test_deep_dense(run_bench):
-    r = run_bench(BENCH_SD3_DEEP="1:2", BENCH_SD3_DEEP_INTERVAL="2")
+    r = run_bench(BENCH_SD3_DEEP="1:2", BENCH_SD3_DEEP_INTERVAL="2",
+                  BENCH_SD3_CACHE="0")
     assert r["deep_span"] == [1, 2] and r["deep_interval"] == 2
+    assert r["compact_cache_fraction"] == 0.0
+
+
+def test_default_hybrid(run_bench):
+    # The production default (span 2:24 @3 + compact 0.5, 57.0 ms on chip)
+    # engages the compact token cache whenever a span survives the depth
+    # clamp; TINY_MMDIT's 2 blocks clamp 2:24 away, so force a real span.
+    r = run_bench(BENCH_SD3_DEEP="0:1")
+    assert r["deep_span"] == [0, 1] and r["deep_interval"] == 3
+    assert r["compact_cache_fraction"] == 0.5
 
 
 def test_deep_hybrid_fine(run_bench):
