@@ -191,6 +191,22 @@ class Engine:
         finally:
             cc.deep_drift_threshold = saved_threshold
 
+    def _hbm_note(self) -> str:
+        """Short HBM-usage suffix for prewarm progress lines.  Prewarm is
+        the pipeline's HBM-peak walk (every res x bucket x mode key plus
+        its threaded cache state), and the r2t/r2v OOM postmortems each
+        cost a chip day — make headroom visible as the walk proceeds."""
+        try:
+            import jax
+
+            ms = jax.devices()[0].memory_stats() or {}
+            used, lim = ms.get("bytes_in_use"), ms.get("bytes_limit")
+            if used is not None and lim:
+                return f" (HBM {used / 1e9:.1f}/{lim / 1e9:.1f} GB)"
+        except Exception:
+            pass
+        return ""
+
     def _prewarm_inner(self, t0, sc, cc, res_list, steps, buckets,
                        compositions) -> float:
         bks = [b for b in (buckets or sc.batch_buckets)
@@ -243,6 +259,8 @@ class Engine:
                     pipe.release_serving_state()
                     pipe.postprocess(by_res)
                     n += b
+                    logger.info("prewarm: res %d bucket %d done%s",
+                                res, b, self._hbm_note())
                 logger.info("prewarm: rank %d res %d done (%.1fs elapsed)",
                             worker.rank, res, time.time() - t0)
         for comp in compositions or ():
@@ -264,8 +282,9 @@ class Engine:
                     pipe.denoise_step_mixed(reqs_by_res)
                 n += len(flat)
                 pipe.release_serving_state()
-            logger.info("prewarm: mixed composition %s done (%.1fs elapsed)",
-                        dict(sorted(comp.items())), time.time() - t0)
+            logger.info("prewarm: mixed composition %s done (%.1fs elapsed)%s",
+                        dict(sorted(comp.items())), time.time() - t0,
+                        self._hbm_note())
         self.stats = EngineStats()
         dt = time.time() - t0
         logger.info("prewarm: %d resolutions x %d buckets (%d requests) "

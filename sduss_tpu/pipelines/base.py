@@ -132,14 +132,20 @@ class BasePipeline:
                 role: jax.device_put(self.bundle.params[role], host)}
         return self._host_encoder_params[role]
 
-    def _jit(self, name: str, fn: Callable) -> Callable:
+    def _jit(self, name: str, fn: Callable,
+             donate: Sequence[int] = ()) -> Callable:
         if name not in self._fns:
             with self._jit_lock:
                 if name not in self._fns:
                     # Computation follows the arguments' device (params are
                     # placed on this pipeline's replica device), so no
-                    # explicit device pinning.
-                    self._fns[name] = jax.jit(fn)
+                    # explicit device pinning.  ``donate``: argnums whose
+                    # buffers XLA may alias into same-shaped outputs —
+                    # threaded cache state is multi-GB at b8 1024^2 (the
+                    # hybrid row state alone is ~4 GB = 16 CFG rows x
+                    # ~252 MB), and holding old+new copies across the step
+                    # OOMed the r2v serving prewarm on a 16 GB chip.
+                    self._fns[name] = jax.jit(fn, donate_argnums=tuple(donate))
         return self._fns[name]
 
     # -- family hooks --------------------------------------------------------
@@ -385,8 +391,10 @@ class BasePipeline:
         sync = not entry["anchored"]
         row_valid = np.zeros((bb,), bool)
         row_valid[:b] = True
+        # donate the row state (arg 6): old+new copies of the multi-GB
+        # cache pytree must never be live together (r2v prewarm OOM)
         fn = self._jit(("denoise_compact", res, bb, sync),
-                       self._make_compact_fn(cache, sync))
+                       self._make_compact_fn(cache, sync), donate=(6,))
         new_latents, new_state = fn(self.params, latents, jnp.asarray(t),
                                     jnp.asarray(coeffs), jnp.asarray(guidance),
                                     cond, entry["state"],
@@ -484,8 +492,12 @@ class BasePipeline:
             self._disp_state.popitem(last=False)
         stale = st["warm"] >= self.config.parallel.displaced_warmup \
             and bool(st["kv"])
+        # donate the threaded KV pytree (arg 6): full-sequence K/V for
+        # every attention is multi-GB at full size; old+new copies across
+        # the step would halve serving headroom (same aliasing rationale
+        # as the hybrid/compact cache states)
         fn = self._jit(("denoise_displaced", res, bb, stale),
-                       self._make_displaced_fn(stale))
+                       self._make_displaced_fn(stale), donate=(6,))
         new_latents, new_kv = fn(self.params, latents, jnp.asarray(t),
                                  jnp.asarray(coeffs), jnp.asarray(guidance),
                                  cond, st["kv"])
@@ -692,8 +704,11 @@ class BasePipeline:
         assert entry["anchored"] or mode == "full"
         row_valid = np.zeros((bb,), bool)
         row_valid[:b] = True
+        # donate the row state (arg 7): ~4 GB at b8 1024^2; without
+        # aliasing the full step held old+new copies and OOMed the r2v
+        # serving prewarm next to the text-encoder params
         fn = self._jit(("denoise_deep_hybrid", mode, res, bb),
-                       self._make_deep_hybrid_fn(mode))
+                       self._make_deep_hybrid_fn(mode), donate=(7,))
         new_latents, deep_out, new_state = fn(
             self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
             jnp.asarray(guidance), cond, deep, entry["state"],
@@ -868,10 +883,16 @@ class BasePipeline:
         from sduss_tpu.ops.patch_ctx import ctx_arrays
 
         a1, a2 = ctx_arrays(meta), ctx_arrays(meta2)
+        # Donate extra_state (arg 8) for the cache-threading variants: the
+        # gathered row state / (deep_batch, hybrid rows) tuple is a fresh
+        # concat each step and replaced by the call's output, and holding
+        # old+new copies of the multi-GB pytree OOMs a 16 GB chip (r2v).
+        # The stateful-sampler variant keeps copies (PNDM ets are small).
+        donate = (8,) if (hybrid or cache is not None) else ()
         fn = self._jit(jit_key,
                        self._make_mixed_fn(meta, meta2, cache, deep_mode,
                                            stateful=stateful,
-                                           hybrid=hybrid))
+                                           hybrid=hybrid), donate=donate)
         if deep_mode is not None and hybrid:
             from sduss_tpu.cache.manager import BlockCache
 
@@ -1362,11 +1383,22 @@ class BasePipeline:
 
     # -- helpers -------------------------------------------------------------
 
+    def _encode_buckets(self):
+        """Bucket ladder for ENCODER batches: the denoiser ladder plus one
+        doubled bucket.  SD3's one-pass pos+neg encode (sd3.py
+        encode_conditioning) runs 2x the request batch through the
+        encoders, so a full bucket's prompts legitimately exceed
+        batch_buckets[-1] (r2v: prewarm batch 4 vs buckets (1,2) crashed
+        bucket_for).  Prewarm covers every request bucket b, so every
+        2b key this ladder can mint gets warmed."""
+        bks = list(self.config.scheduler.batch_buckets)
+        return bks + [2 * bks[-1]]
+
     def _encode_clip(self, role: str, ids: np.ndarray, *, penultimate: bool,
                      need_pooled: bool):
         """Jitted CLIP encode returning (features, pooled_or_None)."""
         model = self.bundle.models[role]
-        bb = bucket_for(ids.shape[0], self.config.scheduler.batch_buckets)
+        bb = bucket_for(ids.shape[0], self._encode_buckets())
         ids = _pad_batch(ids, bb)
 
         def fn(params, ids):

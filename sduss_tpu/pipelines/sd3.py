@@ -47,7 +47,9 @@ class StableDiffusion3Pipeline(BasePipeline):
     def _encode_t5_rows(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         model = self.bundle.models["text_encoder_3"]
         n = ids.shape[0]
-        bb = bucket_for(n, self.config.scheduler.batch_buckets)
+        # encoder ladder: one-pass pos+neg encode can reach 2x the largest
+        # request bucket (base.py _encode_buckets)
+        bb = bucket_for(n, self._encode_buckets())
         ids = _pad_batch(ids, bb)
         mask = _pad_batch(mask, bb)
 
@@ -200,10 +202,17 @@ class StableDiffusion3Pipeline(BasePipeline):
                     (res, len(rs)) for res, rs in reqs_by_res.items())))
                 # dense steps advance latents without refreshing KV rows or
                 # the span delta; force a sync/full pass when the token path
-                # resumes
-                for st in getattr(self, "_sd3_state", {}).values():
-                    st["kv_ok"] = False
-                    st["deep"] = None
+                # resumes.  Reset ONLY entries holding a request served
+                # dense here: a blanket reset stomped the warm daemon's
+                # THROWAWAY entry's kv_ok mid-drive, so the stale trunk
+                # program never minted and serving would hit it cold — the
+                # exact stall warm-key routing exists to prevent.
+                served = {r.request_id for rs in reqs_by_res.values()
+                          for r in rs}
+                for key, st in getattr(self, "_sd3_state", {}).items():
+                    if served.intersection(key[2]):
+                        st["kv_ok"] = False
+                        st["deep"] = None
                 return super().denoise_step(reqs_by_res)
 
         # -- embed per resolution group (scale_model_input + patch+pos embed)
@@ -283,9 +292,13 @@ class StableDiffusion3Pipeline(BasePipeline):
             deep_mode = "full" if need_full else "shallow"
         trunk_key = ("sd3_mixed", s_pad, bb, cache is not None, sync,
                      kv_stale, deep_mode)
+        # donate the composition token state (arg 6): fine stale-KV rows
+        # are ~1.5 GB/request at 1024^2 and old+new copies next to 5 GB of
+        # params OOM a 16 GB chip (same aliasing fix as the UNet hybrid)
         fn = self._jit(trunk_key,
                        self._make_sd3_trunk_fn(cache, kv_stale, sync,
-                                               deep_mode, span))
+                                               deep_mode, span),
+                       donate=(6,) if cache is not None else ())
         kw = {}
         if deep_mode == "shallow":
             kw["deep_state"] = entry["deep"]

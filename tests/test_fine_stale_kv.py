@@ -172,7 +172,15 @@ class TestFineStaleKVServing:
                              seed=4)
         assert np.isfinite(outs[0].image.astype(np.float32)).all()
         p = pipe.engine.workers[0].pipeline
+        # the stale trunk may be minted by the background warm daemon
+        # (warm-key routing serves dense until it lands) — join it first
+        th = getattr(p, "_mixed_warm_thread", None)
+        if th is not None:
+            th.join(timeout=120)
         keys = [k for k in p._fns if isinstance(k, tuple)
                 and k[0] == "sd3_mixed"]
-        stale_flags = {k[-1] for k in keys}
+        # trunk_key = ("sd3_mixed", s_pad, bb, has_cache, sync, kv_stale,
+        # deep_mode) — kv_stale is slot 5 (the span-skip deep mode was
+        # appended later and made k[-1] read deep_mode instead)
+        stale_flags = {k[5] for k in keys}
         assert stale_flags == {False, True}
