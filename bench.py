@@ -49,6 +49,12 @@ Env knobs:
                 (gate_compact_pairs; odd independent top-K counts split
                 uncond/cond pairs and the CFG combine amplifies it);
                 0 = independent rows
+  BENCH_HYBRID_PREDICT  reuse-then-predict momentum (default 0.5): shallow
+                steps extrapolate the deep features along the inter-full
+                velocity instead of holding them (CacheConfig.deep_predict;
+                tiny harness: 16% tighter divergence at the default
+                schedule, exp/cache_quality_sdxl_predict_tiny.json);
+                0 = plain reuse
 """
 
 from __future__ import annotations
@@ -251,7 +257,8 @@ def build_step(batch: int):
 
     def make_hybrid_trajectory(n_steps: int, threshold: float, cap: int,
                                warmup: int, fraction: float,
-                               pairwise: bool = False):
+                               pairwise: bool = False,
+                               momentum: float = 0.0):
         """Adaptive deep refresh x compact row gating on shallow steps
         (CacheConfig.deep_compact_fraction): SHALLOW steps recompute only
         the fraction*rows most-drifted CFG rows of each shallow block pair
@@ -308,24 +315,40 @@ def build_step(batch: int):
             deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), jnp.bfloat16)
 
             def body(i, carry):
-                lat, deep, st, lat_ref, age, n_full = carry
+                lat, deep, st, lat_ref, age, n_full, slope, gap = carry
                 drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
                          / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
                 full = ((i < warmup) | (age >= cap - 1) | (drift > threshold))
+                # reuse-then-predict (CacheConfig.deep_predict): shallow
+                # steps extrapolate the deep features along the inter-full
+                # velocity instead of holding them frozen
+                deep_in = jnp.where(
+                    full, deep,
+                    (deep.astype(jnp.float32)
+                     + momentum * (age + 1).astype(jnp.float32)
+                     * slope.astype(jnp.float32)).astype(deep.dtype))
                 lat2, deep2, st2 = jax.lax.cond(
                     full,
                     lambda args: full_f(params, *args),
                     lambda args: shallow_f(params, *args),
-                    (lat, deep, st, i))
+                    (lat, deep_in, st, i))
+                slope = jnp.where(
+                    full & (gap > 0),
+                    ((deep2.astype(jnp.float32) - deep.astype(jnp.float32))
+                     / jnp.maximum(gap, 1).astype(jnp.float32)
+                     ).astype(slope.dtype),
+                    slope)
+                deep_next = jnp.where(full, deep2, deep)
+                gap = jnp.where(full, 1, gap + 1)
                 lat_ref = jnp.where(full, lat, lat_ref)
                 age = jnp.where(full, 0, age + 1)
-                return (lat2, deep2, st2, lat_ref, age,
-                        n_full + full.astype(jnp.int32))
+                return (lat2, deep_next, st2, lat_ref, age,
+                        n_full + full.astype(jnp.int32), slope, gap)
 
-            lat, _, _, _, _, n_full = jax.lax.fori_loop(
+            lat, _, _, _, _, n_full, _, _ = jax.lax.fori_loop(
                 0, n_steps, body,
                 (latents, deep0, mk_state0(), latents, jnp.int32(0),
-                 jnp.int32(0)))
+                 jnp.int32(0), jnp.zeros_like(deep0), jnp.int32(0)))
             return lat, n_full
 
         return run
@@ -452,7 +475,9 @@ def main() -> None:
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")),
                         fraction=hybrid_frac,
                         pairwise=os.environ.get("BENCH_HYBRID_PAIRWISE",
-                                                "1") == "1")
+                                                "1") == "1",
+                        momentum=float(os.environ.get("BENCH_HYBRID_PREDICT",
+                                                      "0.5")))
                 elif adaptive:
                     run = make_adaptive_deep_trajectory(
                         n_steps, adaptive_thresh,
@@ -523,6 +548,7 @@ def main() -> None:
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
         "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
         "hybrid_pairwise": os.environ.get("BENCH_HYBRID_PAIRWISE", "1") == "1",
+        "hybrid_predict": float(os.environ.get("BENCH_HYBRID_PREDICT", "0.5")),
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 

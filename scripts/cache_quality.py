@@ -167,6 +167,60 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
         return run
 
     @functools.lru_cache(maxsize=None)
+    def run_deep_predict(interval: int, momentum: float, warmup: int = 0):
+        """Reuse-then-PREDICT deep refresh (arXiv 2505.14741 / TaylorSeer
+        shape): instead of holding the last full step's deep features
+        frozen, shallow steps feed a first-order extrapolation
+        ``deep_last + momentum * age * slope`` where ``slope`` is the
+        per-step feature velocity between the last two full steps.  Same
+        full/shallow schedule as run_deep — only the shallow input changes
+        — so a quality win here converts 1:1 into longer intervals (fewer
+        full steps) at matched divergence."""
+        hw_deep, c_deep = _deep_shapes()
+
+        @jax.jit
+        def run(params, lat, g, ehs, pooled, tid):
+            z = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
+            full_f, shallow_f = _deep_step_pair(params, g, ehs, pooled, tid)
+
+            def body(i, carry):
+                lat, deep_last, slope, age, gap = carry
+                full = (i < warmup) | (((i - warmup) % interval) == 0)
+
+                def do_full(args):
+                    lat, deep_last, slope, age, gap = args
+                    lat2, d2 = full_f((lat, deep_last, i))
+                    # per-step velocity from the realized gap; first full
+                    # (gap 0) keeps slope 0 (falls back to plain reuse)
+                    new_slope = jnp.where(
+                        gap > 0,
+                        (d2 - deep_last).astype(jnp.float32)
+                        / jnp.maximum(gap, 1).astype(jnp.float32),
+                        jnp.zeros_like(slope))
+                    return lat2, d2, new_slope, jnp.int32(0), jnp.int32(0)
+
+                def do_shallow(args):
+                    lat, deep_last, slope, age, gap = args
+                    pred = (deep_last.astype(jnp.float32)
+                            + momentum * (age + 1).astype(jnp.float32)
+                            * slope).astype(dtype)
+                    lat2, _ = shallow_f((lat, pred, i))
+                    return lat2, deep_last, slope, age + 1, gap
+
+                lat, deep_last, slope, age, gap = jax.lax.cond(
+                    full, do_full, do_shallow,
+                    (lat, deep_last, slope, age, gap))
+                return lat, deep_last, slope, age, gap + 1
+
+            lat, _, _, _, _ = jax.lax.fori_loop(
+                0, n_steps, body,
+                (lat, z, jnp.zeros_like(z, jnp.float32), jnp.int32(0),
+                 jnp.int32(0)))
+            return lat
+
+        return run
+
+    @functools.lru_cache(maxsize=None)
     def run_deep_adaptive(threshold: float, max_interval: int = 6,
                           warmup: int = 0):
         """Drift-triggered deep refresh: full step when the latent has
@@ -211,7 +265,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
     @functools.lru_cache(maxsize=None)
     def run_deep_hybrid(threshold: float, fraction: float,
                         max_interval: int = 6, warmup: int = 0,
-                        pairwise: bool = False):
+                        pairwise: bool = False, momentum: float = 0.0):
         """Deep x compact HYBRID (CacheConfig.deep_compact_fraction): the
         adaptive deep schedule, with SHALLOW steps additionally gating their
         block pairs at top-K row capacity ``fraction`` (full steps recompute
@@ -258,23 +312,41 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
             shallow_f = step_mode("shallow")
 
             def body(i, carry):
-                lat, deep, st, lat_ref, age, n_full, mask = carry
+                (lat, deep, st, lat_ref, age, n_full, mask, slope,
+                 gap) = carry
                 drift = (jnp.mean((lat - lat_ref).astype(jnp.float32) ** 2)
                          / (jnp.mean(lat_ref.astype(jnp.float32) ** 2) + 1e-12))
                 full = ((i < warmup) | (i == 0) | (age >= max_interval - 1)
                         | (drift > threshold))
+                # reuse-then-predict: shallow steps extrapolate the deep
+                # features along the velocity between the last two fulls
+                deep_in = jnp.where(
+                    full, deep,
+                    (deep.astype(jnp.float32)
+                     + momentum * (age + 1).astype(jnp.float32)
+                     * slope).astype(deep.dtype))
                 lat2, deep2, st2 = jax.lax.cond(full, full_f, shallow_f,
-                                                (lat, deep, st, i))
+                                                (lat, deep_in, st, i))
+                slope = jnp.where(
+                    full & (gap > 0),
+                    (deep2 - deep).astype(jnp.float32)
+                    / jnp.maximum(gap, 1).astype(jnp.float32),
+                    slope)
+                # the carried anchor stays the last FULL step's features —
+                # a shallow step must not write its predicted input back
+                deep_next = jnp.where(full, deep2, deep)
+                gap = jnp.where(full, 1, gap + 1)
                 lat_ref = jnp.where(full, lat, lat_ref)
                 age = jnp.where(full, 0, age + 1)
-                return (lat2, deep2, st2, lat_ref, age,
+                return (lat2, deep_next, st2, lat_ref, age,
                         n_full + full.astype(jnp.int32),
-                        mask.at[i].set(full.astype(jnp.int32)))
+                        mask.at[i].set(full.astype(jnp.int32)), slope, gap)
 
-            lat, _, _, _, _, n_full, mask = jax.lax.fori_loop(
+            lat, _, _, _, _, n_full, mask, _, _ = jax.lax.fori_loop(
                 0, n_steps, body,
                 (lat, deep0, state0, lat, jnp.int32(0), jnp.int32(0),
-                 jnp.zeros((n_steps,), jnp.int32)))
+                 jnp.zeros((n_steps,), jnp.int32),
+                 jnp.zeros_like(deep0, jnp.float32), jnp.int32(0)))
             return lat, n_full, mask
 
         return run
@@ -354,7 +426,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
 
     return (run_plain, run_deep, run_compact, make_inputs, params,
             run_drift, run_deep_adaptive, run_deep_hybrid, None,
-            run_cfg_reuse)
+            run_cfg_reuse, run_deep_predict)
 
 
 def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
@@ -585,7 +657,7 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
         return run
 
     return (run_plain, None, run_compact, make_inputs, params, run_drift,
-            None, None, run_deep_span, None)
+            None, None, run_deep_span, None, None)
 
 
 def main():
@@ -611,6 +683,14 @@ def main():
     ap.add_argument("--hybrid-pairwise", action="store_true",
                     help="CFG-pair-symmetric row selection for the hybrid "
                          "rows (gate_compact_pairs)")
+    ap.add_argument("--hybrid-predict", type=float, default=0.0,
+                    help="reuse-then-predict momentum for the hybrid's "
+                         "shallow-step deep features (0 = plain reuse)")
+    ap.add_argument("--deep-predict", default="",
+                    help="reuse-then-predict deep refresh (sdxl only): "
+                         "'interval:momentum' comma-separated, e.g. "
+                         "'3:1.0,6:1.0,6:0.5' — shallow steps extrapolate "
+                         "the deep features linearly instead of holding")
     ap.add_argument("--cfg-reuse", default="",
                     help="CFG uncond-reuse intervals (sdxl only): full "
                          "steps run both CFG halves; skip steps run only "
@@ -646,8 +726,8 @@ def main():
                 if args.family == "sd3" and args.mmdit_layers else {})
     (run_plain, run_deep, run_compact, make_inputs, params,
      run_drift, run_deep_adaptive, run_deep_hybrid, run_deep_span,
-     run_cfg_reuse) = build(args.tiny, args.batch, res, args.steps,
-                            **build_kw)
+     run_cfg_reuse, run_deep_predict) = build(args.tiny, args.batch, res,
+                                              args.steps, **build_kw)
 
     configs = []
     if run_deep is not None:
@@ -665,6 +745,10 @@ def main():
     if run_cfg_reuse is not None:
         configs += [("cfg_reuse", int(v))
                     for v in args.cfg_reuse.split(",") if v]
+    if run_deep_predict is not None:
+        for spec in (s for s in args.deep_predict.split(",") if s):
+            itv, m = spec.split(":")
+            configs.append(("deep_predict", (int(itv), float(m))))
     if args.family == "sd3":
         configs += [("token_fine", float(v)) for v in args.fine.split(",") if v]
         for spec in (s for s in args.sd3_deep.split(",") if s):
@@ -715,9 +799,13 @@ def main():
             elif kind == "deep_hybrid":
                 run = run_deep_hybrid(args.hybrid_threshold, param,
                                       args.max_interval, 3,
-                                      args.hybrid_pairwise)
+                                      args.hybrid_pairwise,
+                                      args.hybrid_predict)
             elif kind == "cfg_reuse":
                 run = run_cfg_reuse(param)
+            elif kind == "deep_predict":
+                # warmup 3 to match the deep_warmup / adaptive rows
+                run = run_deep_predict(param[0], param[1], 3)
             elif kind == "token_fine":
                 run = run_compact(param, fine=True)
             elif kind == "sd3_deep":
@@ -765,11 +853,19 @@ def main():
             w, n = 3, args.steps
             row["full_fraction"] = round(
                 (w + (n - w + param - 1) // param) / n, 4)
+        elif kind == "deep_predict":
+            itv, m = param
+            w, n = 3, args.steps
+            row.update(param=f"{itv}:{m}", interval=itv, momentum=m,
+                       full_fraction=round(
+                           (w + (n - w + itv - 1) // itv) / n, 4))
         elif kind in ("deep_adaptive", "deep_hybrid"):
             row["full_fraction"] = round(full_frac, 4)
             if kind == "deep_hybrid":
                 row["threshold"] = args.hybrid_threshold
                 row["pairwise"] = args.hybrid_pairwise
+                row["momentum"] = args.hybrid_predict
+                row["max_interval"] = args.max_interval
         results.append(row)
         print(json.dumps(row), flush=True)
 

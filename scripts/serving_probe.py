@@ -162,9 +162,11 @@ async def _run(args):
                                                 cc.mode == "deep") else 1
         warm_steps = cc.deep_warmup if cc.enabled else 1
         n_timed = 2 * interval
-        # The probe bypasses the scheduler, so clamp to the batch ceiling
-        # itself (production admission can never exceed buckets[-1]).
+        # The probe bypasses the scheduler, so clamp to the live admission
+        # ceiling (prewarm may have SHRUNK max_batch_size on a
+        # RESOURCE_EXHAUSTED bucket — capacity discovery, engine.py).
         probe_batch = min(args.probe_batch,
+                          config.scheduler.max_batch_size,
                           config.scheduler.batch_buckets[-1])
         probe_reqs = [
             Request(f"probe-{i}", SamplingParams(

@@ -237,27 +237,50 @@ class Engine:
             pipe = worker.pipeline
             for res in res_list:
                 for b in bks:
+                    if b > sc.max_batch_size:
+                        break  # shrunk by a capacity hit at a smaller res
                     reqs = [Request(f"prewarm-{res}-{b}-{i}", SamplingParams(
                                 prompt="", resolution=res,
                                 num_inference_steps=steps, seed=0))
                             for i in range(b)]
-                    pipe.prepare(reqs)
-                    for r in reqs:
-                        r.stage = Stage.DENOISING
-                    by_res = {res: reqs}
-                    for _ in range(steps):
-                        pipe.denoise_step(by_res)
-                    for r in reqs:
-                        r.stage = Stage.POSTPROCESSING
-                    # Throwaway composition state must not stack across
-                    # prewarm iterations (r2r: retained big-bucket hybrid
-                    # entries OOMed the 1024^2 b8 step) — and must be gone
-                    # BEFORE the decode: full-res decode activations are the
-                    # pipeline HBM peak, and with hybrid state still live
-                    # the b8 1024^2 prewarm decode hit RESOURCE_EXHAUSTED
-                    # (r2t).  Decode only needs the request latents.
-                    pipe.release_serving_state()
-                    pipe.postprocess(by_res)
+                    try:
+                        pipe.prepare(reqs)
+                        for r in reqs:
+                            r.stage = Stage.DENOISING
+                        by_res = {res: reqs}
+                        for _ in range(steps):
+                            pipe.denoise_step(by_res)
+                        for r in reqs:
+                            r.stage = Stage.POSTPROCESSING
+                        # Throwaway composition state must not stack across
+                        # prewarm iterations (r2r: retained big-bucket hybrid
+                        # entries OOMed the 1024^2 b8 step) — and must be gone
+                        # BEFORE the decode: full-res decode activations are
+                        # the pipeline HBM peak, and with hybrid state still
+                        # live the b8 1024^2 prewarm decode hit
+                        # RESOURCE_EXHAUSTED (r2t).  Decode only needs the
+                        # request latents.
+                        pipe.release_serving_state()
+                        pipe.postprocess(by_res)
+                    except Exception as e:  # noqa: BLE001
+                        if "RESOURCE_EXHAUSTED" not in str(e):
+                            raise
+                        # CAPACITY DISCOVERY, not a fatal error: this bucket
+                        # genuinely exceeds device HBM at this resolution
+                        # (r2w: the default max_batch_size=12 walked prewarm
+                        # into a b12 1024^2 hybrid state ~6 GB next to
+                        # 6.7 GB of params).  Shrink the admission ceiling
+                        # to the largest bucket that fit and keep serving —
+                        # the scheduler reads max_batch_size live, so no
+                        # production batch will ever mint this key.
+                        prev = max((x for x in bks if x < b), default=1)
+                        logger.warning(
+                            "prewarm: res %d bucket %d RESOURCE_EXHAUSTED — "
+                            "capping max_batch_size at %d%s", res, b, prev,
+                            self._hbm_note())
+                        sc.max_batch_size = min(sc.max_batch_size, prev)
+                        pipe.release_serving_state()
+                        break
                     n += b
                     logger.info("prewarm: res %d bucket %d done%s",
                                 res, b, self._hbm_note())

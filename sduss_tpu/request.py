@@ -75,6 +75,10 @@ class Request:
     # and steps since the last full pass.
     deep_state: Any = None
     deep_age: int = 0
+    # Reuse-then-predict (CacheConfig.deep_predict): per-step deep-feature
+    # velocity between the last two full passes, same shape as deep_state
+    # (float32); None until two same-layout full passes have run.
+    deep_slope: Any = None
     # Adaptive deep refresh (CacheConfig.deep_adaptive): latent at the last
     # full pass, pending on-device drift scalars (oldest first), and the
     # most recent fetched drift value.

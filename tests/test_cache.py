@@ -1052,3 +1052,79 @@ class TestDeepHybrid:
             h = np.asarray(rows["hits"])
             n = h.shape[0] // 2
             np.testing.assert_array_equal(h[:n], h[n:])
+
+
+class TestDeepPredict:
+    """Reuse-then-predict (CacheConfig.deep_predict): shallow steps feed a
+    first-order extrapolation of the deep features instead of holding the
+    last full pass's frozen."""
+
+    def _pipe(self, momentum, interval=3, hybrid=None):
+        from sduss_tpu.config import Config, ModelConfig, SchedulerConfig
+        from sduss_tpu.pipelines import build_pipeline
+
+        config = Config()
+        config.model = ModelConfig(model="sd15", test_tiny=True, dtype="float32")
+        config.scheduler = SchedulerConfig(use_mixed_resolution=False)
+        config.cache.enabled = True
+        config.cache.mode = "deep"
+        config.cache.deep_interval = interval
+        config.cache.deep_warmup = 1
+        config.cache.deep_predict = momentum
+        config.cache.deep_compact_fraction = hybrid
+        return build_pipeline(config)
+
+    def _run(self, pipe, steps=6, n=2, res=256):
+        reqs = make_reqs(n=n, res=res, steps=steps)
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        for _ in range(steps):
+            pipe.denoise_step({res: reqs})
+        return reqs
+
+    def test_momentum_zero_is_plain_reuse(self):
+        a = self._run(self._pipe(0.0), steps=6)
+        ref = self._run(self._pipe(0.0), steps=6)
+        for x, y in zip(a, ref):
+            np.testing.assert_allclose(np.asarray(x.latents),
+                                       np.asarray(y.latents), atol=1e-6)
+
+    def test_predict_runs_and_sets_slope(self):
+        pipe = self._pipe(0.5)
+        reqs = self._run(pipe, steps=7)
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents, np.float32)).all()
+            # warmup 1 + interval 3 over 7 steps -> at least two full
+            # passes with matching layout -> slope exists
+            assert r.deep_slope is not None
+            assert r.deep_slope.shape == r.deep_state.shape
+
+    def test_predicted_features_extrapolate_linearly(self):
+        """_deep_predicted returns deep + m * (age+1) * slope exactly."""
+        import jax.numpy as jnp
+
+        pipe = self._pipe(0.5)
+        r = make_reqs(n=1, res=256, steps=4)[0]
+        r.deep_state = jnp.ones((2, 4, 4, 8), jnp.float32)
+        r.deep_slope = 2.0 * jnp.ones((2, 4, 4, 8), jnp.float32)
+        r.deep_age = 1
+        got = np.asarray(pipe._deep_predicted(r))
+        np.testing.assert_allclose(got, 1.0 + 0.5 * 2 * 2.0, atol=1e-6)
+
+    def test_slope_resets_on_layout_change(self):
+        import jax.numpy as jnp
+
+        pipe = self._pipe(0.5)
+        r = make_reqs(n=1, res=256, steps=4)[0]
+        r.deep_state = jnp.ones((2, 4, 4, 8), jnp.float32)
+        r.deep_slope = jnp.ones((2, 4, 4, 8), jnp.float32)
+        r.deep_age = 0
+        pipe._deep_update_slope(r, jnp.ones((2, 8, 8, 8), jnp.float32))
+        assert r.deep_slope is None
+
+    def test_predict_composes_with_hybrid(self):
+        pipe = self._pipe(0.5, hybrid=0.5)
+        reqs = self._run(pipe, steps=7)
+        assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
+        assert all(r.deep_slope is not None for r in reqs)

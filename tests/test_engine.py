@@ -357,3 +357,49 @@ class TestDp8ScaleOut:
             outs.extend(eng.step())
         assert len(outs) == 16 and all(o.finished for o in outs)
         assert {r.dp_rank for r in reqs} == set(range(8))
+
+
+class TestPrewarmCapacityDiscovery:
+    def test_resource_exhausted_bucket_shrinks_ceiling(self, monkeypatch):
+        """A RESOURCE_EXHAUSTED bucket during prewarm is capacity truth,
+        not a fatal error (r2w: default max_batch_size=12 walked prewarm
+        into an un-serveable b12 1024^2 hybrid state): the ceiling shrinks
+        to the largest bucket that fit and serving continues under it."""
+        c = _cfg(policy="esymred")
+        c.scheduler.batch_buckets = (1, 2, 4)
+        c.scheduler.max_batch_size = 4
+        eng = Engine(c)
+        pipe = eng.workers[0].pipeline
+        real = pipe.denoise_step
+
+        def fake(by_res, **kw):
+            if sum(len(v) for v in by_res.values()) >= 4:
+                raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+            return real(by_res, **kw)
+
+        monkeypatch.setattr(pipe, "denoise_step", fake)
+        eng.prewarm(resolutions=(128,))
+        assert c.scheduler.max_batch_size == 2
+        # serving still works under the shrunk ceiling
+        reqs = [_req(f"cap{i}", res=128, steps=2) for i in range(3)]
+        eng.add_requests(reqs)
+        outs = []
+        while eng.has_unfinished_requests():
+            outs.extend(eng.step())
+        assert len(outs) == 3 and all(o.finished for o in outs)
+
+    def test_other_errors_still_raise(self, monkeypatch):
+        import pytest as _pytest
+
+        c = _cfg(policy="esymred")
+        c.scheduler.batch_buckets = (1, 2)
+        c.scheduler.max_batch_size = 2
+        eng = Engine(c)
+        pipe = eng.workers[0].pipeline
+
+        def boom(by_res, **kw):
+            raise RuntimeError("something else entirely")
+
+        monkeypatch.setattr(pipe, "denoise_step", boom)
+        with _pytest.raises(RuntimeError, match="something else"):
+            eng.prewarm(resolutions=(128,))
