@@ -36,7 +36,10 @@ def main():
     # shapes derive from the model config so the smoke test can swap in
     # TINY_MMDIT (tests/test_bench_sd3_smoke.py); chip default = 1024^2
     hw = int(os.environ.get("BENCH_SD3_HW", "128"))
-    n_steps = 10
+    # 10 realizes interval-3-ish schedules; long-interval spans (the dense
+    # wide-span ladder, interval 8-16) need the full 30-step production
+    # schedule to hit their true full fraction — set BENCH_SD3_STEPS=30
+    n_steps = int(os.environ.get("BENCH_SD3_STEPS", "10"))
     table = sampler.make_table(n_steps)
     ts = jnp.asarray(table.timesteps)
     cs = jnp.asarray(table.coeffs)
@@ -186,7 +189,7 @@ def main():
 
         return step
 
-    def make_body(kv_flag, params):
+    def make_body(kv_flag, params, itv=None):
         if deep_span is not None:
             full_s = make_step("full", kv_flag, params)
             sh_s = make_step("shallow", kv_flag, params)
@@ -209,8 +212,11 @@ def main():
                     return (x2, st2, dp2, lat_ref, age,
                             n_full + full.astype(jnp.int32))
             else:
+                # itv is a TRACED scalar (threaded through run's signature)
+                # so every interval in a ladder shares one compiled program
+                # — a relay recompile is 15-25 min per leg otherwise
                 def body(i, carry):
-                    return jax.lax.cond(i % deep_interval == 0,
+                    return jax.lax.cond(i % itv == 0,
                                         lambda a: full_s(i, *a),
                                         lambda a: sh_s(i, *a),
                                         carry)
@@ -225,24 +231,24 @@ def main():
     if stale_kv:
         @jax.jit
         def prime(params, lat, g, ehs, pooled):
-            return make_body(False, params)(
+            return make_body(False, params, jnp.int32(deep_interval))(
                 0, (lat, mk_state0(), mk_deep0()))
 
         @jax.jit
-        def run(params, carry0, g, ehs, pooled):
-            x, _, _ = jax.lax.fori_loop(1, n_steps, make_body(True, params),
-                                        carry0)
+        def run(params, carry0, g, ehs, pooled, itv):
+            x, _, _ = jax.lax.fori_loop(
+                1, n_steps, make_body(True, params, itv), carry0)
             return x
     else:
         adaptive = deep_span is not None and deep_adaptive > 0
 
         @jax.jit
-        def run(params, lat, g, ehs, pooled):
+        def run(params, lat, g, ehs, pooled, itv):
             carry0 = (lat, mk_state0(), mk_deep0())
             if adaptive:
                 carry0 += (jnp.zeros_like(lat), jnp.int32(0), jnp.int32(0))
-            carry = jax.lax.fori_loop(0, n_steps, make_body(False, params),
-                                      carry0)
+            carry = jax.lax.fori_loop(
+                0, n_steps, make_body(False, params, itv), carry0)
             if adaptive:
                 return carry[0], carry[5]
             return carry[0]
@@ -263,11 +269,12 @@ def main():
 
     # untimed warmup forces arg0 AND compiles run, so timed repeats measure
     # only the steady (stale) steps
-    out = force(run(params, arg0, g, ehs, pooled))
+    itv = jnp.int32(deep_interval)
+    out = force(run(params, arg0, g, ehs, pooled, itv))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        out = force(run(params, arg0, g, ehs, pooled))
+        out = force(run(params, arg0, g, ehs, pooled, itv))
         best = min(best, time.perf_counter() - t0)
     ms = best / denom * 1e3
     n_full = int(np.asarray(out[1])) if isinstance(out, tuple) else None

@@ -556,7 +556,8 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
     @functools.lru_cache(maxsize=None)
     def run_deep_span(lo: int, hi: int, interval: int, fine: float = 0.0,
                       adaptive: float = 0.0, cap: int = 6,
-                      compact: float = 0.0):
+                      compact: float = 0.0, predict: float = 0.0,
+                      compact_predict: float = 0.0):
         """Span-skip deep cache (mmdit.py _trunk deep_mode): full step every
         ``interval`` steps emits dx = x_at_hi - x_at_lo (+ c_at_hi for
         interior spans); shallow steps skip blocks [lo,hi) and splice it.
@@ -566,7 +567,12 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
         35.7 ms production combo).  ``adaptive`` > 0 replaces the fixed
         interval with the drift trigger (full when latent rel-MSE since the
         last full exceeds it; ``cap`` shallow-step bound) and returns
-        (x, n_full)."""
+        (x, n_full).  ``predict`` > 0 = reuse-then-predict momentum on the
+        SPAN delta (shallow steps splice dx + m*k*slope, slope from the
+        last two fulls — pipelines/sd3.py _sd3_deep_predicted); fixed
+        interval only.  ``compact_predict`` > 0 = per-ROW output
+        extrapolation inside the compact gates
+        (CacheConfig.compact_predict, cache/manager.py _compact_splice)."""
         use_cache = fine > 0 or compact > 0
         cache = None
         if use_cache:
@@ -576,7 +582,8 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
             cache = BlockCache(CacheConfig(
                 enabled=True, mode="compact",
                 compact_fraction=compact if compact > 0 else 1.0,
-                patch_fraction=fine if fine > 0 else 1.0, max_hits=4))
+                patch_fraction=fine if fine > 0 else 1.0, max_hits=4,
+                compact_predict=compact_predict))
             layout = model.token_cache_layout(seq)
             if fine > 0:
                 state0 = {key: cache.init_token_rows_fine(
@@ -644,6 +651,42 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
                     (lat, state0, deep0, jnp.zeros_like(lat),
                      jnp.int32(0), jnp.int32(0)))
                 return carry[0], carry[5]
+
+            if predict > 0:
+                # span reuse-then-predict: carry the inter-full velocity
+                # (same structure as dp) + a have-two-fulls flag; shallow
+                # steps feed the extrapolated delta but carry the RAW one
+                def full_g(args):
+                    x, st, dp, sl, have, i = args
+                    x2, st2, dp2 = full_f((x, st, dp, i))
+                    sl2 = jax.tree.map(
+                        lambda n, o: jnp.where(
+                            have,
+                            (n.astype(jnp.float32) - o.astype(jnp.float32))
+                            / interval, 0.0).astype(n.dtype),
+                        dp2, dp)
+                    return x2, st2, dp2, sl2, jnp.bool_(True)
+
+                def sh_g(args):
+                    x, st, dp, sl, have, i = args
+                    k = (i % interval).astype(jnp.float32)
+                    dp_fed = jax.tree.map(
+                        lambda d, s: (d.astype(jnp.float32)
+                                      + predict * k * s.astype(jnp.float32)
+                                      ).astype(d.dtype), dp, sl)
+                    x2, st2, _ = sh_f((x, st, dp_fed, i))
+                    return x2, st2, dp, sl, have
+
+                def body(i, carry):
+                    x, st, dp, sl, have = carry
+                    return jax.lax.cond(i % interval == 0, full_g, sh_g,
+                                        (x, st, dp, sl, have, i))
+
+                slope0 = jax.tree.map(jnp.zeros_like, deep0)
+                x, _, _, _, _ = jax.lax.fori_loop(
+                    0, n_steps, body,
+                    (lat, state0, deep0, slope0, jnp.bool_(False)))
+                return x
 
             def body(i, carry):
                 x, st, dp = carry
@@ -755,23 +798,29 @@ def main():
             span, rest = spec.split("@", 1)
             lo, hi = (int(v) for v in span.split(":"))
             parts = rest.split("@")
-            fine = compact = 0.0
-            if len(parts) > 1:
-                # "2:8@6@0.5" = fine per-token 0.5; "2:8@6@c0.5" = COMPACT
-                # top-K token cache 0.5 (the production bench combo)
-                if parts[1].startswith("c"):
-                    compact = float(parts[1][1:])
+            fine = compact = predict = cpredict = 0.0
+            for p in parts[1:]:
+                # "2:8@6@0.5" = fine per-token 0.5; "@c0.5" = COMPACT top-K
+                # token cache 0.5 (the production bench combo); "@p0.5" =
+                # span reuse-then-predict momentum; "@q0.5" = compact-row
+                # reuse-then-predict momentum (CacheConfig.compact_predict)
+                if p.startswith("c"):
+                    compact = float(p[1:])
+                elif p.startswith("p"):
+                    predict = float(p[1:])
+                elif p.startswith("q"):
+                    cpredict = float(p[1:])
                 else:
-                    fine = float(parts[1])
+                    fine = float(p)
             if parts[0].startswith("a"):
                 # adaptive drift trigger, e.g. "2:8@a0.02" or "2:8@a0.02@0.5"
                 configs.append(("sd3_deep",
                                 (lo, hi, 0, fine, float(parts[0][1:]), 6,
-                                 compact)))
+                                 compact, 0.0, cpredict)))
             else:
                 configs.append(("sd3_deep",
                                 (lo, hi, int(parts[0]), fine, 0.0, 6,
-                                 compact)))
+                                 compact, predict, cpredict)))
 
     # cache-off reference trajectories: one per seed, shared by all configs
     refs = {}
@@ -835,10 +884,17 @@ def main():
             lo_, hi_, itv_, fine_ = param[:4]
             ada_ = param[4] if len(param) > 4 else 0.0
             comp_ = param[6] if len(param) > 6 else 0.0
+            pred_ = param[7] if len(param) > 7 else 0.0
+            cpred_ = param[8] if len(param) > 8 else 0.0
             tag = f"a{ada_}" if ada_ else str(itv_)
             suffix = f"@{fine_}" if fine_ else (f"@c{comp_}" if comp_ else "")
+            if pred_:
+                suffix += f"@p{pred_}"
+            if cpred_:
+                suffix += f"@q{cpred_}"
             row.update(span=[lo_, hi_], interval=itv_ or None, fine=fine_,
                        compact=comp_, adaptive=ada_ or None,
+                       span_predict=pred_, compact_predict=cpred_,
                        param=f"{lo_}:{hi_}@{tag}" + suffix)
             if ada_ and full_frac is not None:
                 row["full_fraction"] = round(full_frac, 4)

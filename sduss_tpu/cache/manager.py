@@ -64,12 +64,25 @@ class BlockCache:
     def init_rows(self, key: str, n_patches: int, s: int, c_in: int,
                   c_out: int, dtype=jnp.bfloat16) -> dict:
         """Fresh cache rows for ``n_patches`` patches of one request."""
-        return {
+        state = {
             "inp": jnp.zeros((n_patches, s, s, c_in), dtype),
             "out": jnp.zeros((n_patches, s, s, c_out), dtype),
             # start at max_hits so the first step always recomputes
             "hits": jnp.full((n_patches,), self.config.max_hits, jnp.int32),
         }
+        self._add_predict_state(state)
+        return state
+
+    def _add_predict_state(self, state: dict) -> None:
+        """Reuse-then-predict extras (CacheConfig.compact_predict): per-row
+        output velocity ("slope", measured at each recompute) plus a "seen"
+        flag so a row's FIRST recompute — whose previous out is the zeros
+        init — never mints a garbage slope.  Stored in the output dtype
+        (the same ~0.4% bf16 quantization trade as the deep slope,
+        pipelines/base.py _deep_update_slope)."""
+        if getattr(self.config, "compact_predict", 0.0):
+            state["slope"] = jax.tree.map(jnp.zeros_like, state["out"])
+            state["seen"] = jnp.zeros(state["hits"].shape, bool)
 
     def init_token_rows(self, key: str, n_rows: int, seq: int, dim: int,
                         dtype=jnp.bfloat16, ctx_seq: Optional[int] = None) -> dict:
@@ -81,11 +94,13 @@ class BlockCache:
         out = jnp.zeros((n_rows, seq, dim), dtype)
         if ctx_seq is not None:
             out = {"x": out, "c": jnp.zeros((n_rows, ctx_seq, dim), dtype)}
-        return {
+        state = {
             "inp": jnp.zeros((n_rows, seq, dim), dtype),
             "out": out,
             "hits": jnp.full((n_rows,), self.config.max_hits, jnp.int32),
         }
+        self._add_predict_state(state)
+        return state
 
     # -- decision (traced) ------------------------------------------------------
 
@@ -180,15 +195,57 @@ class BlockCache:
         _, idx = jax.lax.top_k(scores, n_active)
         x_c = x[idx]
         y_c = compute_fn(x_c, idx)
+        y, new_state = self._compact_splice(state_k, x, x_c, y_c, idx)
+        return y, new_state, {"idx": idx, "scores": scores}
+
+    def _compact_splice(self, state_k: dict, x, x_c, y_c, idx):
+        """Shared splice for the compact gates: fresh rows scatter into the
+        cached outputs; the rest splice either the raw cache or (with
+        CacheConfig.compact_predict) a first-order extrapolation
+        ``out + momentum * staleness * slope`` — the per-row analog of the
+        deep cache's reuse-then-predict (pipelines/base.py _deep_predicted).
+        ``hits`` counts gated steps since a row's last recompute, so the
+        consuming step sits hits+1 gated steps past the cached value and the
+        fresh slope's gap is the same hits+1.  Returns (y, new_state)."""
+        m = float(getattr(self.config, "compact_predict", 0.0) or 0.0)
+        predict = m != 0.0 and "slope" in state_k
+        h = state_k["hits"]
+        base = state_k["out"]
+        if predict:
+            k = (h + 1).astype(jnp.float32)
+
+            def extrapolate(o, s):
+                kk = k.reshape((-1,) + (1,) * (o.ndim - 1))
+                return (o.astype(jnp.float32)
+                        + m * kk * s.astype(jnp.float32)).astype(o.dtype)
+
+            base = jax.tree.map(extrapolate, base, state_k["slope"])
         y = jax.tree.map(
             lambda cached, fresh: cached.astype(fresh.dtype).at[idx].set(fresh),
-            state_k["out"], y_c)
+            base, y_c)
         new_state = {
             "inp": state_k["inp"].astype(x.dtype).at[idx].set(x_c),
-            "out": y,
-            "hits": (state_k["hits"] + 1).at[idx].set(0),
+            "out": jax.tree.map(
+                lambda cached, fresh: cached.astype(fresh.dtype)
+                .at[idx].set(fresh), state_k["out"], y_c),
+            "hits": (h + 1).at[idx].set(0),
         }
-        return y, new_state, {"idx": idx, "scores": scores}
+        if predict:
+            gap = (h[idx] + 1).astype(jnp.float32)
+            ok = state_k["seen"][idx]
+
+            def upd(s, old, fresh):
+                g = gap.reshape((-1,) + (1,) * (fresh.ndim - 1))
+                sl = (fresh.astype(jnp.float32)
+                      - old[idx].astype(jnp.float32)) / g
+                sl = jnp.where(ok.reshape((-1,) + (1,) * (fresh.ndim - 1)),
+                               sl, 0.0)
+                return s.at[idx].set(sl.astype(s.dtype))
+
+            new_state["slope"] = jax.tree.map(
+                upd, state_k["slope"], state_k["out"], y_c)
+            new_state["seen"] = state_k["seen"].at[idx].set(True)
+        return y, new_state
 
     def gate_compact_pairs(self, key: str, x, t_norm, state_k: Optional[dict],
                            compute_fn: Callable, n_pairs: int,
@@ -217,14 +274,7 @@ class BlockCache:
         idx = jnp.concatenate([pidx, pidx + n], axis=0)
         x_c = x[idx]
         y_c = compute_fn(x_c, idx)
-        y = jax.tree.map(
-            lambda cached, fresh: cached.astype(fresh.dtype).at[idx].set(fresh),
-            state_k["out"], y_c)
-        new_state = {
-            "inp": state_k["inp"].astype(x.dtype).at[idx].set(x_c),
-            "out": y,
-            "hits": (state_k["hits"] + 1).at[idx].set(0),
-        }
+        y, new_state = self._compact_splice(state_k, x, x_c, y_c, idx)
         return y, new_state, {"idx": idx, "scores": scores}
 
     def init_token_rows_fine(self, key: str, n_rows: int, seq: int, dim: int,

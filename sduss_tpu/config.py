@@ -334,6 +334,17 @@ class CacheConfig:
     # (0.00338 -> 0.00285) for two extra elementwise ops per step; at
     # fixed intervals the gap is dramatic (interval 3: 0.117 -> 0.0034).
     deep_predict: float = 0.0
+    # Reuse-then-predict for COMPACT row caches (gate_compact /
+    # gate_compact_pairs + the hybrid write-through): spliced (non-selected)
+    # rows feed cached_out + momentum * staleness * slope, where slope is
+    # the per-gated-step output velocity measured at each row's last
+    # recompute.  Targets the span x compact staleness cliff: with the SD3
+    # span-skip cache the in-span token gates only run on FULL steps, so at
+    # interval 6 a spliced row is up to 2 fulls = 12 steps stale
+    # (rel_mse 0.0179 vs 0.0019 at interval 3,
+    # exp/cache_quality_sd3_spancompact_tiny.json).  Costs one extra state
+    # copy ("slope") per gated block.  0 = plain splice (no extra state).
+    compact_predict: float = 0.0
     # Deep boundary level; None => deepest level + mid.
     deep_boundary: Optional[int] = None
     # SD3/MMDiT SPAN-SKIP deep cache (models/mmdit.py _trunk deep_mode):

@@ -567,8 +567,22 @@ class UNet2DConditionModel:
                 # re-anchor the row caches (drift reference + hits reset),
                 # so row staleness is bounded by the deep refresh policy
                 y = compute_fn(x, temb, ehs, ctx)
-                new_state[key] = {"inp": x, "out": y,
-                                  "hits": jnp.zeros_like(st["hits"])}
+                ns = {"inp": x, "out": y,
+                      "hits": jnp.zeros_like(st["hits"])}
+                if "slope" in st:
+                    # reuse-then-predict (CacheConfig.compact_predict):
+                    # a full recompute of every row measures each row's
+                    # velocity against its previous cached out (gap =
+                    # gated steps since that write); rows never written
+                    # (the zeros init) keep slope 0
+                    gap = (st["hits"] + 1).astype(jnp.float32)
+                    g = gap.reshape((-1,) + (1,) * (y.ndim - 1))
+                    ok = st["seen"].reshape((-1,) + (1,) * (y.ndim - 1))
+                    sl = (y.astype(jnp.float32)
+                          - st["out"].astype(jnp.float32)) / g
+                    ns["slope"] = jnp.where(ok, sl, 0.0).astype(y.dtype)
+                    ns["seen"] = jnp.ones_like(st["seen"])
+                new_state[key] = ns
                 return y
             if compact:
                 fn = lambda x_c, idx: compute_fn(x_c, temb[idx], ehs[idx], None)  # noqa: E731

@@ -301,7 +301,7 @@ class StableDiffusion3Pipeline(BasePipeline):
                        donate=(6,) if cache is not None else ())
         kw = {}
         if deep_mode == "shallow":
-            kw["deep_state"] = entry["deep"]
+            kw["deep_state"] = self._sd3_deep_predicted(entry)
         if cache is None:
             res_call = fn(self.params, tokens, jnp.asarray(mask),
                           jnp.asarray(t), jnp.asarray(guidance), cond, **kw)
@@ -324,6 +324,7 @@ class StableDiffusion3Pipeline(BasePipeline):
             if fine and getattr(cache.config, "fine_stale_kv", False):
                 entry["kv_ok"] = True
         if deep_mode == "full":
+            self._sd3_deep_update_slope(entry, deep_out)
             entry["deep"] = deep_out
             entry["deep_age"] = 0
         elif deep_mode == "shallow":
@@ -434,7 +435,7 @@ class StableDiffusion3Pipeline(BasePipeline):
             # (None until one runs); composition changes reset it, so an
             # admission/finish costs exactly one extra full step.
             entry = {"state": state, "kv_ok": False, "anchored": False,
-                     "deep": None, "deep_age": 0}
+                     "deep": None, "deep_age": 0, "deep_slope": None}
             self._sd3_state[key] = entry
         self._sd3_state.move_to_end(key)
         # Each 1024^2 fine entry is GBs; the bound trades re-sync steps on
@@ -466,6 +467,60 @@ class StableDiffusion3Pipeline(BasePipeline):
         if not cc.enabled or span is None:
             return None
         return tuple(span)
+
+    # -- span reuse-then-predict (CacheConfig.deep_predict) --------------------
+
+    def _sd3_deep_predicted(self, entry):
+        """Span delta a SHALLOW step should splice: the last full pass's
+        {dx[, c]} extrapolated ``deep_age + 1`` steps along the inter-full
+        velocity when reuse-then-predict is on — the MMDiT analog of the
+        UNet's _deep_predicted (pipelines/base.py; arXiv 2505.14741 shape).
+        A different INPUT to the unchanged shallow program: no new trunk
+        compile keys."""
+        import jax
+        import jax.numpy as jnp
+
+        m = float(getattr(self.config.cache, "deep_predict", 0.0) or 0.0)
+        dp = entry["deep"]
+        sl = entry.get("deep_slope")
+        if not m or sl is None:
+            return dp
+        shapes = tuple(sorted((k, v.shape) for k, v in dp.items()))
+
+        def fn(dp, sl, k):
+            return jax.tree.map(
+                lambda d, s: (d.astype(jnp.float32)
+                              + m * k * s.astype(jnp.float32)).astype(d.dtype),
+                dp, sl)
+
+        return self._jit(("sd3_deep_predict", shapes, m), fn)(
+            dp, sl, jnp.float32(entry["deep_age"] + 1))
+
+    def _sd3_deep_update_slope(self, entry, new) -> None:
+        """On a FULL pass: per-step span-delta velocity (new - old) / gap,
+        stored in the feature dtype.  A structure/shape change (composition
+        reset, span change) clears the slope — extrapolating across it
+        would be garbage."""
+        import jax
+        import jax.numpy as jnp
+
+        if not float(getattr(self.config.cache, "deep_predict", 0.0) or 0.0):
+            return
+        old = entry["deep"]
+        if (old is None or set(old) != set(new)
+                or any(old[k].shape != new[k].shape for k in new)):
+            entry["deep_slope"] = None
+            return
+        shapes = tuple(sorted((k, v.shape) for k, v in new.items()))
+
+        def fn(new, old, g):
+            return jax.tree.map(
+                lambda n, o: ((n.astype(jnp.float32)
+                               - o.astype(jnp.float32)) / g).astype(n.dtype),
+                new, old)
+
+        entry["deep_slope"] = self._jit(("sd3_deep_slope", shapes), fn)(
+            new, old, jnp.float32(entry["deep_age"] + 1))
 
     def _make_sd3_trunk_fn(self, cache, kv_stale: bool = False,
                            sync: bool = False, deep_mode=None,

@@ -1128,3 +1128,107 @@ class TestDeepPredict:
         reqs = self._run(pipe, steps=7)
         assert all(np.isfinite(np.asarray(r.latents)).all() for r in reqs)
         assert all(r.deep_slope is not None for r in reqs)
+
+
+class TestCompactPredict:
+    """Reuse-then-predict for compact ROW caches (CacheConfig.compact_predict,
+    manager._compact_splice): spliced rows feed out + m*(hits+1)*slope;
+    slope is measured per row at recompute (gap = hits+1 gated steps) and a
+    row's FIRST recompute (zeros init) keeps slope 0 via the seen flag."""
+
+    def _cache(self, m):
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        return BlockCache(CacheConfig(enabled=True, mode="compact",
+                                      max_hits=100, compact_predict=m))
+
+    def test_init_state_gains_slope_and_seen(self):
+        c_on = self._cache(0.5)
+        c_off = self._cache(0.0)
+        st = c_on.init_token_rows("k", 4, 8, 16, ctx_seq=3)
+        assert set(st) == {"inp", "out", "hits", "slope", "seen"}
+        assert st["slope"]["x"].shape == st["out"]["x"].shape
+        assert not bool(np.asarray(st["seen"]).any())
+        st0 = c_off.init_token_rows("k", 4, 8, 16)
+        assert set(st0) == {"inp", "out", "hits"}
+        st1 = c_on.init_rows("k", 4, 8, 3, 5)
+        assert "slope" in st1 and "seen" in st1
+
+    def test_spliced_rows_extrapolate(self):
+        """Non-selected rows return out + m*(hits+1)*slope; selected rows
+        return fresh compute; the stored 'out' stays RAW (the anchor)."""
+        import jax.numpy as jnp
+
+        m = 0.5
+        cache = self._cache(m)
+        n, d = 4, 8
+        x = jnp.ones((n, d), jnp.float32)
+        inp = np.ones((n, d), np.float32)
+        inp[0] += 10.0  # row 0 drifted most -> selected
+        st = {"inp": jnp.asarray(inp),
+              "out": jnp.full((n, d), 2.0, jnp.float32),
+              "slope": jnp.full((n, d), 1.0, jnp.float32),
+              "seen": jnp.ones((n,), bool),
+              "hits": jnp.asarray([0, 0, 1, 3], jnp.int32)}
+        y, ns, _ = cache.gate_compact("k", x, jnp.zeros(()), st,
+                                      lambda x_c, idx: x_c * 0 + 7.0, 1)
+        y = np.asarray(y)
+        assert (y[0] == 7.0).all()                      # fresh
+        assert np.allclose(y[2], 2.0 + m * 2 * 1.0)     # hits=1 -> k=2
+        assert np.allclose(y[3], 2.0 + m * 4 * 1.0)     # hits=3 -> k=4
+        out = np.asarray(ns["out"])
+        assert (out[2] == 2.0).all()                    # raw anchor kept
+        assert (out[0] == 7.0).all()
+
+    def test_slope_update_gap_and_seen_guard(self):
+        """Recomputed rows store slope=(fresh-old)/gap; a first recompute
+        (seen=False) stores 0 and flips seen."""
+        import jax.numpy as jnp
+
+        cache = self._cache(1.0)
+        n, d = 2, 4
+        x = jnp.ones((n, d), jnp.float32)
+        inp = np.zeros((n, d), np.float32)
+        inp[0] += 5.0
+        st = {"inp": jnp.asarray(inp),
+              "out": jnp.full((n, d), 2.0, jnp.float32),
+              "slope": jnp.zeros((n, d), jnp.float32),
+              "seen": jnp.asarray([True, False]),
+              "hits": jnp.asarray([3, 3], jnp.int32)}
+        y, ns, _ = cache.gate_compact("k", x, jnp.zeros(()), st,
+                                      lambda x_c, idx: x_c * 0 + 10.0, 2)
+        sl = np.asarray(ns["slope"])
+        # row 0 seen: (10-2)/(3+1) = 2; row 1 unseen: 0
+        assert np.allclose(sl[0], 2.0)
+        assert np.allclose(sl[1], 0.0)
+        assert bool(np.asarray(ns["seen"]).all())
+
+    def test_pairs_gate_shares_predict_splice(self):
+        import jax.numpy as jnp
+
+        m = 1.0
+        cache = self._cache(m)
+        n, d = 2, 4  # 2 pairs -> 4 rows
+        x = jnp.ones((2 * n, d), jnp.float32)
+        inp = np.ones((2 * n, d), np.float32)
+        inp[0] += 5.0
+        inp[n] += 5.0   # pair 0 drifts most
+        st = {"inp": jnp.asarray(inp),
+              "out": jnp.full((2 * n, d), 1.0, jnp.float32),
+              "slope": jnp.full((2 * n, d), 0.5, jnp.float32),
+              "seen": jnp.ones((2 * n,), bool),
+              "hits": jnp.asarray([0, 1, 0, 1], jnp.int32)}
+        y, ns, _ = cache.gate_compact_pairs(
+            "k", x, jnp.zeros(()), st, lambda x_c, idx: x_c * 0 + 9.0, 1)
+        y = np.asarray(y)
+        assert (y[0] == 9.0).all() and (y[n] == 9.0).all()
+        assert np.allclose(y[1], 1.0 + m * 2 * 0.5)     # hits=1 -> k=2
+        assert "slope" in ns and "seen" in ns
+
+    def test_momentum_zero_state_unchanged_structure(self):
+        """compact_predict=0 must not add state keys (no compile-key or HBM
+        change for existing deployments)."""
+        cache = self._cache(0.0)
+        st = cache.init_token_rows("k", 2, 4, 8)
+        assert "slope" not in st and "seen" not in st

@@ -140,3 +140,69 @@ class TestSD3DeepServing:
             pipe.denoise_step_mixed(by_res)
         for r in reqs:
             assert np.isfinite(np.asarray(r.latents)).all()
+
+
+class TestSD3SpanPredict:
+    """Span reuse-then-predict (CacheConfig.deep_predict on the SD3 span
+    path): shallow steps splice an extrapolated delta; full passes update
+    the inter-full slope.  NOTE: tiny-harness quality showed extrapolation
+    on the span delta is NEUTRAL-to-NEGATIVE (the delta is already
+    near-constant — exp/cache_quality_sd3_spanwide_tiny.json p-rows), so
+    production keeps deep_predict=0 for SD3; these tests pin the mechanism
+    for completeness."""
+
+    def _pipe(self, momentum, interval=2):
+        pipe = make_pipe(span=(1, 2), interval=interval)
+        pipe.config.cache.deep_predict = momentum
+        return pipe
+
+    def test_slope_set_after_two_fulls(self):
+        pipe = self._pipe(0.5)
+        reqs = make_reqs(steps=6)
+        by_res = prep(pipe, reqs)
+        for _ in range(6):
+            pipe.denoise_step(by_res)
+        entry = next(iter(pipe._sd3_state.values()))
+        assert entry["deep_slope"] is not None
+        assert set(entry["deep_slope"]) == set(entry["deep"])
+        for r in reqs:
+            assert np.isfinite(np.asarray(r.latents)).all()
+
+    def test_momentum_zero_matches_plain_span(self):
+        a_pipe = self._pipe(0.0)
+        a = make_reqs(steps=6)
+        by_res = prep(a_pipe, a)
+        for _ in range(6):
+            a_pipe.denoise_step(by_res)
+        b_pipe = make_pipe(span=(1, 2), interval=2)
+        b = make_reqs(steps=6)
+        by_res_b = prep(b_pipe, b)
+        for _ in range(6):
+            b_pipe.denoise_step(by_res_b)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x.latents),
+                                       np.asarray(y.latents), atol=1e-6)
+
+    def test_predicted_delta_is_linear_extrapolation(self):
+        import jax.numpy as jnp
+
+        pipe = self._pipe(0.5)
+        entry = {"deep": {"dx": jnp.ones((2, 4, 8), jnp.float32)},
+                 "deep_slope": {"dx": 2.0 * jnp.ones((2, 4, 8), jnp.float32)},
+                 "deep_age": 1}
+        got = np.asarray(pipe._sd3_deep_predicted(entry)["dx"])
+        np.testing.assert_allclose(got, 1.0 + 0.5 * 2 * 2.0, atol=1e-6)
+
+    def test_slope_resets_on_structure_change(self):
+        import jax.numpy as jnp
+
+        pipe = self._pipe(0.5)
+        entry = {"deep": {"dx": jnp.ones((2, 4, 8), jnp.float32)},
+                 "deep_slope": None, "deep_age": 0}
+        pipe._sd3_deep_update_slope(entry, {"dx": jnp.ones((2, 8, 8),
+                                                           jnp.float32)})
+        assert entry["deep_slope"] is None
+        pipe._sd3_deep_update_slope(entry, {"dx": 3.0 * jnp.ones(
+            (2, 4, 8), jnp.float32)})
+        np.testing.assert_allclose(np.asarray(entry["deep_slope"]["dx"]),
+                                   2.0, atol=1e-6)
