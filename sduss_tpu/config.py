@@ -399,6 +399,20 @@ class EngineConfig:
     # Persistent XLA compilation cache (full-size step compiles are minutes);
     # None disables.
     compilation_cache_dir: Optional[str] = "~/.cache/sduss_tpu_xla"
+    # Prewarm bucket-capacity gate: a bucket is SKIPPED (and max_batch_size
+    # capped) when params + estimated composition state + this workspace
+    # margin exceed device HBM — BEFORE attempting it.  On the axon relay an
+    # in-process RESOURCE_EXHAUSTED can poison subsequent device ops (the
+    # same failure mode that forced the profiler's subprocess isolation;
+    # r2w: the b12 1024^2 hybrid prewarm OOM was caught and capped, yet the
+    # probe's next tiny device_put still died RESOURCE_EXHAUSTED), so
+    # capacity must be discovered without triggering the OOM.  The margin
+    # covers step workspace + decode activations (r2w datapoint: params
+    # 6.7 GB + b8 hybrid state ~4 GB fit a 16 GB v5e; b12 ~6 GB did not).
+    prewarm_hbm_margin: float = 4e9
+    # Device HBM budget when the runtime exposes no memory_stats (the axon
+    # relay does not); v5e = 16 GB.
+    hbm_bytes_fallback: float = 16e9
 
 
 @dataclass

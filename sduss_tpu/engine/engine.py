@@ -207,6 +207,69 @@ class Engine:
             pass
         return ""
 
+    def _hbm_limit(self) -> float:
+        """Device HBM budget: runtime memory_stats when exposed, else the
+        configured fallback (the axon relay exposes none; v5e = 16 GB)."""
+        try:
+            import jax
+
+            ms = jax.devices()[0].memory_stats() or {}
+            if ms.get("bytes_limit"):
+                return float(ms["bytes_limit"])
+        except Exception:
+            pass
+        return float(self.config.engine.hbm_bytes_fallback)
+
+    def _bucket_fits(self, pipe, res: int, bucket: int) -> bool:
+        """Proactive prewarm capacity estimate: resident params + the
+        bucket's composition-state bytes (pipe.estimate_serving_state_bytes,
+        eval_shape over the real builders) + the configured workspace
+        margin must fit the HBM budget.  Estimation failures default to
+        True — the in-loop RESOURCE_EXHAUSTED catch remains the backstop."""
+        try:
+            need = pipe.estimate_serving_state_bytes(res, bucket)
+            if not need:
+                return True
+            total = pipe.device_param_bytes() + need \
+                + float(self.config.engine.prewarm_hbm_margin)
+            fits = total <= self._hbm_limit()
+            if not fits:
+                logger.info(
+                    "prewarm capacity estimate: res %d bucket %d needs "
+                    "%.1f GB params + %.1f GB state + %.1f GB margin > "
+                    "%.1f GB HBM", res, bucket,
+                    pipe.device_param_bytes() / 1e9, need / 1e9,
+                    self.config.engine.prewarm_hbm_margin / 1e9,
+                    self._hbm_limit() / 1e9)
+            return fits
+        except Exception:  # noqa: BLE001
+            return True
+
+    def _settle_after_oom(self) -> None:
+        """Best-effort recovery after an in-process RESOURCE_EXHAUSTED:
+        drop python garbage so dead device buffers release, then verify the
+        device accepts a small allocation again (bounded wait).  On the
+        axon relay a failed allocation can poison subsequent ops — if the
+        probe never succeeds, serving is about to fail loudly anyway."""
+        import gc
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        gc.collect()
+        for _ in range(30):
+            try:
+                import numpy as _np
+
+                _np.asarray(jnp.zeros((256,), jnp.float32) + 1.0)
+                return
+            except Exception:  # noqa: BLE001
+                gc.collect()
+                _time.sleep(2.0)
+        logger.error("device still refusing small allocations after OOM — "
+                     "subsequent serving steps will likely fail")
+
     def _prewarm_inner(self, t0, sc, cc, res_list, steps, buckets,
                        compositions) -> float:
         bks = [b for b in (buckets or sc.batch_buckets)
@@ -239,6 +302,22 @@ class Engine:
                 for b in bks:
                     if b > sc.max_batch_size:
                         break  # shrunk by a capacity hit at a smaller res
+                    if not self._bucket_fits(pipe, res, b):
+                        # PROACTIVE capacity gate: params + estimated
+                        # composition state + workspace margin exceed HBM.
+                        # Never attempt the bucket — on the axon relay an
+                        # in-process RESOURCE_EXHAUSTED can poison later
+                        # device ops (r2w: the caught b12 OOM left the
+                        # probe's next tiny device_put failing), the same
+                        # failure mode that forced the profiler's
+                        # subprocess isolation.
+                        prev = max((x for x in bks if x < b), default=1)
+                        logger.warning(
+                            "prewarm: res %d bucket %d skipped by capacity "
+                            "estimate — capping max_batch_size at %d%s",
+                            res, b, prev, self._hbm_note())
+                        sc.max_batch_size = min(sc.max_batch_size, prev)
+                        break
                     reqs = [Request(f"prewarm-{res}-{b}-{i}", SamplingParams(
                                 prompt="", resolution=res,
                                 num_inference_steps=steps, seed=0))
@@ -280,6 +359,7 @@ class Engine:
                             self._hbm_note())
                         sc.max_batch_size = min(sc.max_batch_size, prev)
                         pipe.release_serving_state()
+                        self._settle_after_oom()
                         break
                     n += b
                     logger.info("prewarm: res %d bucket %d done%s",

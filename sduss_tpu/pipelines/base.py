@@ -357,6 +357,60 @@ class BasePipeline:
             if store is not None:
                 store.clear()
 
+    def serving_state_spec(self, res: int, bucket: int):
+        """ABSTRACT (eval_shape) composition state a uniform (res, bucket)
+        dense-path step would mint — traced over the SAME builders the step
+        uses (init_rows incl. slope/seen predict extras), so capacity
+        estimates can never drift from what the step actually allocates.
+        None when the configuration mints no composition state."""
+        import jax
+
+        cc = self.config.cache
+        if not cc.enabled:
+            return None
+        from sduss_tpu.cache.manager import BlockCache
+
+        if not hasattr(self, "_cache_obj"):
+            self._cache_obj = BlockCache(cc)
+        cache = self._cache_obj
+        if cc.mode == "deep" and cc.deep_compact_fraction is not None:
+            layout = self._hybrid_layout(res)
+        elif cc.mode == "compact":
+            cells = res // self.vae_scale
+            layout = self.bundle.denoiser.cache_layout(cells, cc.min_level)
+        else:
+            return None
+        dtype = self._latent_dtype()
+        n = 2 * bucket
+
+        def build():
+            return {key: cache.init_rows(key, n, s, ci, co, dtype)
+                    for key, (s, ci, co) in layout.items()}
+
+        return jax.eval_shape(build)
+
+    def estimate_serving_state_bytes(self, res: int, bucket: int) -> int:
+        """Device bytes the (res, bucket) step's composition state needs —
+        shape math only, nothing allocated (Engine.prewarm capacity gate)."""
+        import math
+
+        import jax
+        import jax.numpy as jnp
+
+        spec = self.serving_state_spec(res, bucket)
+        if spec is None:
+            return 0
+        return sum(math.prod(leaf.shape) * jnp.dtype(leaf.dtype).itemsize
+                   for leaf in jax.tree.leaves(spec))
+
+    def device_param_bytes(self) -> int:
+        """Bytes of the replica's resident device params (host-spilled
+        encoder subtrees excluded — they are not on the chip)."""
+        import jax
+
+        return sum(getattr(leaf, "nbytes", 0)
+                   for leaf in jax.tree.leaves(self.params))
+
     def _denoise_group_compact(self, res, reqs, bb, latents, t, coeffs,
                                guidance, cond):
         """Dense-path denoise with per-block top-K compact recompute.

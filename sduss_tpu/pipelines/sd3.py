@@ -468,6 +468,59 @@ class StableDiffusion3Pipeline(BasePipeline):
             return None
         return tuple(span)
 
+    def serving_state_spec(self, res: int, bucket: int):
+        """SD3 analog of the base estimate: token-cache rows (+ fine KV)
+        and the span delta the uniform (res, bucket) token-path step mints
+        (_sd3_state_entry builders, traced abstractly)."""
+        import jax
+        import jax.numpy as jnp
+
+        cc = self.config.cache
+        cache = self._sd3_cache()
+        span = self._sd3_deep_span()
+        if cache is None and span is None:
+            return None
+        tr = self.bundle.models["transformer"]
+        ps = tr.cfg.patch_size
+        s_pad = (res // self.vae_scale // ps) ** 2
+        ctx_seq = 77 + self.T5_SEQ_LEN  # CLIP + T5 conditioning rows
+        dtype = self._latent_dtype()
+        token_fine = (cache is not None and cc.mode == "compact"
+                      and cc.patch_fraction < 1.0)
+        want_kv = token_fine and getattr(cc, "fine_stale_kv", False)
+        n = 2 * bucket
+
+        def build():
+            out = {}
+            if cache is not None:
+                layout = tr.token_cache_layout(s_pad)
+                if token_fine:
+                    dual = set(tr.cfg.dual_attention_layers)
+
+                    def pairs(k):
+                        if not want_kv:
+                            return 0
+                        return 2 if int(k.removeprefix("block")) in dual else 1
+
+                    out["state"] = {
+                        k: cache.init_token_rows_fine(k, n, s, d, dtype,
+                                                      kv_pairs=pairs(k))
+                        for k, (s, d) in layout.items()}
+                else:
+                    out["state"] = {
+                        k: cache.init_token_rows(
+                            k, n, s, d, dtype,
+                            ctx_seq=ctx_seq if cc.mode == "compact" else None)
+                        for k, (s, d) in layout.items()}
+            if span is not None:
+                d = {"dx": jnp.zeros((n, s_pad, tr.cfg.dim), dtype)}
+                if span[1] < tr.cfg.num_layers:
+                    d["c"] = jnp.zeros((n, ctx_seq, tr.cfg.dim), dtype)
+                out["deep"] = d
+            return out
+
+        return jax.eval_shape(build)
+
     # -- span reuse-then-predict (CacheConfig.deep_predict) --------------------
 
     def _sd3_deep_predicted(self, entry):

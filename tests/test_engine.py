@@ -403,3 +403,92 @@ class TestPrewarmCapacityDiscovery:
         monkeypatch.setattr(pipe, "denoise_step", boom)
         with _pytest.raises(RuntimeError, match="something else"):
             eng.prewarm(resolutions=(128,))
+
+
+class TestPrewarmCapacityEstimate:
+    """Proactive capacity gate (Engine._bucket_fits): params + eval_shape'd
+    composition state + margin vs HBM budget — a bucket that cannot fit is
+    never ATTEMPTED (on the axon relay an in-process RESOURCE_EXHAUSTED can
+    poison later device ops; r2w hybrid serving postmortem)."""
+
+    def _hybrid_cfg(self):
+        c = _cfg(policy="esymred")
+        c.scheduler.batch_buckets = (1, 2)
+        c.scheduler.max_batch_size = 2
+        c.cache.enabled = True
+        c.cache.mode = "deep"
+        c.cache.deep_interval = 2
+        c.cache.deep_compact_fraction = 0.5
+        return c
+
+    def test_estimate_matches_minted_state_exactly(self):
+        """The eval_shape estimate uses the step's own builders, so it must
+        equal the bytes of the state a real step mints."""
+        from sduss_tpu.pipelines.base import _state_nbytes
+
+        c = self._hybrid_cfg()
+        eng = Engine(c)
+        pipe = eng.workers[0].pipeline
+        reqs = [_req(f"e{i}", res=128, steps=4) for i in range(2)]
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        for _ in range(2):
+            pipe.denoise_step({128: reqs})
+        entry = next(iter(pipe._comp_state.values()))
+        assert pipe.estimate_serving_state_bytes(128, 2) \
+            == _state_nbytes(entry["state"])
+
+    def test_sd3_estimate_matches_minted_state(self):
+        from sduss_tpu.config import CacheConfig
+        from sduss_tpu.pipelines import build_pipeline
+        from sduss_tpu.pipelines.base import _state_nbytes
+
+        c = Config()
+        c.model = ModelConfig(model="sd3", test_tiny=True, dtype="float32",
+                              resolutions=(256,))
+        c.scheduler.use_mixed_resolution = True
+        c.scheduler.batch_buckets = (1, 2)
+        c.cache = CacheConfig(enabled=True, mode="compact",
+                              compact_fraction=0.5,
+                              sd3_deep_span=(1, 2), deep_interval=2)
+        pipe = build_pipeline(c)
+        reqs = [Request(f"s{i}", SamplingParams(prompt=f"p{i}",
+                                                resolution=256,
+                                                num_inference_steps=4,
+                                                seed=i)) for i in range(2)]
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        for _ in range(2):
+            pipe.denoise_step({256: reqs})
+        entry = next(iter(pipe._sd3_state.values()))
+        got = _state_nbytes(entry["state"]) + _state_nbytes(entry["deep"])
+        est = pipe.estimate_serving_state_bytes(256, 2)
+        # ctx_seq is approximated from tokenizer maxima; exact for the
+        # production tokenizers, allow the tiny harness a small slack
+        assert abs(est - got) <= 0.15 * got, (est, got)
+
+    def test_oversized_bucket_skipped_without_attempt(self, monkeypatch):
+        c = self._hybrid_cfg()
+        eng = Engine(c)
+        pipe = eng.workers[0].pipeline
+        need1 = pipe.estimate_serving_state_bytes(128, 1)
+        need2 = pipe.estimate_serving_state_bytes(128, 2)
+        assert need2 > need1 > 0
+        params_b = pipe.device_param_bytes()
+        # budget admits bucket 1, rejects bucket 2
+        c.engine.prewarm_hbm_margin = 0.0
+        c.engine.hbm_bytes_fallback = params_b + (need1 + need2) / 2
+
+        attempted = []
+        real = pipe.denoise_step
+
+        def spy(by_res, **kw):
+            attempted.append(sum(len(v) for v in by_res.values()))
+            return real(by_res, **kw)
+
+        monkeypatch.setattr(pipe, "denoise_step", spy)
+        eng.prewarm(resolutions=(128,))
+        assert c.scheduler.max_batch_size == 1
+        assert max(attempted) == 1  # bucket 2 never attempted
