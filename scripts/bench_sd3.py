@@ -68,20 +68,22 @@ def main():
     # fixed interval (full when the latent rel-MSE since the last full step
     # exceeds the threshold; BENCH_SD3_DEEP_CAP shallow-step safety cap) —
     # the same in-graph trigger as bench.py's SDXL adaptive trajectory.
-    # DEFAULT = span 2:24 @ interval 3 + compact token cache 0.5: 57.0 ms/
-    # step = 1.14x the H100 anchor (exp/bench_sd3_v5e_deep224_i3_
-    # compact05.json), quality-clean on the tiny harness (rel_mse 0.0019 ~
-    # half a step of SD3's 0.0037/step natural drift,
-    # exp/cache_quality_sd3_spancompact_tiny.json i3 row — the reference's
-    # own classifier threshold is 0.01, cache_manager.py:101-191).
-    # Quality-tighter fallback: interval 6 WITHOUT the token cache =
-    # 66.0 ms, rel_mse 9.2e-5 (near-lossless,
-    # exp/bench_sd3_v5e_deep224_i6.json) — BENCH_SD3_DEEP_INTERVAL=6
-    # BENCH_SD3_CACHE=0.  The 35.7 ms span@6+compact0.5 combo degrades to
-    # 0.0179 (~2.8 steps of drift; compact rows staled by the 6-step
-    # refresh) — rejected.  BENCH_SD3_DEEP= (empty) reverts to dense
-    # (and drops the default token cache with it).
-    deep_env = os.environ.get("BENCH_SD3_DEEP", "2:24")
+    # DEFAULT = DENSE WIDE SPAN 1:24 @ interval 12, token gates OFF:
+    # 33.6 ms/step = 1.93x the H100 anchor (chip ladder
+    # exp/bench_sd3_v5e_span124_i{6,8,12,16}.json: 47.8/40.6/33.6/26.7 ms,
+    # consistent with dense full 230 ms + 12.2 ms shallow).  Quality at the
+    # real 24-block depth (exp/cache_quality_sd3_spanwide_tiny.json,
+    # 3 seeds): @12 rel_mse 0.00053 — TEN TIMES tighter than the previous
+    # default (2:24@3 + compact 0.5 = 0.0057 at depth 24; 57.0 ms) while
+    # being 1.7x faster; every gated combo (compact rows, fine tokens) is
+    # dominated by the pure dense span on both axes — the @6+compact cliff
+    # was CFG-row alternation in gate_compact, not span staleness.
+    # Aggressive ladder point: BENCH_SD3_DEEP_INTERVAL=16 = 26.7 ms (2.43x)
+    # at rel_mse 0.0008 (reference classifier bar 0.01,
+    # cache_manager.py:101-191).  BENCH_SD3_DEEP= (empty) reverts to dense;
+    # the old combo remains BENCH_SD3_DEEP=2:24 BENCH_SD3_DEEP_INTERVAL=3
+    # BENCH_SD3_CACHE=0.5.
+    deep_env = os.environ.get("BENCH_SD3_DEEP", "1:24")
     deep_span = (tuple(int(v) for v in deep_env.split(":"))
                  if deep_env else None)
     if deep_span is not None:
@@ -90,12 +92,11 @@ def main():
         lo, hi = deep_span
         hi = min(hi, model.cfg.num_layers)
         deep_span = (lo, hi) if lo < hi else None
-    frac = float(os.environ.get(
-        "BENCH_SD3_CACHE", "0.5" if deep_span is not None else "0"))
+    frac = float(os.environ.get("BENCH_SD3_CACHE", "0"))
     fine = float(os.environ.get("BENCH_SD3_FINE", "0"))
     stale_kv = (fine > 0
                 and os.environ.get("BENCH_SD3_FINE_STALE_KV", "0") == "1")
-    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "3"))
+    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "12"))
     deep_adaptive = float(os.environ.get("BENCH_SD3_DEEP_ADAPTIVE", "0"))
     deep_cap = int(os.environ.get("BENCH_SD3_DEEP_CAP", "6"))
     prime = None

@@ -52,6 +52,7 @@ async def _run(args):
     if args.tiny:
         config.model.dtype = "float32"
     config.scheduler.policy = args.policy
+    config.scheduler.steps_per_dispatch = args.steps_per_dispatch
     predictor = (args.predictor if args.predictor is not None
                  else f"exp/predictor_{args.model}_v5e.npz")
     profile = (args.profile if args.profile is not None
@@ -260,6 +261,11 @@ def main():
     ap.add_argument("--collect", action="store_true",
                     help="record + dump the per-iteration schedule log")
     ap.add_argument("--deep-interval", type=int, default=3)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="fused multi-step dispatch: run up to k sampler "
+                         "steps per scheduler iteration in ONE jitted "
+                         "program (SchedulerConfig.steps_per_dispatch; "
+                         "pipelines denoise_chunk — SD3 token path)")
     ap.add_argument("--sd3-deep-span", default="",
                     help="MMDiT span-skip deep cache, 'lo:hi' (sd3 only); "
                          "composes with --cache-mode compact/fine")

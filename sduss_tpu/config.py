@@ -185,6 +185,20 @@ class SchedulerConfig:
 
     policy: str = "fcfs_mixed"  # fcfs_single|fcfs_mixed|orca_resbyres|orca_round_robin|esymred
     max_batch_size: int = 12
+    # FUSED multi-step dispatch: when > 1, a stable denoising batch runs up
+    # to this many sampler steps inside ONE jitted program (in-graph
+    # fori_loop threading latents + cache/span state — the serving analog
+    # of bench scan mode) instead of one host dispatch per step.  On real
+    # hosts this removes per-step dispatch overhead; through the dev relay
+    # it is the difference between RTT-bound (~0.5 s/step cadence at SD3 b2
+    # while the device step is ~130 ms, exp/serving_sd3_span_v5e_r2w.json)
+    # and device-bound serving.  Scheduling granularity coarsens to the
+    # chunk: admissions/aborts act at chunk boundaries (phase_admission
+    # already defers admissions to full-pass boundaries, which chunk starts
+    # align with).  Per-pipeline support; ineligible configurations
+    # (stateful samplers, adaptive deep refresh, stale-KV, mixed batches)
+    # transparently fall back to per-step dispatch.
+    steps_per_dispatch: int = 1
     # Mixed-resolution patch batching (reference "mixed precision").
     use_mixed_resolution: bool = True
     patch_size: int = 256  # pixels; /8 => 32x32 latent patches

@@ -245,6 +245,37 @@ class Engine:
         except Exception:  # noqa: BLE001
             return True
 
+    def _prewarm_chunk(self, pipe, res: int, b: int, steps: int) -> None:
+        """Mint the fused multi-step program for (res, bucket)
+        (SchedulerConfig.steps_per_dispatch; pipelines denoise_chunk).
+        Chunks require host-state alignment (compact anchoring sync done,
+        span at a FULL boundary), so per-step throwaway steps run until the
+        chunk becomes eligible — exactly how the worker reaches it in
+        production."""
+        sc = self.config.scheduler
+        cc = self.config.cache
+        itv = max(getattr(cc, "deep_interval", 1), 1)
+        k = min(sc.steps_per_dispatch, steps)
+        n_steps = k + itv + max(getattr(cc, "deep_warmup", 0), 0) + 2
+        reqs = [Request(f"prewarm-chunk-{res}-{b}-{i}", SamplingParams(
+                    prompt="", resolution=res,
+                    num_inference_steps=n_steps, seed=0))
+                for i in range(b)]
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        by_res = {res: reqs}
+        minted = False
+        for _ in range(n_steps - k):
+            if pipe.denoise_chunk(by_res, k):
+                minted = True
+                break
+            pipe.denoise_step(by_res)
+        if not minted:
+            logger.info("prewarm: chunk program (res %d bucket %d k %d) "
+                        "ineligible under this configuration", res, b, k)
+        pipe.release_serving_state()
+
     def _settle_after_oom(self) -> None:
         """Best-effort recovery after an in-process RESOURCE_EXHAUSTED:
         drop python garbage so dead device buffers release, then verify the
@@ -341,6 +372,8 @@ class Engine:
                         # request latents.
                         pipe.release_serving_state()
                         pipe.postprocess(by_res)
+                        if sc.steps_per_dispatch > 1:
+                            self._prewarm_chunk(pipe, res, b, steps)
                     except Exception as e:  # noqa: BLE001
                         if "RESOURCE_EXHAUSTED" not in str(e):
                             raise

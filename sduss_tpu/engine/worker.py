@@ -171,7 +171,18 @@ class Worker:
             for r in batch.requests:
                 by_res.setdefault(r.resolution, []).append(r)
             t0 = time.perf_counter()
-            if batch.mixed and self.config.scheduler.use_mixed_resolution \
+            steps_run = 1
+            k = min(self.config.scheduler.steps_per_dispatch,
+                    min(r.remain_steps for r in batch.requests))
+            if (k > 1 and not batch.mixed
+                    and pipe.denoise_chunk(by_res, k, allow_cold=False)):
+                # FUSED multi-step dispatch: k sampler steps ran inside one
+                # jitted program (SchedulerConfig.steps_per_dispatch) —
+                # tables/latents already advanced by k.  Scheduling acts at
+                # chunk boundaries; ineligible configs returned False and
+                # fall through to per-step dispatch below.
+                steps_run = k
+            elif batch.mixed and self.config.scheduler.use_mixed_resolution \
                     and hasattr(pipe, "denoise_step_mixed"):
                 # allow_cold=False: a cold mixed compile key serves dense
                 # this step and warms in the background (never stalls the
@@ -191,7 +202,8 @@ class Worker:
                 # (SD3 span: 322 ms realized vs 972 ms predicted, r2t), and
                 # a 3x overestimate turns the SLO slack math into aborts.
                 self.scheduler.policy.observe_step_time(
-                    batch.requests, (time.perf_counter() - t0) * 1e3)
+                    batch.requests,
+                    (time.perf_counter() - t0) * 1e3 / steps_run)
         elif batch.stage is Stage.POSTPROCESSING:
             self._drain_inflight()
             by_res = {}

@@ -357,6 +357,16 @@ class BasePipeline:
             if store is not None:
                 store.clear()
 
+    def denoise_chunk(self, reqs_by_res, k: int,
+                      allow_cold: bool = True) -> bool:
+        """Run ``k`` sampler steps for the batch inside ONE jitted program
+        (SchedulerConfig.steps_per_dispatch; in-graph fori_loop threading
+        latents + cache state — the serving analog of bench scan mode).
+        Returns True when the chunk executed (tables/latents advanced by
+        ``k``), False when this pipeline/configuration is ineligible — the
+        worker then falls back to per-step dispatch.  Base: unsupported."""
+        return False
+
     def serving_state_spec(self, res: int, bucket: int):
         """ABSTRACT (eval_shape) composition state a uniform (res, bucket)
         dense-path step would mint — traced over the SAME builders the step

@@ -360,6 +360,212 @@ class StableDiffusion3Pipeline(BasePipeline):
                 r.remain_steps -= 1
             i = j
 
+    # -- fused multi-step dispatch (SchedulerConfig.steps_per_dispatch) -------
+
+    def denoise_chunk(self, reqs_by_res, k: int,
+                      allow_cold: bool = True) -> bool:
+        """k sampler steps in ONE jitted program for a UNIFORM-resolution
+        batch on the token path: embed -> trunk -> unpatchify -> sampler
+        step per sub-step, latents + token-cache state + span delta carried
+        in-graph (the structure bench_sd3.py's scan body validated on
+        chip).  Per-step host dispatch is the serving bottleneck through
+        the dev relay (measured: ~0.5 s/step cadence at SD3 b2 against a
+        ~130 ms device step, exp/serving_sd3_span_v5e_r2w.json) and pure
+        overhead on any host.
+
+        Eligibility (False -> caller falls back to per-step dispatch):
+        uniform resolution, stateless sampler, no stale-KV / adaptive
+        refresh / span reuse-then-predict (their per-step host decisions
+        cannot live in-graph), token-cache state anchored, span chunks
+        start at a FULL boundary so the in-graph schedule is
+        ``j % interval == 0`` exactly like the per-step path."""
+        import jax.numpy as jnp
+
+        ordered = [r for res in sorted(reqs_by_res) for r in reqs_by_res[res]]
+        if not ordered or k <= 1:
+            return False
+        cc = self.config.cache
+        cache = self._sd3_cache()
+        span = self._sd3_deep_span()
+        if (len({r.resolution for r in ordered}) != 1
+                or self.sampler.needs_state
+                or any(r.remain_steps < k for r in ordered)
+                or (cache is not None and cc.mode == "compact"
+                    and cc.patch_fraction < 1.0
+                    and getattr(cc, "fine_stale_kv", False))
+                or getattr(cc, "deep_adaptive", 0.0)
+                or (span is not None
+                    and float(getattr(cc, "deep_predict", 0.0) or 0.0))):
+            return False
+        res = ordered[0].resolution
+        tr = self.bundle.models["transformer"]
+        ps = tr.cfg.patch_size
+        hp = ordered[0].latent_hw(self.vae_scale) // ps
+        s_pad = hp * hp
+        b = len(ordered)
+        bb = bucket_for(b, self.config.scheduler.batch_buckets)
+        itv = max(cc.deep_interval, 1)
+        entry = None
+        if cache is not None or span is not None:
+            entry = self._sd3_state_entry(ordered, bb, s_pad, cache)
+            # compact state must be anchored by a sync step; span chunks
+            # must START at a full boundary (the in-graph schedule is
+            # j % itv == 0); warmup steps force per-step fulls
+            if cache is not None and cc.mode == "compact" \
+                    and cc.patch_fraction >= 1.0 and not entry["anchored"]:
+                return False
+            if span is not None:
+                at_full = (entry["deep"] is None
+                           or entry["deep_age"] >= itv - 1)
+                if not at_full:
+                    return False
+            if any(r.sampler_table.step < cc.deep_warmup for r in ordered) \
+                    and span is not None:
+                return False
+        chunk_key = ("sd3_chunk", s_pad, bb, k, cache is not None,
+                     span is not None)
+        if not allow_cold and chunk_key not in self._executed_keys:
+            return False
+
+        # per-request step tables for the chunk: (k, bb) t, (k, bb, 2) cs
+        ts = np.zeros((k, bb), np.float32)
+        cs = np.ones((k, bb, 2), np.float32)
+        for i, r in enumerate(ordered):
+            tbl = r.sampler_table
+            s0 = tbl.step
+            ts[:, i] = tbl.timesteps[s0 : s0 + k]
+            cs[:, i] = tbl.coeffs[s0 : s0 + k]
+        guidance = np.zeros((bb,), np.float32)
+        guidance[:b] = [r.params.guidance_scale if r.params.guidance_scale
+                        is not None else self.spec.default_guidance
+                        for r in ordered]
+        cond = self._stack_cond([r.conditioning for r in ordered], bb)
+        mask = np.zeros((bb, s_pad), bool)
+        mask[:b] = True
+        row_valid = np.zeros((bb,), bool)
+        row_valid[:b] = True
+        lat = jnp.concatenate([r.latents for r in ordered], axis=0)
+        if bb != b:
+            lat = jnp.concatenate(
+                [lat, jnp.repeat(lat[-1:], bb - b, axis=0)], axis=0)
+
+        fn = self._jit(chunk_key,
+                       self._make_sd3_chunk_fn(cache, span, k, hp),
+                       donate=(7,) if cache is not None else ())
+        args = [self.params, lat, jnp.asarray(ts), jnp.asarray(cs),
+                jnp.asarray(guidance), cond, jnp.asarray(mask)]
+        kw = {}
+        if cache is not None:
+            args += [entry["state"], jnp.asarray(row_valid)]
+        if span is not None:
+            ctx_len = ordered[0].conditioning["embeds"].shape[1]
+            kw["deep0"] = self._chunk_deep0(entry, bb, s_pad, ctx_len)
+            kw["itv"] = jnp.int32(itv)
+        out = fn(*args, **kw)
+        new_lat = out[0]
+        pos = 1
+        if cache is not None:
+            entry["state"] = out[pos]
+            entry["anchored"] = True
+            pos += 1
+        if span is not None:
+            entry["deep"] = out[pos]
+            entry["deep_age"] = (k - 1) % itv
+            entry["deep_slope"] = None
+        self._executed_keys.add(chunk_key)
+        for i, r in enumerate(ordered):
+            r.latents = new_lat[i : i + 1]
+            for _ in range(k):
+                r.sampler_table.advance()
+            r.remain_steps -= k
+        return True
+
+    def _chunk_deep0(self, entry, bb: int, s_pad: int, ctx_len: int):
+        """In-graph span carry seed: the chunk starts at a FULL boundary,
+        so step 0 overwrites this before any shallow step reads it — zeros
+        only need the right structure when no delta is live yet."""
+        import jax.numpy as jnp
+
+        if entry["deep"] is not None:
+            return entry["deep"]
+        tr = self.bundle.models["transformer"]
+        span = self._sd3_deep_span()
+        dtype = self._latent_dtype()
+        d = {"dx": jnp.zeros((2 * bb, s_pad, tr.cfg.dim), dtype)}
+        if span[1] < tr.cfg.num_layers:
+            d["c"] = jnp.zeros((2 * bb, ctx_len, tr.cfg.dim), dtype)
+        return d
+
+    def _make_sd3_chunk_fn(self, cache, span, k: int, hp: int):
+        """Traced k-step loop: the SAME trunk builders as the per-step
+        path, full/shallow selected in-graph by ``j % interval == 0``
+        (chunks start at full boundaries).  Program contains each trunk
+        body once (lax.cond), so compile cost matches one full + one
+        shallow step, not k steps."""
+        import jax
+        import jax.numpy as jnp
+
+        tr = self.bundle.models["transformer"]
+        deep = span is not None
+        caching = cache is not None
+        sampler = self.sampler
+        full_fn = self._make_sd3_trunk_fn(cache, False, False,
+                                          "full" if deep else None, span)
+        sh_fn = (self._make_sd3_trunk_fn(cache, False, False, "shallow", span)
+                 if deep else None)
+
+        def fn(params, lat, ts, cs, guidance, cond, mask,
+               cache_state=None, row_valid=None, deep0=None, itv=None):
+            def step(trunk):
+                def f(j, lat, st, dp):
+                    c0, c1 = cs[j, :, 0], cs[j, :, 1]
+                    toks = tr.embed_latents(
+                        params["transformer"],
+                        sampler.scale_model_input(lat, c0))
+                    kw = {}
+                    if caching:
+                        kw = dict(cache_state=st, row_valid=row_valid)
+                    if deep:
+                        kw["deep_state"] = dp
+                    parts = trunk(params, toks, mask, ts[j], guidance,
+                                  cond, **kw) if (caching or deep) else \
+                        (trunk(params, toks, mask, ts[j], guidance, cond),)
+                    combined = parts[0]
+                    pos = 1
+                    st2, dp2 = st, dp
+                    if caching:
+                        st2 = parts[pos]
+                        pos += 1
+                    if deep:
+                        dp2 = parts[pos]
+                    v = tr.unpatchify(combined, hp, hp)
+                    lat2 = sampler.step(lat, v.astype(lat.dtype), c0, c1)
+                    return lat2, st2, dp2
+
+                return f
+
+            full_s = step(full_fn)
+            sh_s = step(sh_fn) if deep else None
+
+            def body(j, carry):
+                lat, st, dp = carry
+                if not deep:
+                    return (*full_s(j, lat, st, dp),)
+                return jax.lax.cond(
+                    j % itv == 0,
+                    lambda a: full_s(*a), lambda a: sh_s(*a),
+                    (j, lat, st, dp))
+
+            carry = jax.lax.fori_loop(0, k, body, (lat, cache_state, deep0))
+            out = (carry[0],)
+            if caching:
+                out += (carry[1],)
+            if deep:
+                out += (carry[2],)
+            return out
+
+        return fn
+
     # -- MMDiT per-block token cache (reference PatchSD3Transformer
     #    CacheManagers, modules/SD3Transformer.py:25-262) -------------------
 

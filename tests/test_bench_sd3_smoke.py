@@ -34,8 +34,18 @@ def run_bench(monkeypatch, capsys):
     sys.path.remove("/root/repo/scripts")
 
 
-def test_dense(run_bench):
+def test_default_is_wide_span(run_bench):
+    """DEFAULT = dense wide span 1:24 @12, token gates off (33.6 ms on
+    chip, exp/bench_sd3_v5e_span124_i12.json); TINY_MMDIT's 2 blocks clamp
+    it to 1:2."""
     r = run_bench()
+    assert r["ms_per_step"] > 0
+    assert r["deep_span"] == [1, 2] and r["deep_interval"] == 12
+    assert r["compact_cache_fraction"] == 0.0
+
+
+def test_dense(run_bench):
+    r = run_bench(BENCH_SD3_DEEP="")
     assert r["ms_per_step"] > 0 and r["deep_span"] is None
 
 
@@ -56,11 +66,11 @@ def test_deep_dense(run_bench):
     assert r["compact_cache_fraction"] == 0.0
 
 
-def test_default_hybrid(run_bench):
-    # The production default (span 2:24 @3 + compact 0.5, 57.0 ms on chip)
-    # engages the compact token cache whenever a span survives the depth
-    # clamp; TINY_MMDIT's 2 blocks clamp 2:24 away, so force a real span.
-    r = run_bench(BENCH_SD3_DEEP="0:1")
+def test_span_compact_combo(run_bench):
+    # The superseded default (span + compact token cache; 57.0 ms on chip)
+    # stays reachable via env.
+    r = run_bench(BENCH_SD3_DEEP="0:1", BENCH_SD3_DEEP_INTERVAL="3",
+                  BENCH_SD3_CACHE="0.5")
     assert r["deep_span"] == [0, 1] and r["deep_interval"] == 3
     assert r["compact_cache_fraction"] == 0.5
 
