@@ -361,11 +361,224 @@ class BasePipeline:
                       allow_cold: bool = True) -> bool:
         """Run ``k`` sampler steps for the batch inside ONE jitted program
         (SchedulerConfig.steps_per_dispatch; in-graph fori_loop threading
-        latents + cache state — the serving analog of bench scan mode).
-        Returns True when the chunk executed (tables/latents advanced by
-        ``k``), False when this pipeline/configuration is ineligible — the
-        worker then falls back to per-step dispatch.  Base: unsupported."""
-        return False
+        latents + cache/deep state — the serving analog of bench scan
+        mode).  Returns True when the chunk executed (tables/latents
+        advanced by ``k``), False when this configuration is ineligible —
+        the worker then falls back to per-step dispatch.
+
+        UNet dense-path support: plain dense, compact row cache, deep
+        reuse, deep x compact hybrid — all at FIXED interval (the adaptive
+        drift trigger and reuse-then-predict make per-step HOST decisions
+        that cannot live in-graph; serving runs fixed interval 3).  Deep
+        chunks start at a FULL boundary so the in-graph ``j % itv == 0``
+        schedule matches the per-step path's lockstep ages (exactness:
+        tests/test_unet_chunk.py)."""
+        import jax.numpy as jnp
+
+        ordered = [r for res in sorted(reqs_by_res) for r in reqs_by_res[res]]
+        if not ordered or k <= 1:
+            return False
+        cc = self.config.cache
+        if (len({r.resolution for r in ordered}) != 1
+                or self.sampler.needs_state
+                or any(r.remain_steps < k for r in ordered)
+                or getattr(self.config.parallel, "sp_mode", None)
+                == "displaced"):
+            return False
+        res = ordered[0].resolution
+        b = len(ordered)
+        bb = bucket_for(b, self.config.scheduler.batch_buckets)
+        itv = max(cc.deep_interval, 1)
+        mode = "dense"
+        cache = None
+        entry = None
+        if cc.enabled and cc.mode == "deep":
+            if (getattr(cc, "deep_adaptive", 0.0)
+                    or float(getattr(cc, "deep_predict", 0.0) or 0.0)
+                    or any(r.sampler_table.step < cc.deep_warmup
+                           for r in ordered)):
+                return False
+            mode = ("hybrid" if cc.deep_compact_fraction is not None
+                    else "deep")
+            # the chunk must START where the per-step path would run a
+            # FULL pass (lockstep ages from j=0); seeding the carry also
+            # needs every request's deep feature in the dense layout
+            shapes = {None if r.deep_state is None else
+                      tuple(r.deep_state.shape) for r in ordered}
+            if None in shapes or len(shapes) != 1 \
+                    or next(iter(shapes))[0] != 2:
+                return False
+            if not any(r.deep_age + 1 >= itv for r in ordered):
+                return False
+        elif cc.enabled and cc.mode == "compact":
+            if not self._compact_cache_active():
+                return False
+            mode = "compact"
+        elif cc.enabled:
+            return False  # "block" masked mode: per-step only
+        if mode in ("hybrid", "compact"):
+            from sduss_tpu.cache.manager import BlockCache
+
+            if not hasattr(self, "_cache_obj"):
+                self._cache_obj = BlockCache(cc)
+            cache = self._cache_obj
+            dtype = self._latent_dtype()
+            if mode == "hybrid":
+                layout = self._hybrid_layout(res)
+                sig = self._hybrid_sig()
+                kind = "unet_hybrid"
+            else:
+                cells = res // self.vae_scale
+                layout = self.bundle.denoiser.cache_layout(
+                    cells, cc.min_level)
+                sig = (type(cache).__name__, cc.min_level,
+                       cc.compact_fraction)
+                kind = "unet_compact"
+
+            def mk_state(n):
+                return {key: cache.init_rows(key, n, s, ci, co, dtype)
+                        for key, (s, ci, co) in layout.items()}
+
+            entry = self._comp_state_entry(kind, res, ordered, bb, sig,
+                                           mk_state)
+            if mode == "compact" and not entry["anchored"]:
+                return False  # the anchoring sync program runs per-step
+
+        chunk_key = ("unet_chunk", mode, res, bb, k)
+        if not allow_cold and chunk_key not in self._executed_keys:
+            return False
+
+        ts = np.zeros((k, bb), np.float32)
+        cs = np.ones((k, bb, 2), np.float32)
+        for i, r in enumerate(ordered):
+            tbl = r.sampler_table
+            s0 = tbl.step
+            ts[:, i] = tbl.timesteps[s0 : s0 + k]
+            cs[:, i] = tbl.coeffs[s0 : s0 + k]
+        guidance = np.zeros((bb,), np.float32)
+        guidance[:b] = [r.params.guidance_scale if r.params.guidance_scale
+                        is not None else self.spec.default_guidance
+                        for r in ordered]
+        cond = self._stack_cond([r.conditioning for r in ordered], bb)
+        latents = jnp.concatenate([r.latents for r in ordered], axis=0)
+        if bb != b:
+            latents = jnp.concatenate(
+                [latents, jnp.repeat(latents[-1:], bb - b, axis=0)], axis=0)
+
+        args = [self.params, latents, jnp.asarray(ts), jnp.asarray(cs),
+                jnp.asarray(guidance), cond]
+        donate = ()
+        if mode in ("deep", "hybrid"):
+            # batch-form deep carry ([uncond x bb | cond x bb], matching
+            # _cfg_step's concat order); overwritten by the j=0 full pass
+            u = [r.deep_state[0:1] for r in ordered]
+            c = [r.deep_state[1:2] for r in ordered]
+            pad = bb - b
+            if pad:
+                u += [u[-1]] * pad
+                c += [c[-1]] * pad
+            args += [jnp.concatenate(u + c, axis=0), jnp.int32(itv)]
+        if mode in ("hybrid", "compact"):
+            row_valid = np.zeros((bb,), bool)
+            row_valid[:b] = True
+            # donate the row state: ~4 GB at SDXL b8 1024^2 — old+new
+            # copies live together OOM the chip (the r2v prewarm lesson)
+            donate = (len(args),)
+            args += [entry["state"], jnp.asarray(row_valid)]
+
+        fn = self._jit(chunk_key, self._make_unet_chunk_fn(mode, k, cache),
+                       donate=donate)
+        out = fn(*args)
+        new_latents = out[0]
+        pos = 1
+        if mode in ("deep", "hybrid"):
+            deep_out = out[pos]
+            pos += 1
+        if mode in ("hybrid", "compact"):
+            entry["state"] = out[pos]
+            entry["anchored"] = True
+        self._executed_keys.add(chunk_key)
+        for i, r in enumerate(ordered):
+            r.latents = new_latents[i : i + 1]
+            if mode in ("deep", "hybrid"):
+                r.deep_state = jnp.stack([deep_out[i], deep_out[bb + i]],
+                                         axis=0)
+                r.deep_age = (k - 1) % itv
+                r.deep_slope = None
+            for _ in range(k):
+                r.sampler_table.advance()
+            r.remain_steps -= k
+        return True
+
+    def _make_unet_chunk_fn(self, mode: str, k: int, cache=None):
+        """Traced k-step loop over the SAME per-step builders
+        (_denoise_fn / _make_compact_fn / _make_deep_fn /
+        _make_deep_hybrid_fn); deep modes select full/shallow in-graph by
+        ``j % itv == 0`` (chunks start at full boundaries), so the program
+        contains each body once."""
+        import jax
+
+        if mode == "deep":
+            full_f = self._make_deep_fn("full")
+            sh_f = self._make_deep_fn("shallow")
+
+            def fn(params, lat, ts, cs, guidance, cond, deep0, itv):
+                def body(j, carry):
+                    lat, dp = carry
+                    return jax.lax.cond(
+                        j % itv == 0,
+                        lambda a: full_f(params, a[1], ts[a[0]], cs[a[0]],
+                                         guidance, cond, a[2]),
+                        lambda a: sh_f(params, a[1], ts[a[0]], cs[a[0]],
+                                       guidance, cond, a[2]),
+                        (j, lat, dp))
+
+                lat, dp = jax.lax.fori_loop(0, k, body, (lat, deep0))
+                return lat, dp
+
+            return fn
+        if mode == "hybrid":
+            full_f = self._make_deep_hybrid_fn("full")
+            sh_f = self._make_deep_hybrid_fn("shallow")
+
+            def fn(params, lat, ts, cs, guidance, cond, deep0, itv,
+                   state0, row_valid):
+                def body(j, carry):
+                    lat, dp, st = carry
+                    return jax.lax.cond(
+                        j % itv == 0,
+                        lambda a: full_f(params, a[1], ts[a[0]], cs[a[0]],
+                                         guidance, cond, a[2], a[3],
+                                         row_valid),
+                        lambda a: sh_f(params, a[1], ts[a[0]], cs[a[0]],
+                                       guidance, cond, a[2], a[3],
+                                       row_valid),
+                        (j, lat, dp, st))
+
+                return jax.lax.fori_loop(0, k, body, (lat, deep0, state0))
+
+            return fn
+        if mode == "compact":
+            step_f = self._make_compact_fn(cache, sync=False)
+
+            def fn(params, lat, ts, cs, guidance, cond, state0, row_valid):
+                def body(j, carry):
+                    lat, st = carry
+                    return step_f(params, lat, ts[j], cs[j], guidance,
+                                  cond, st, row_valid)
+
+                return jax.lax.fori_loop(0, k, body, (lat, state0))
+
+            return fn
+
+        def fn(params, lat, ts, cs, guidance, cond):
+            def body(j, lat):
+                return self._denoise_fn(params, lat, ts[j], cs[j],
+                                        guidance, cond)
+
+            return (jax.lax.fori_loop(0, k, body, lat),)
+
+        return fn
 
     def serving_state_spec(self, res: int, bucket: int):
         """ABSTRACT (eval_shape) composition state a uniform (res, bucket)
