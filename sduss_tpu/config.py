@@ -427,6 +427,16 @@ class EngineConfig:
     # Device HBM budget when the runtime exposes no memory_stats (the axon
     # relay does not); v5e = 16 GB.
     hbm_bytes_fallback: float = 16e9
+    # Serving-decode capacity gate (pipelines postprocess): the VAE decode
+    # runs while OTHER compositions' cache/KV state is resident, so the
+    # decode group is capped to what fits next to params + live state.
+    # Per-image transient model: bytes_per_pixel x res^2 — the decoder's
+    # full-res feature maps dominate (~2 live maps x 128ch bf16 = 512 B/px
+    # with blocked mid-attention; dense mid-attention's f32 score matrix
+    # would add ~1 GB/image at 1024^2, which is why blocked is the serving
+    # default, models/vae.py).
+    decode_bytes_per_pixel: float = 768.0
+    decode_hbm_margin: float = 1.5e9
 
 
 @dataclass

@@ -91,6 +91,8 @@ class Worker:
             if req is not None:
                 req.finish_time = time.time()
                 out.append(req)
+        if out:
+            self.pipeline.evict_finished_state([r.request_id for r in out])
         return out
 
     def has_unfinished(self) -> bool:
@@ -139,6 +141,11 @@ class Worker:
         finished = self.scheduler.advance(batch)
         for req in finished:
             req.finish_time = time.time()
+        if finished:
+            # composition-state keys embed request ids — entries touching a
+            # finished/aborted request are unreachable; free the HBM now
+            self.pipeline.evict_finished_state(
+                [r.request_id for r in finished])
         return finished
 
     def _poll_prepared(self, block: bool) -> None:

@@ -89,10 +89,12 @@ def _attn_apply(p, x, groups):
     # single head, d=512 — too wide for the flash kernels' full-KV-in-VMEM
     # layout; at >=4k tokens (768px+ decode) q-row blocking keeps the f32
     # score matrix from materializing (~1 GB/image at 1024px dense).
-    # OPT-IN (SDUSS_VAE_BLOCKED_ATTN=1) until the on-chip A/B lands —
-    # dense measured a known-good 337 ms b8 1024 decode.
+    # DEFAULT since the on-chip A/B measured an exact latency TIE with
+    # dense at decode shapes (exp/bench_vae_attn_v5e.json) — the dense
+    # score transient is what pushed serving postprocess over HBM next to
+    # live cache state (r2y OOM).  SDUSS_VAE_BLOCKED_ATTN=0 reverts.
     if (h * w >= 4096
-            and os.environ.get("SDUSS_VAE_BLOCKED_ATTN", "0") == "1"):
+            and os.environ.get("SDUSS_VAE_BLOCKED_ATTN", "1") == "1"):
         y = L.attention_blocked(q, k, v, num_heads=1)
     else:
         y = L.attention(q, k, v, num_heads=1)

@@ -357,6 +357,29 @@ class BasePipeline:
             if store is not None:
                 store.clear()
 
+    def evict_finished_state(self, req_ids) -> None:
+        """Drop composition-state entries referencing any finished request.
+
+        Every store keys by the exact request-id tuple, so once one member
+        finishes (or aborts) that entry can NEVER be reused — yet it
+        lingered in the LRU holding GBs of device state until count/byte
+        eviction.  Measured consequence (r2y SDXL hybrid serving): a dead
+        b8 1024^2 hybrid entry (~3.5 GB) stayed live through the batch's
+        own postprocess and the VAE decode died RESOURCE_EXHAUSTED.  Called
+        by postprocess (before the decode) and on aborts."""
+        ids = set(req_ids)
+        if not ids:
+            return
+        for attr in ("_comp_state", "_sd3_state", "_disp_state"):
+            store = getattr(self, attr, None)
+            if not store:
+                continue
+            dead = [k for k in store
+                    if any(isinstance(part, tuple) and ids.intersection(part)
+                           for part in k)]
+            for k in dead:
+                del store[k]
+
     def denoise_chunk(self, reqs_by_res, k: int,
                       allow_cold: bool = True) -> bool:
         """Run ``k`` sampler steps for the batch inside ONE jitted program
@@ -1611,6 +1634,11 @@ class BasePipeline:
     # -- stage 3: postprocess ------------------------------------------------
 
     def postprocess(self, reqs_by_res: Dict[int, List[Request]]) -> None:
+        # These requests' composition-state entries are dead (keys embed
+        # the exact request-id tuple) — drop them BEFORE the decode, which
+        # is the pipeline's HBM peak (the r2y serving OOM).
+        self.evict_finished_state(
+            {r.request_id for reqs in reqs_by_res.values() for r in reqs})
         for res in sorted(reqs_by_res):
             all_reqs = reqs_by_res[res]
             # latent output type skips the VAE decode entirely
@@ -1627,8 +1655,34 @@ class BasePipeline:
                 # multiplies the per-tile live set and OOMs a 16 GB v5e at
                 # b2 (measured, r2l serving prewarm) — decode one at a time.
                 chunk = 1
+            chunk = min(chunk, self._decode_capacity_chunk(res))
             for i in range(0, len(reqs), chunk):
                 self._decode_group(res, reqs[i : i + chunk])
+
+    def _decode_capacity_chunk(self, res: int) -> int:
+        """Largest decode group that fits next to params + LIVE composition
+        state.  Unlike prewarm (state released before its decode), serving
+        decodes while OTHER compositions' cache/KV state stays resident;
+        the decode transient (~decode_bytes_per_pixel x res^2 per image,
+        dominated by the decoder's full-res feature maps) must fit the
+        remaining headroom or the fetch dies RESOURCE_EXHAUSTED — which on
+        the axon relay can poison the device (r2w lesson)."""
+        try:
+            import jax
+
+            ec = self.config.engine
+            ms = jax.devices()[0].memory_stats() or {}
+            lim = float(ms.get("bytes_limit") or ec.hbm_bytes_fallback)
+            live = sum(
+                _state_nbytes(e.get("state")) + _state_nbytes(e.get("kv"))
+                for attr in ("_comp_state", "_sd3_state", "_disp_state")
+                for e in (getattr(self, attr, None) or {}).values())
+            head = lim - self.device_param_bytes() - live \
+                - float(ec.decode_hbm_margin)
+            per_img = float(ec.decode_bytes_per_pixel) * res * res
+            return max(1, int(head // per_img)) if per_img > 0 else 1
+        except Exception:  # noqa: BLE001
+            return max(self.config.scheduler.decode_batch, 1)
 
     def _decode_group(self, res: int, reqs: List[Request]) -> None:
         if not reqs:
