@@ -45,6 +45,9 @@ Env knobs:
                 (CacheConfig.deep_compact_fraction), full steps write the
                 row caches through; composes with the adaptive schedule
                 above
+  BENCH_DEEP_BOUNDARY  deep-cache boundary level (default: deepest-1 = 2
+                for SDXL).  1 = cache everything above level 0: the shallow
+                step becomes conv-only, the SDXL analog of SD3's wide span.
   BENCH_HYBRID_PAIRWISE  1 (default) = CFG-pair-symmetric row selection
                 (gate_compact_pairs; odd independent top-K counts split
                 uncond/cond pairs and the CFG combine amplifies it);
@@ -156,10 +159,19 @@ def build_step(batch: int):
         return one_step(params, latents, t, coeffs[:, 0], coeffs[:, 1],
                         guidance, ehs, pooled, time_ids)
 
+    # BENCH_DEEP_BOUNDARY: deep-cache boundary level (default deepest-1).
+    # boundary=1 caches everything above level 0 — the shallow step becomes
+    # conv-only (no transformers), the SDXL analog of SD3's wide span.
+    _bdy_env = os.environ.get("BENCH_DEEP_BOUNDARY", "")
+    deep_bdy = int(_bdy_env) if _bdy_env else None
+
     def _deep_shapes():
         n_lv = len(unet.cfg.block_out_channels)
-        # deep feature shape: output of up block 0 post-upsample
-        return hw // (2 ** (n_lv - 2)), unet.cfg.block_out_channels[-1]
+        bdy = deep_bdy if deep_bdy is not None else n_lv - 1
+        # deep feature = h entering up block (n_lv - bdy): spatial of level
+        # bdy-1, channels of the deepest cached up block's upsample conv
+        return (hw // (2 ** max(bdy - 1, 0)),
+                unet.cfg.block_out_channels[bdy])
 
     def _mk_deep_step(ts, cs, mode):
         """Shared CFG-doubled deep step (fixed AND adaptive trajectories use
@@ -176,7 +188,7 @@ def build_step(batch: int):
                      "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
             out, deep2 = unet.apply(
                 params, lat_in, t_i, jnp.concatenate([ehs, ehs], axis=0),
-                added_cond=added, deep_mode=mode,
+                added_cond=added, deep_mode=mode, deep_boundary=deep_bdy,
                 deep_state=deep if mode == "shallow" else None)
             u, c = jnp.split(out, 2, axis=0)
             eps = u + guidance.reshape(-1, 1, 1, 1) * (c - u)
@@ -272,7 +284,7 @@ def build_step(batch: int):
                                        deep_compact_fraction=fraction,
                                        deep_compact_pairwise=pairwise,
                                        max_hits=4))
-        layout = unet.shallow_cache_layout(hw)
+        layout = unet.shallow_cache_layout(hw, deep_bdy)
 
         def mk_state0():
             # built INSIDE the jit trace: zeros lower to XLA broadcasts, not
@@ -298,7 +310,7 @@ def build_step(batch: int):
                          "time_ids": jnp.concatenate([time_ids, time_ids], axis=0)}
                 out, deep2, st2 = unet.apply(
                     params, lat_in, t_i, jnp.concatenate([ehs, ehs], axis=0),
-                    added_cond=added, deep_mode=mode,
+                    added_cond=added, deep_mode=mode, deep_boundary=deep_bdy,
                     deep_state=deep if mode == "shallow" else None,
                     cache=cache, cache_state=st)
                 u, c = jnp.split(out, 2, axis=0)
@@ -549,6 +561,8 @@ def main() -> None:
         "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
         "hybrid_pairwise": os.environ.get("BENCH_HYBRID_PAIRWISE", "1") == "1",
         "hybrid_predict": float(os.environ.get("BENCH_HYBRID_PREDICT", "0.5")),
+        "deep_boundary": (int(os.environ["BENCH_DEEP_BOUNDARY"])
+                          if os.environ.get("BENCH_DEEP_BOUNDARY") else None),
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 

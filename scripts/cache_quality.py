@@ -42,15 +42,25 @@ def _metrics(a, b):
     return rel_mse, cos
 
 
-def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
-    """(run_plain, run_deep(interval), run_compact(fraction), make_inputs)."""
+def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int,
+                    levels: int = 0, boundary: int = 0):
+    """(run_plain, run_deep(interval), run_compact(fraction), make_inputs).
+
+    ``levels`` (tiny only): 3 = use TINY3_SDXL_UNET, the 3-level proxy with
+    SDXL's level structure, so ``boundary`` choices actually bite.
+    ``boundary``: deep-cache boundary level for all deep/hybrid runs
+    (0 = model default, deepest-1).  boundary=1 caches everything above
+    level 0 — the shallow step becomes conv-only (SDXL wide span)."""
     import jax
     import jax.numpy as jnp
 
-    from sduss_tpu.models.unet import SDXL_UNET, TINY_SDXL_UNET, UNet2DConditionModel
+    from sduss_tpu.models.unet import (SDXL_UNET, TINY3_SDXL_UNET,
+                                       TINY_SDXL_UNET, UNet2DConditionModel)
     from sduss_tpu.samplers import get_sampler
 
-    cfg = TINY_SDXL_UNET if tiny else SDXL_UNET
+    cfg = (TINY3_SDXL_UNET if tiny and levels == 3
+           else TINY_SDXL_UNET if tiny else SDXL_UNET)
+    bdy = boundary or None
     unet = UNet2DConditionModel(cfg)
     sampler = get_sampler("euler")
     dtype = jnp.float32 if tiny else jnp.bfloat16
@@ -126,20 +136,25 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
     # silently diverge the fixed-vs-adaptive comparison)
     def _deep_shapes():
         n_lv = len(cfg.block_out_channels)
-        c_deep = cfg.block_out_channels[-1]
-        return hw // (2 ** max(n_lv - 2, 0)), c_deep
+        bdy_v = bdy if bdy is not None else n_lv - 1
+        # deep feature = h entering up block (n_lv - bdy_v): spatial of
+        # level bdy_v-1, channels of the deepest cached upsample conv
+        return (hw // (2 ** max(bdy_v - 1, 0)),
+                cfg.block_out_channels[bdy_v])
 
     def _deep_step_pair(params, g, ehs, pooled, tid):
         def full_f(args):
             lat, deep, i = args
             out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
-                                  deep_mode="full", deep_state=None)
+                                  deep_mode="full", deep_state=None,
+                                  deep_boundary=bdy)
             return out, d2
 
         def shallow_f(args):
             lat, deep, i = args
             out, d2, _ = one_step(params, lat, i, g, ehs, pooled, tid,
-                                  deep_mode="shallow", deep_state=deep)
+                                  deep_mode="shallow", deep_state=deep,
+                                  deep_boundary=bdy)
             return out, d2
 
         return full_f, shallow_f
@@ -279,7 +294,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
                                        deep_compact_fraction=fraction,
                                        deep_compact_pairwise=pairwise,
                                        max_hits=4))
-        layout = unet.shallow_cache_layout(hw)
+        layout = unet.shallow_cache_layout(hw, bdy)
         state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, dtype)
                   for key, (s, cin, cout) in layout.items()}
         hw_deep, c_deep = _deep_shapes()
@@ -299,7 +314,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int):
                     added = {"text_embeds": pooled, "time_ids": tid}
                     out, d2, st2 = unet.apply(
                         params, lat_in, t2, ehs, added_cond=added,
-                        deep_mode=mode,
+                        deep_mode=mode, deep_boundary=bdy,
                         deep_state=deep if mode == "shallow" else None,
                         cache=cache, cache_state=st)
                     u, c = jnp.split(out, 2)
@@ -744,6 +759,13 @@ def main():
                     help="span-skip deep configs (sd3 only): "
                          "'lo:hi@interval' or 'lo:hi@interval@fine' "
                          "comma-separated, e.g. '13:24@3,0:13@3@0.5'")
+    ap.add_argument("--unet-levels", type=int, default=0,
+                    help="(sdxl tiny) 3 = 3-level tiny proxy with SDXL's "
+                         "level structure so --deep-boundary bites")
+    ap.add_argument("--deep-boundary", type=int, default=0,
+                    help="(sdxl) deep-cache boundary level for deep/hybrid "
+                         "runs (0 = model default, deepest-1); 1 = conv-"
+                         "only shallow step (SDXL wide span)")
     ap.add_argument("--mmdit-layers", type=int, default=0,
                     help="deepen the tiny MMDiT to N blocks (dual attention "
                          "in the first half) so --sd3-deep spans can be "
@@ -767,6 +789,11 @@ def main():
     # in the r2 chip queue).
     build_kw = ({"layers": args.mmdit_layers}
                 if args.family == "sd3" and args.mmdit_layers else {})
+    if args.family == "sdxl":
+        if args.unet_levels:
+            build_kw["levels"] = args.unet_levels
+        if args.deep_boundary:
+            build_kw["boundary"] = args.deep_boundary
     (run_plain, run_deep, run_compact, make_inputs, params,
      run_drift, run_deep_adaptive, run_deep_hybrid, run_deep_span,
      run_cfg_reuse, run_deep_predict) = build(args.tiny, args.batch, res,
@@ -935,6 +962,8 @@ def main():
 
     out = {"family": args.family, "tiny": args.tiny, "res": res,
            "steps": args.steps, "batch": args.batch, "seeds": args.seeds,
+           "deep_boundary": args.deep_boundary or None,
+           "unet_levels": args.unet_levels or None,
            "stepwise_output_drift": drift,
            "note": ("random-weight models lack trained temporal smoothness; "
                     "cache divergence here is an upper bound (see "

@@ -78,6 +78,21 @@ TINY_SDXL_UNET = UNetConfig(
     use_linear_projection=True,
     sample_size=16,
 )
+# 3-level tiny proxy with SDXL's level structure (no-attn level 0, attn at
+# levels 1-2) so the deep_boundary ladder (cache wider spans on shallow
+# steps) can be quality-ranked on CPU before chip time.
+TINY3_SDXL_UNET = UNetConfig(
+    block_out_channels=(32, 64, 128),
+    down_block_has_attn=(False, True, True),
+    layers_per_block=1,
+    transformer_layers=(0, 1, 2),
+    num_heads=(2, 2, 4),
+    cross_attention_dim=32,
+    norm_num_groups=8,
+    addition_embed=(32, 48, 6),
+    use_linear_projection=True,
+    sample_size=16,
+)
 
 
 # ---------------------------------------------------------------------------
