@@ -68,6 +68,10 @@ async def _run(args):
         config.cache.deep_interval = args.deep_interval
         if args.deep_hybrid > 0:
             config.cache.deep_compact_fraction = args.deep_hybrid
+        if args.deep_boundary:
+            # conv-only shallow step at boundary 1 (SDXL wide span);
+            # quality ranked in exp/cache_quality_sdxl_bdy1_tiny.json
+            config.cache.deep_boundary = args.deep_boundary
         if args.deep_adaptive > 0:
             # drift-triggered refresh; the fixed interval becomes moot and
             # --deep-interval is reused as the max_interval safety cap
@@ -273,6 +277,9 @@ def main():
                     help="drift threshold for adaptive deep refresh "
                          "(>0 enables; --deep-interval becomes the "
                          "max-interval safety cap)")
+    ap.add_argument("--deep-boundary", type=int, default=0,
+                    help="deep-cache boundary level (0 = model default); "
+                         "1 = conv-only shallow steps (SDXL wide span)")
     ap.add_argument("--deep-hybrid", type=float, default=0.0,
                     help="deep x compact hybrid row fraction (>0 enables "
                          "CacheConfig.deep_compact_fraction: shallow steps "
