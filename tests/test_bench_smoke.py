@@ -68,3 +68,37 @@ class TestBenchTrajectories:
         assert out.shape == latents.shape
         assert np.isfinite(np.asarray(out, np.float32)).all()
         assert 1 <= int(np.asarray(n_full)) <= 6
+
+
+class TestBenchBoundary:
+    """BENCH_DEEP_BOUNDARY=1 on a 3-level tiny proxy (conv-only shallow)."""
+
+    @pytest.fixture()
+    def tiny3_bdy1(self, monkeypatch):
+        import sduss_tpu.models.unet as unet_mod
+
+        monkeypatch.setattr(unet_mod, "SDXL_UNET", unet_mod.TINY3_SDXL_UNET)
+        monkeypatch.setenv("BENCH_DEEP_BOUNDARY", "1")
+        import bench
+
+        return bench
+
+    def test_deep_interval1_matches_plain(self, tiny3_bdy1):
+        """Every step full at boundary 1 == the plain trajectory (the
+        wiring-correctness control for the new boundary knob)."""
+        (_, mk_plain, mk_deep, _, _, _, args) = tiny3_bdy1.build_step(1)
+        params, latents, t, coeffs, guidance, ehs, pooled, time_ids = args
+        out_p = mk_plain(3)(params, latents, guidance, ehs, pooled, time_ids)
+        out_d = mk_deep(3, 1)(params, latents, guidance, ehs, pooled,
+                              time_ids)
+        np.testing.assert_allclose(np.asarray(out_d, np.float32),
+                                   np.asarray(out_p, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_hybrid_runs_at_boundary1(self, tiny3_bdy1):
+        (_, _, _, _, _, mk_hybrid, args) = tiny3_bdy1.build_step(1)
+        params, latents, t, coeffs, guidance, ehs, pooled, time_ids = args
+        run = mk_hybrid(6, threshold=0.05, cap=4, warmup=1, fraction=0.3)
+        out, n_full = run(params, latents, guidance, ehs, pooled, time_ids)
+        assert out.shape == latents.shape
+        assert np.isfinite(np.asarray(out, np.float32)).all()
