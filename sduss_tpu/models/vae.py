@@ -232,7 +232,7 @@ class AutoencoderKL:
         return L.conv2d(dec["conv_out"], h)
 
     def decode_tiled(self, params, latents, dtype=None, tile: int = 64,
-                     overlap: int = 16):
+                     overlap: int = 16, strips=None):
         """Spatially-tiled decode: same contract as ``decode``.
 
         Full-resolution decode activations are the serving pipeline's HBM
@@ -254,29 +254,46 @@ class AutoencoderKL:
             return self.decode(params, latents, dtype=dtype)
         z = self._scale_in(latents, dtype)
         s = 2 ** (len(self.cfg.block_out_channels) - 1)  # pixels per latent cell
-        tile = min(tile, h, w)
-        overlap = min(overlap, tile // 2)
 
-        def positions(extent):
-            if extent <= tile:
+        # Full-width ROW STRIPS whenever a strip with the same live-area
+        # budget (tile^2 cells) spans the width: horizontal seams vanish and
+        # the redundant-halo compute drops from ~2.25x dense (9 64^2 tiles
+        # at 128^2) to ~1.25x (5 32-row strips) — same HBM envelope, ~45%
+        # faster 1024^2 decode.  Square 2D tiling remains for very wide
+        # latents where a >=8-row strip would exceed the budget.
+        if strips is None:
+            strips = w <= (tile * tile) // 8 and (tile * tile) // w < h
+        if strips:
+            tile_h = max(8, min((tile * tile) // w, h))
+            tile_w = w
+            ov_h, ov_w = min(overlap, tile_h // 4), 0
+        else:
+            tile_h = tile_w = min(tile, h, w)
+            ov_h = ov_w = min(overlap, tile_h // 2)
+
+        def positions(extent, t, ov):
+            if extent <= t:
                 return [0]
-            n = -(-(extent - overlap) // (tile - overlap))  # ceil
-            return [int(round(p)) for p in np.linspace(0, extent - tile, n)]
+            n = -(-(extent - ov) // (t - ov))  # ceil
+            return [int(round(p)) for p in np.linspace(0, extent - t, n)]
 
-        ramp_len = max(overlap * s, 1)
-        axis = np.arange(tile * s, dtype=np.float32)
-        ramp1d = np.minimum(1.0, np.minimum((axis + 1) / ramp_len,
-                                            (tile * s - axis) / ramp_len))
-        wgt = jnp.asarray(np.outer(ramp1d, ramp1d)[None, :, :, None])
+        def ramp1d(t, ov):
+            ramp_len = max(ov * s, 1)
+            axis = np.arange(t * s, dtype=np.float32)
+            return np.minimum(1.0, np.minimum((axis + 1) / ramp_len,
+                                              (t * s - axis) / ramp_len))
+
+        wgt = jnp.asarray(np.outer(ramp1d(tile_h, ov_h),
+                                   ramp1d(tile_w, ov_w))[None, :, :, None])
 
         out_sum = jnp.zeros((b, h * s, w * s, self.cfg.out_channels), jnp.float32)
         wgt_sum = jnp.zeros((1, h * s, w * s, 1), jnp.float32)
-        for py in positions(h):
-            for px in positions(w):
+        for py in positions(h, tile_h, ov_h):
+            for px in positions(w, tile_w, ov_w):
                 img = self._decode_core(
-                    params, z[:, py:py + tile, px:px + tile, :])
+                    params, z[:, py:py + tile_h, px:px + tile_w, :])
                 oy, ox = py * s, px * s
-                oy2, ox2 = oy + tile * s, ox + tile * s
+                oy2, ox2 = oy + tile_h * s, ox + tile_w * s
                 out_sum = out_sum.at[:, oy:oy2, ox:ox2, :].add(
                     img.astype(jnp.float32) * wgt)
                 wgt_sum = wgt_sum.at[:, oy:oy2, ox:ox2, :].add(wgt)

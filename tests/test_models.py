@@ -120,6 +120,26 @@ def test_vae_tiled_decode_matches_full():
     assert np.abs(tiled[:, 0, :, :] - full[:, 0, :, :]).mean() / scale < 0.2
 
 
+def test_vae_tiled_decode_strip_vs_2d():
+    """Row-strip tiling (the 1024^2 default: ~1.25x dense compute vs 2.25x
+    for 2D tiles at the same HBM envelope) matches full decode as well as
+    the 2D tiling does, on square AND non-square latents."""
+    model = AutoencoderKL(TINY_VAE)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(2)
+    for shape in ((1, 32, 32, 4), (1, 48, 24, 4)):
+        base = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+        lat = jax.image.resize(base, shape, "linear")
+        full = np.asarray(model.decode(params, lat), np.float32)
+        scale = np.abs(full).max()
+        for strips in (True, False):
+            tiled = np.asarray(model.decode_tiled(
+                params, lat, tile=16, overlap=8, strips=strips), np.float32)
+            assert tiled.shape == full.shape
+            assert np.isfinite(tiled).all()
+            assert np.abs(tiled - full).mean() / scale < 0.06, (shape, strips)
+
+
 def test_vae_blocked_mid_attention_exact(monkeypatch):
     """SDUSS_VAE_BLOCKED_ATTN=1 routes the mid attention through the
     q-row-blocked exact path (>=4k tokens); decode output is identical."""
