@@ -381,6 +381,38 @@ class CacheConfig:
     classifier_path: Optional[str] = None
     mse_threshold: float = 0.01
 
+    @classmethod
+    def production(cls, family: str, serving: bool = True) -> "CacheConfig":
+        """Chip-validated cache defaults per model family.
+
+        The configs a user switching from the reference should start from
+        (its e2e scripts load family-specific trained caches,
+        reference scripts/paper/e2e.sh:32-55):
+
+        - sdxl/sd15: deep reuse x compact CFG-pair rows (fraction 0.3).
+          Serving keeps the FIXED interval-3 refresh — drift-adaptive
+          refresh loses under rolling admissions (the "any member needs
+          full" OR re-densifies the schedule, exp/sim_adaptive_serving
+          .json); offline/aligned batches get the adaptive schedule
+          (0.8752 img/s = 1.95x the H100 SDXL anchor on one v5e,
+          exp/bench_sdxl_hybrid03_pairwise_v5e.json).
+        - sd3: wide span-skip 1:24 at interval 12 — 33.6 ms = 1.93x the
+          H100 anchor, rel_mse 0.00053 at 24-block depth
+          (exp/bench_sd3_v5e_span124_i12.json,
+          exp/cache_quality_sd3_spanwide_tiny.json).
+        """
+        if family == "sd3":
+            return cls(enabled=True, mode="deep", sd3_deep_span=(1, 24),
+                       deep_interval=12, deep_warmup=3)
+        cfg = cls(enabled=True, mode="deep", deep_interval=3, deep_warmup=3,
+                  deep_compact_fraction=0.3, deep_compact_pairwise=True)
+        if not serving:
+            cfg.deep_adaptive = True
+            cfg.deep_drift_threshold = 0.05
+            cfg.deep_max_interval = 6
+            cfg.deep_predict = 0.5
+        return cfg
+
 
 @dataclass
 class EngineConfig:

@@ -101,3 +101,39 @@ class TestDeepBoundary:
                                 deep_state=deep, cache=cache,
                                 cache_state=state)
         assert out.shape == full.shape
+
+
+class TestProductionPresets:
+    """CacheConfig.production encodes the chip-validated family defaults."""
+
+    def test_sd3_span(self):
+        from sduss_tpu.config import CacheConfig
+
+        c = CacheConfig.production("sd3")
+        assert c.enabled and c.sd3_deep_span == (1, 24)
+        assert c.deep_interval == 12
+
+    def test_sdxl_serving_vs_offline(self):
+        from sduss_tpu.config import CacheConfig
+
+        s = CacheConfig.production("sdxl", serving=True)
+        o = CacheConfig.production("sdxl", serving=False)
+        # serving: fixed interval (adaptive loses under rolling admissions)
+        assert not s.deep_adaptive and s.deep_interval == 3
+        assert s.deep_compact_fraction == 0.3 and s.deep_compact_pairwise
+        # offline/aligned: adaptive refresh + reuse-then-predict
+        assert o.deep_adaptive and o.deep_predict == 0.5
+
+    def test_preset_drives_tiny_engine(self):
+        import numpy as np
+
+        from sduss_tpu.config import CacheConfig
+        from sduss_tpu.entrypoints.offline import DiffusionPipeline
+
+        pipe = DiffusionPipeline(model="sd15", test_tiny=True,
+                                 dtype="float32")
+        pipe.config.cache = CacheConfig.production("sd15", serving=False)
+        outs = pipe.generate(["a cat"], resolution=256,
+                             num_inference_steps=5, seed=0)
+        img = np.asarray(outs[0].image)
+        assert np.isfinite(img.astype(np.float32)).all()
