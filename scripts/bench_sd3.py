@@ -68,21 +68,20 @@ def main():
     # fixed interval (full when the latent rel-MSE since the last full step
     # exceeds the threshold; BENCH_SD3_DEEP_CAP shallow-step safety cap) —
     # the same in-graph trigger as bench.py's SDXL adaptive trajectory.
-    # DEFAULT = DENSE WIDE SPAN 1:24 @ interval 12, token gates OFF:
-    # 33.6 ms/step = 1.93x the H100 anchor (chip ladder
+    # DEFAULT = DENSE WIDE SPAN 1:24 @ interval 16, token gates OFF:
+    # 26.7 ms/step = 2.43x the H100 anchor (chip ladder
     # exp/bench_sd3_v5e_span124_i{6,8,12,16}.json: 47.8/40.6/33.6/26.7 ms,
     # consistent with dense full 230 ms + 12.2 ms shallow).  Quality at the
-    # real 24-block depth (exp/cache_quality_sd3_spanwide_tiny.json,
-    # 3 seeds): @12 rel_mse 0.00053 — TEN TIMES tighter than the previous
-    # default (2:24@3 + compact 0.5 = 0.0057 at depth 24; 57.0 ms) while
-    # being 1.7x faster; every gated combo (compact rows, fine tokens) is
-    # dominated by the pure dense span on both axes — the @6+compact cliff
-    # was CFG-row alternation in gate_compact, not span staleness.
-    # Aggressive ladder point: BENCH_SD3_DEEP_INTERVAL=16 = 26.7 ms (2.43x)
-    # at rel_mse 0.0008 (reference classifier bar 0.01,
-    # cache_manager.py:101-191).  BENCH_SD3_DEEP= (empty) reverts to dense;
-    # the old combo remains BENCH_SD3_DEEP=2:24 BENCH_SD3_DEEP_INTERVAL=3
-    # BENCH_SD3_CACHE=0.5.
+    # real 24-block depth: @16 rel_mse 0.0008 / max 0.000997 — 12x under
+    # the reference classifier bar (0.01, cache_manager.py:101-191) and
+    # statistically flat vs @12's 0.00053 (the curve stays <=0.0017 out to
+    # interval 30, exp/cache_quality_sd3_span{wide,long}_tiny.json); every
+    # gated combo (compact rows, fine tokens) is dominated by the pure
+    # dense span on both axes — the @6+compact cliff was CFG-row
+    # alternation in gate_compact, not span staleness.  Conservative point:
+    # BENCH_SD3_DEEP_INTERVAL=12 = 33.6 ms (1.93x) at 0.00053.
+    # BENCH_SD3_DEEP= (empty) reverts to dense; the old combo remains
+    # BENCH_SD3_DEEP=2:24 BENCH_SD3_DEEP_INTERVAL=3 BENCH_SD3_CACHE=0.5.
     deep_env = os.environ.get("BENCH_SD3_DEEP", "1:24")
     deep_span = (tuple(int(v) for v in deep_env.split(":"))
                  if deep_env else None)
@@ -96,7 +95,7 @@ def main():
     fine = float(os.environ.get("BENCH_SD3_FINE", "0"))
     stale_kv = (fine > 0
                 and os.environ.get("BENCH_SD3_FINE_STALE_KV", "0") == "1")
-    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "12"))
+    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "16"))
     deep_adaptive = float(os.environ.get("BENCH_SD3_DEEP_ADAPTIVE", "0"))
     deep_cap = int(os.environ.get("BENCH_SD3_DEEP_CAP", "6"))
     prime = None

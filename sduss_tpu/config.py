@@ -396,14 +396,14 @@ class CacheConfig:
           .json); offline/aligned batches get the adaptive schedule
           (0.8752 img/s = 1.95x the H100 SDXL anchor on one v5e,
           exp/bench_sdxl_hybrid03_pairwise_v5e.json).
-        - sd3: wide span-skip 1:24 at interval 12 — 33.6 ms = 1.93x the
-          H100 anchor, rel_mse 0.00053 at 24-block depth
-          (exp/bench_sd3_v5e_span124_i12.json,
+        - sd3: wide span-skip 1:24 at interval 16 — 26.7 ms = 2.43x the
+          H100 anchor, rel_mse 0.0008 at 24-block depth
+          (exp/bench_sd3_v5e_span124_i16.json,
           exp/cache_quality_sd3_spanwide_tiny.json).
         """
         if family == "sd3":
             return cls(enabled=True, mode="deep", sd3_deep_span=(1, 24),
-                       deep_interval=12, deep_warmup=3)
+                       deep_interval=16, deep_warmup=3)
         cfg = cls(enabled=True, mode="deep", deep_interval=3, deep_warmup=3,
                   deep_compact_fraction=0.3, deep_compact_pairwise=True)
         if not serving:

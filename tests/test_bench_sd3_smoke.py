@@ -35,12 +35,12 @@ def run_bench(monkeypatch, capsys):
 
 
 def test_default_is_wide_span(run_bench):
-    """DEFAULT = dense wide span 1:24 @12, token gates off (33.6 ms on
-    chip, exp/bench_sd3_v5e_span124_i12.json); TINY_MMDIT's 2 blocks clamp
+    """DEFAULT = dense wide span 1:24 @16, token gates off (26.7 ms on
+    chip, exp/bench_sd3_v5e_span124_i16.json); TINY_MMDIT's 2 blocks clamp
     it to 1:2."""
     r = run_bench()
     assert r["ms_per_step"] > 0
-    assert r["deep_span"] == [1, 2] and r["deep_interval"] == 12
+    assert r["deep_span"] == [1, 2] and r["deep_interval"] == 16
     assert r["compact_cache_fraction"] == 0.0
 
 

@@ -111,7 +111,7 @@ class TestProductionPresets:
 
         c = CacheConfig.production("sd3")
         assert c.enabled and c.sd3_deep_span == (1, 24)
-        assert c.deep_interval == 12
+        assert c.deep_interval == 16
 
     def test_sdxl_serving_vs_offline(self):
         from sduss_tpu.config import CacheConfig
