@@ -11,22 +11,25 @@ sduss/worker/scheduler/configs/esymred.json:34-39), i.e. ~0.45 img/s/GPU at
 measured img/s/chip divided by that 0.45 anchor.
 
 The default configuration enables temporal deep-block reuse with
-DRIFT-TRIGGERED refresh (threshold 0.05) COMPOSED with CFG-pair-symmetric
-compact row gating on the shallow steps (deep x compact HYBRID, row
-fraction 0.3, pairwise selection) — the reference's headline figures
-likewise run WITH its learned block cache on (reference
-scripts/paper/e2e.sh:32-37 exports ESYMRED_USE_CACHE=TRUE for the
-esymred/fcfs_mixed rows), so cache-on vs cache-on is the apples-to-apples
-comparison.  Measured on chip: hybrid 0.3-pairwise = 0.8752 img/s at 7/30
-full steps (exp/bench_sdxl_hybrid03_pairwise_v5e.json) vs 0.7575 hybrid
-0.5, 0.6475 plain adaptive, 0.5684 fixed interval 3.  Quality ladder
-(batch-8 tiny-harness trajectory divergence,
-exp/cache_quality_sdxl_hybrid{_pairwise,}_b8_tiny.json): plain adaptive
-0.00248 < hybrid-0.5 0.00277 < hybrid-0.3-pairwise 0.00341 < the round-1
-shipped default (fixed interval 3) 0.0040 — the default is faster AND
-tighter-bounded than round 1's.  Pairwise selection is what clears 0.3:
-independent top-K picks 5 of 16 rows (odd) and splits CFG pairs
-(0.00587).  The cache-off number is reported alongside.
+DRIFT-TRIGGERED refresh (threshold 0.1, safety cap 10) COMPOSED with
+CFG-pair-symmetric compact row gating and reuse-then-predict on the
+shallow steps (deep x compact HYBRID, row fraction 0.3, pairwise
+selection, momentum 0.5) — the reference's headline figures likewise run
+WITH its learned block cache on (reference scripts/paper/e2e.sh:32-37
+exports ESYMRED_USE_CACHE=TRUE for the esymred/fcfs_mixed rows), so
+cache-on vs cache-on is the apples-to-apples comparison.  Measured on
+chip: threshold 0.1/cap 10 = 1.0176 img/s at 5/30 full steps = 2.26x the
+H100 anchor (exp/bench_sdxl_frontier_t01c10_v5e.json) vs 0.8752 at the
+old threshold 0.05/cap 6, 0.7575 hybrid 0.5, 0.6475 plain adaptive,
+0.5684 fixed interval 3.  Quality (tiny-harness trajectory divergence):
+threshold 0.1/cap 10 = 0.0018 on the 3-level proxy
+(exp/cache_quality_sdxl_bdy2_t01c10_tiny.json) / 0.0074 on the 2-level
+frontier study — both under the reference's 0.01 classifier bar
+(cache_manager.py:101-191); the old default measured 0.00341
+(exp/cache_quality_sdxl_hybrid_pairwise_b8_tiny.json).  Pairwise
+selection is what clears fraction 0.3: independent top-K picks 5 of 16
+rows (odd) and splits CFG pairs (5x the divergence).  The cache-off
+number is reported alongside.
 
 Env knobs:
   BENCH_BATCH   image batch per step (default 8; measured best on v5e)
@@ -34,10 +37,10 @@ Env knobs:
   BENCH_STEPS   denoise steps per timed run (default 30)
   BENCH_REPEATS timed repeats, best-of (default 3)
   BENCH_DEEP_ADAPTIVE  drift threshold for the adaptive deep schedule
-                (default 0.05, the measured on-chip winner; 0 reverts to
+                (default 0.1, the measured on-chip winner; 0 reverts to
                 the fixed BENCH_DEEP interval; BENCH_DEEP_CAP safety
-                interval, BENCH_DEEP_WARMUP always-full prefix); reports
-                the realized full-step count
+                interval, default 10; BENCH_DEEP_WARMUP always-full
+                prefix); reports the realized full-step count
   BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (default 0.3, the
                 measured on-chip winner inside the round-1 quality bound;
                 0 = plain adaptive): shallow steps additionally gate their
@@ -474,7 +477,7 @@ def main() -> None:
             (params, latents, t, coeffs, guidance, ehs, pooled, time_ids) = args
             deep_interval = int(os.environ.get("BENCH_DEEP", "3"))
             compact_frac = float(os.environ.get("BENCH_COMPACT", "0"))
-            adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05"))
+            adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.1"))
             hybrid_frac = float(os.environ.get("BENCH_DEEP_HYBRID", "0.3"))
             n_full = None
             if mode == "scan":
@@ -483,7 +486,7 @@ def main() -> None:
                 if hybrid_frac > 0 and compact_frac <= 0:
                     run = make_hybrid_trajectory(
                         n_steps, adaptive_thresh or 0.05,
-                        cap=int(os.environ.get("BENCH_DEEP_CAP", "6")),
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "10")),
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")),
                         fraction=hybrid_frac,
                         pairwise=os.environ.get("BENCH_HYBRID_PAIRWISE",
@@ -493,7 +496,7 @@ def main() -> None:
                 elif adaptive:
                     run = make_adaptive_deep_trajectory(
                         n_steps, adaptive_thresh,
-                        cap=int(os.environ.get("BENCH_DEEP_CAP", "6")),
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "10")),
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")))
                 elif compact_frac > 0:
                     run = make_compact_trajectory(n_steps, compact_frac)
@@ -556,7 +559,7 @@ def main() -> None:
         "batch": best_b,
         "deep_reuse_interval": deep if mode == "scan" else 0,
         "deep_adaptive_threshold": float(
-            os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05")),
+            os.environ.get("BENCH_DEEP_ADAPTIVE", "0.1")),
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
         "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
         "hybrid_pairwise": os.environ.get("BENCH_HYBRID_PAIRWISE", "1") == "1",

@@ -394,8 +394,8 @@ class CacheConfig:
           refresh loses under rolling admissions (the "any member needs
           full" OR re-densifies the schedule, exp/sim_adaptive_serving
           .json); offline/aligned batches get the adaptive schedule
-          (0.8752 img/s = 1.95x the H100 SDXL anchor on one v5e,
-          exp/bench_sdxl_hybrid03_pairwise_v5e.json).
+          (threshold 0.1/cap 10: 1.0176 img/s = 2.26x the H100 SDXL
+          anchor on one v5e, exp/bench_sdxl_frontier_t01c10_v5e.json).
         - sd3: wide span-skip 1:24 at interval 16 — 26.7 ms = 2.43x the
           H100 anchor, rel_mse 0.0008 at 24-block depth
           (exp/bench_sd3_v5e_span124_i16.json,
@@ -408,8 +408,8 @@ class CacheConfig:
                   deep_compact_fraction=0.3, deep_compact_pairwise=True)
         if not serving:
             cfg.deep_adaptive = True
-            cfg.deep_drift_threshold = 0.05
-            cfg.deep_max_interval = 6
+            cfg.deep_drift_threshold = 0.1
+            cfg.deep_max_interval = 10
             cfg.deep_predict = 0.5
         return cfg
 
