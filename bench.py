@@ -10,26 +10,27 @@ sduss/worker/scheduler/configs/esymred.json:34-39), i.e. ~0.45 img/s/GPU at
 30 steps, batch 1, fp16 — before continuous-batching gains. vs_baseline is
 measured img/s/chip divided by that 0.45 anchor.
 
-The default configuration enables temporal deep-block reuse with
-DRIFT-TRIGGERED refresh (threshold 0.1, safety cap 10) COMPOSED with
-CFG-pair-symmetric compact row gating and reuse-then-predict on the
-shallow steps (deep x compact HYBRID, row fraction 0.3, pairwise
-selection, momentum 0.5) — the reference's headline figures likewise run
-WITH its learned block cache on (reference scripts/paper/e2e.sh:32-37
-exports ESYMRED_USE_CACHE=TRUE for the esymred/fcfs_mixed rows), so
-cache-on vs cache-on is the apples-to-apples comparison.  Measured on
-chip: threshold 0.1/cap 10 = 1.0176 img/s at 5/30 full steps = 2.26x the
-H100 anchor (exp/bench_sdxl_frontier_t01c10_v5e.json) vs 0.8752 at the
-old threshold 0.05/cap 6, 0.7575 hybrid 0.5, 0.6475 plain adaptive,
-0.5684 fixed interval 3.  Quality (tiny-harness trajectory divergence):
-threshold 0.1/cap 10 = 0.0018 on the 3-level proxy
-(exp/cache_quality_sdxl_bdy2_t01c10_tiny.json) / 0.0074 on the 2-level
-frontier study — both under the reference's 0.01 classifier bar
-(cache_manager.py:101-191); the old default measured 0.00341
-(exp/cache_quality_sdxl_hybrid_pairwise_b8_tiny.json).  Pairwise
-selection is what clears fraction 0.3: independent top-K picks 5 of 16
-rows (odd) and splits CFG pairs (5x the divergence).  The cache-off
-number is reported alongside.
+The default configuration enables temporal deep-block reuse at BOUNDARY 1
+(the shallow step is conv-only — every transformer level above level 0 is
+cached, the SDXL analog of SD3's wide span) with DRIFT-TRIGGERED refresh
+(threshold 0.2, safety cap 15) COMPOSED with CFG-pair-symmetric compact
+row gating and reuse-then-predict on the shallow steps (deep x compact
+HYBRID, row fraction 0.3, pairwise selection, momentum 0.5) — the
+reference's headline figures likewise run WITH its learned block cache on
+(reference scripts/paper/e2e.sh:32-37 exports ESYMRED_USE_CACHE=TRUE for
+the esymred/fcfs_mixed rows), so cache-on vs cache-on is the
+apples-to-apples comparison.  Measured on chip: boundary 1 + t0.2/cap15 =
+1.5508 img/s at 4/30 full steps = 3.45x the H100 anchor
+(exp/bench_sdxl_bdy1_t02c15_v5e.json) vs 1.0199 at the round-2 default
+(bdy2 t0.1/cap10), 0.8752 at t0.05/cap6, 0.6475 plain adaptive, 0.5684
+fixed interval 3.  Quality (tiny-harness trajectory divergence at the
+3-level proxy): bdy1 t0.2/cap15 = 0.00629
+(exp/cache_quality_sdxl_bdy1_t02c15_tiny.json) — under the reference's
+0.01 classifier bar (cache_manager.py:101-191; decision rule in
+docs/DESIGN.md "Cache default adjudication").  Pairwise selection is what
+clears fraction 0.3: independent top-K picks 5 of 16 rows (odd) and
+splits CFG pairs (5x the divergence).  The cache-off number is reported
+alongside.
 
 Env knobs:
   BENCH_BATCH   image batch per step (default 8; measured best on v5e)
@@ -37,9 +38,9 @@ Env knobs:
   BENCH_STEPS   denoise steps per timed run (default 30)
   BENCH_REPEATS timed repeats, best-of (default 3)
   BENCH_DEEP_ADAPTIVE  drift threshold for the adaptive deep schedule
-                (default 0.1, the measured on-chip winner; 0 reverts to
-                the fixed BENCH_DEEP interval; BENCH_DEEP_CAP safety
-                interval, default 10; BENCH_DEEP_WARMUP always-full
+                (default 0.2, the measured on-chip winner at boundary 1;
+                0 reverts to the fixed BENCH_DEEP interval; BENCH_DEEP_CAP
+                safety interval, default 15; BENCH_DEEP_WARMUP always-full
                 prefix); reports the realized full-step count
   BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (default 0.3, the
                 measured on-chip winner inside the round-1 quality bound;
@@ -48,9 +49,12 @@ Env knobs:
                 (CacheConfig.deep_compact_fraction), full steps write the
                 row caches through; composes with the adaptive schedule
                 above
-  BENCH_DEEP_BOUNDARY  deep-cache boundary level (default: deepest-1 = 2
-                for SDXL).  1 = cache everything above level 0: the shallow
-                step becomes conv-only, the SDXL analog of SD3's wide span.
+  BENCH_DEEP_BOUNDARY  deep-cache boundary level (default 1 = cache
+                everything above level 0: the shallow step becomes
+                conv-only, the SDXL analog of SD3's wide span — the
+                chip-confirmed headline).  0 = model default (deepest-1 =
+                2 for SDXL, the round-2 configuration); values clamp into
+                [1, n_levels-1].
   BENCH_HYBRID_PAIRWISE  1 (default) = CFG-pair-symmetric row selection
                 (gate_compact_pairs; odd independent top-K counts split
                 uncond/cond pairs and the CFG combine amplifies it);
@@ -162,11 +166,19 @@ def build_step(batch: int):
         return one_step(params, latents, t, coeffs[:, 0], coeffs[:, 1],
                         guidance, ehs, pooled, time_ids)
 
-    # BENCH_DEEP_BOUNDARY: deep-cache boundary level (default deepest-1).
-    # boundary=1 caches everything above level 0 — the shallow step becomes
-    # conv-only (no transformers), the SDXL analog of SD3's wide span.
-    _bdy_env = os.environ.get("BENCH_DEEP_BOUNDARY", "")
-    deep_bdy = int(_bdy_env) if _bdy_env else None
+    # BENCH_DEEP_BOUNDARY: deep-cache boundary level (default 1 — the
+    # chip-confirmed headline: boundary=1 caches everything above level 0,
+    # the shallow step becomes conv-only (no transformers), the SDXL analog
+    # of SD3's wide span; 1.5508 img/s at t0.2/cap15,
+    # /tmp->exp/bench_sdxl_bdy1_t02c15).  0 = model default (deepest-1);
+    # out-of-range values clamp into [1, n_levels-1] so tiny smoke configs
+    # degenerate to deepest-1 instead of crashing (a literal boundary 0
+    # would never capture deep_feature and the first shallow step dies on
+    # deep_state=None — advisor r2 finding).
+    _bdy_env = os.environ.get("BENCH_DEEP_BOUNDARY", "1")
+    deep_bdy = (int(_bdy_env) or None) if _bdy_env else None
+    if deep_bdy is not None:
+        deep_bdy = max(1, min(deep_bdy, len(unet.cfg.block_out_channels) - 1))
 
     def _deep_shapes():
         n_lv = len(unet.cfg.block_out_channels)
@@ -477,7 +489,7 @@ def main() -> None:
             (params, latents, t, coeffs, guidance, ehs, pooled, time_ids) = args
             deep_interval = int(os.environ.get("BENCH_DEEP", "3"))
             compact_frac = float(os.environ.get("BENCH_COMPACT", "0"))
-            adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.1"))
+            adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.2"))
             hybrid_frac = float(os.environ.get("BENCH_DEEP_HYBRID", "0.3"))
             n_full = None
             if mode == "scan":
@@ -486,7 +498,7 @@ def main() -> None:
                 if hybrid_frac > 0 and compact_frac <= 0:
                     run = make_hybrid_trajectory(
                         n_steps, adaptive_thresh or 0.05,
-                        cap=int(os.environ.get("BENCH_DEEP_CAP", "10")),
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "15")),
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")),
                         fraction=hybrid_frac,
                         pairwise=os.environ.get("BENCH_HYBRID_PAIRWISE",
@@ -496,7 +508,7 @@ def main() -> None:
                 elif adaptive:
                     run = make_adaptive_deep_trajectory(
                         n_steps, adaptive_thresh,
-                        cap=int(os.environ.get("BENCH_DEEP_CAP", "10")),
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "15")),
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")))
                 elif compact_frac > 0:
                     run = make_compact_trajectory(n_steps, compact_frac)
@@ -559,13 +571,14 @@ def main() -> None:
         "batch": best_b,
         "deep_reuse_interval": deep if mode == "scan" else 0,
         "deep_adaptive_threshold": float(
-            os.environ.get("BENCH_DEEP_ADAPTIVE", "0.1")),
+            os.environ.get("BENCH_DEEP_ADAPTIVE", "0.2")),
+        "deep_cap": int(os.environ.get("BENCH_DEEP_CAP", "15")),
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
         "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
         "hybrid_pairwise": os.environ.get("BENCH_HYBRID_PAIRWISE", "1") == "1",
         "hybrid_predict": float(os.environ.get("BENCH_HYBRID_PREDICT", "0.5")),
-        "deep_boundary": (int(os.environ["BENCH_DEEP_BOUNDARY"])
-                          if os.environ.get("BENCH_DEEP_BOUNDARY") else None),
+        "deep_boundary": (int(os.environ.get("BENCH_DEEP_BOUNDARY", "1"))
+                          or None),
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 

@@ -791,9 +791,19 @@ def main():
                 if args.family == "sd3" and args.mmdit_layers else {})
     if args.family == "sdxl":
         if args.unet_levels:
+            if not args.tiny:
+                ap.error("--unet-levels shapes the TINY proxy only; pass "
+                         "--tiny (full-size SDXL always has its real 3 "
+                         "levels)")
             build_kw["levels"] = args.unet_levels
         if args.deep_boundary:
             build_kw["boundary"] = args.deep_boundary
+    elif args.unet_levels or args.deep_boundary:
+        # These knobs only reach the SDXL UNet builders; silently echoing
+        # them into the artifact for sd15/sd3 would label default-config
+        # numbers with knobs that never applied (advisor r2 finding).
+        ap.error("--unet-levels/--deep-boundary only apply to "
+                 "--family sdxl")
     (run_plain, run_deep, run_compact, make_inputs, params,
      run_drift, run_deep_adaptive, run_deep_hybrid, run_deep_span,
      run_cfg_reuse, run_deep_predict) = build(args.tiny, args.batch, res,

@@ -393,9 +393,13 @@ class CacheConfig:
           Serving keeps the FIXED interval-3 refresh — drift-adaptive
           refresh loses under rolling admissions (the "any member needs
           full" OR re-densifies the schedule, exp/sim_adaptive_serving
-          .json); offline/aligned batches get the adaptive schedule
-          (threshold 0.1/cap 10: 1.0176 img/s = 2.26x the H100 SDXL
-          anchor on one v5e, exp/bench_sdxl_frontier_t01c10_v5e.json).
+          .json); a hybrid interval-3 serving pass is chip-clean (100%
+          machine SLO, zero aborts, exp/serving_sdxl_hybrid_v5e_r2z.json).
+          Offline/aligned batches additionally get boundary-1 (conv-only
+          shallow steps) + the adaptive schedule (threshold 0.2/cap 15:
+          1.5508 img/s = 3.45x the H100 SDXL anchor on one v5e,
+          exp/bench_sdxl_bdy1_t02c15_v5e.json; adjudication rule in
+          docs/DESIGN.md "Cache default adjudication").
         - sd3: wide span-skip 1:24 at interval 16 — 26.7 ms = 2.43x the
           H100 anchor, rel_mse 0.0008 at 24-block depth
           (exp/bench_sd3_v5e_span124_i16.json,
@@ -407,9 +411,10 @@ class CacheConfig:
         cfg = cls(enabled=True, mode="deep", deep_interval=3, deep_warmup=3,
                   deep_compact_fraction=0.3, deep_compact_pairwise=True)
         if not serving:
+            cfg.deep_boundary = 1
             cfg.deep_adaptive = True
-            cfg.deep_drift_threshold = 0.1
-            cfg.deep_max_interval = 10
+            cfg.deep_drift_threshold = 0.2
+            cfg.deep_max_interval = 15
             cfg.deep_predict = 0.5
         return cfg
 

@@ -264,6 +264,14 @@ class AutoencoderKL:
         if strips is None:
             strips = w <= (tile * tile) // 8 and (tile * tile) // w < h
         if strips:
+            if w > (tile * tile) // 8:
+                # An explicit strips=True on a very wide latent would floor
+                # tile_h at 8 and silently blow the tile^2 live-cell budget
+                # (8*w cells) — the exact OOM this path exists to prevent.
+                raise ValueError(
+                    f"strips=True needs latent width <= tile^2/8 "
+                    f"({(tile * tile) // 8} cells at tile={tile}); got w={w}. "
+                    f"Use 2D tiling (strips=False) or a larger tile.")
             tile_h = max(8, min((tile * tile) // w, h))
             tile_w = w
             ov_h, ov_w = min(overlap, tile_h // 4), 0

@@ -102,13 +102,20 @@ class FCFSMixed(Policy):
         if stage is None:
             return None
         reqs = pool.in_stage(stage)
-        if stage is Stage.DENOISING and self.config.use_mixed_resolution:
-            batch = self._take(reqs, self.config.max_batch_size)
-            mixed = len({r.resolution for r in batch}) > 1
-            return ScheduledBatch(stage, batch, mixed=mixed)
-        res = reqs[0].resolution
-        same = [r for r in reqs if r.resolution == res]
-        return ScheduledBatch(stage, self._take(same, self.config.max_batch_size))
+        if stage is Stage.DENOISING and not self.config.use_mixed_resolution:
+            # mixed denoising disabled at the config: single-res batches
+            res = reqs[0].resolution
+            reqs = [r for r in reqs if r.resolution == res]
+        # Every stage batches oldest-first ACROSS resolutions (reference
+        # FCFS_Mixed.py:44-57 collects by status only; prepare is
+        # res-independent and the worker groups postprocess by res) — a
+        # same-res prepare restriction would make denoise cohorts
+        # single-res under run-to-completion, collapsing this policy into
+        # Orca_ResByRes.
+        batch = self._take(reqs, self.config.max_batch_size)
+        mixed = (stage is Stage.DENOISING
+                 and len({r.resolution for r in batch}) > 1)
+        return ScheduledBatch(stage, batch, mixed=mixed)
 
 
 class OrcaResByRes(Policy):

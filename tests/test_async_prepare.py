@@ -58,6 +58,11 @@ class _StubPipeline:
             for r in reqs:
                 r.output_images = [np.zeros((4, 4, 3), np.uint8)]
 
+    def evict_finished_state(self, request_ids):
+        # BasePipeline contract: free composition-keyed cache state touching
+        # finished requests (sduss_tpu/pipelines/base.py). Stub holds none.
+        pass
+
 
 def _worker(prepare_delay_s=0.0, async_prepare=True):
     c = Config()

@@ -121,8 +121,11 @@ class TestProductionPresets:
         # serving: fixed interval (adaptive loses under rolling admissions)
         assert not s.deep_adaptive and s.deep_interval == 3
         assert s.deep_compact_fraction == 0.3 and s.deep_compact_pairwise
-        # offline/aligned: adaptive refresh + reuse-then-predict
+        # offline/aligned: boundary-1 + adaptive refresh + reuse-then-predict
+        # (chip-confirmed 1.5508 img/s, exp/bench_sdxl_bdy1_t02c15_v5e.json)
         assert o.deep_adaptive and o.deep_predict == 0.5
+        assert o.deep_boundary == 1
+        assert o.deep_drift_threshold == 0.2 and o.deep_max_interval == 15
 
     def test_preset_drives_tiny_engine(self):
         import numpy as np
