@@ -60,8 +60,13 @@ class ESyMReDPolicy(Policy):
         # Worker.observe_step_time).  The fitted predictor measures CACHE-OFF
         # dense steps; serving runs cache-on, so raw predictions overestimate
         # ~3x (SD3 span-skip r2t: 972 ms predicted, 322 ms realized) and the
-        # slack math aborts healthy requests.
+        # slack math aborts healthy requests.  Primed lazily from the cache
+        # schedule's expected steady-state factor (profiles.py
+        # cache_step_factor) — the cold-start decay from 1.0 measurably
+        # starved admissions (exp/serving_sd15_v5e_r2w.json: batch stuck at
+        # 3 with 12 requests prepared while the EMA learned 120 -> 67 ms).
         self._step_correction = 1.0
+        self._correction_primed = False
 
     def observe_step_time(self, requests: List[Request], ms: float) -> None:
         alpha = getattr(self.config, "step_time_ema", 0.0)
@@ -79,10 +84,20 @@ class ESyMReDPolicy(Policy):
 
     # corrected prediction helpers --------------------------------------------
 
+    def _maybe_prime_correction(self) -> None:
+        """One-time cache-factor prior (cache_config is assigned after
+        construction by WorkerScheduler, so priming is lazy)."""
+        if not self._correction_primed:
+            self._correction_primed = True
+            self._step_correction = self.profile.cache_step_factor(
+                self.cache_config)
+
     def _predict_counts(self, counts: List[int]) -> float:
+        self._maybe_prime_correction()
         return self.predictor.predict(counts) * self._step_correction
 
     def _single_step_s(self, resolution: int) -> float:
+        self._maybe_prime_correction()
         return self.predictor.single_request_step_s(resolution) \
             * self._step_correction
 

@@ -38,6 +38,12 @@ _DEFAULT_STEP_LATENCY: Dict[str, Dict[str, float]] = {
     "sd3": {"512": 0.0414, "768": 0.0574, "1024": 0.065},
 }
 
+# Measured shallow/full deep-cache step-cost ratios on one v5e (BENCH
+# logs): SDXL deep-3 b8 full 830 ms / shallow 360 ms; SD3 span 1:24
+# full 230 ms / shallow 12.2 ms; SD1.5's UNet mirrors SDXL's structure.
+_SHALLOW_STEP_RATIO: Dict[str, float] = {
+    "sdxl": 0.434, "sd15": 0.434, "sd3": 0.053}
+
 
 @dataclasses.dataclass
 class StageProfile:
@@ -99,6 +105,36 @@ class StageProfile:
         if batch_size <= len(tbl):
             return tbl[batch_size - 1]
         return tbl[-1] * batch_size / len(tbl)
+
+    def cache_step_factor(self, cache_config) -> float:
+        """Expected steady-state (cache-on / cache-off) step-cost ratio.
+
+        The latency predictor is fitted on CACHE-OFF profiler steps, but
+        serving runs cache-on — raw predictions overestimate ~(1/factor)x
+        and the cold-start EMA takes tens of iterations to learn it down,
+        during which the slack math refuses healthy admissions (measured:
+        exp/serving_sd15_v5e_r2w.json schedule stuck at b3 with 12
+        requests prepared while pred_ms decayed 120 -> 67).  Priming the
+        correction from the cache schedule removes the cold start; the
+        realized-step-time EMA still refines the residual online.
+
+        Steady state under a deep interval k: 1 full + (k-1) shallow
+        steps per k, shallow costing ``_SHALLOW_STEP_RATIO[family]`` of a
+        full (measured on one v5e: SDXL deep-3 b8 full 830 ms / shallow
+        360 ms; SD3 span 1:24 full 230 ms / shallow 12.2 ms).
+        """
+        cc = cache_config
+        if cc is None or not getattr(cc, "enabled", False):
+            return 1.0
+        if getattr(cc, "mode", None) != "deep":
+            return 1.0  # compact/fine token gates: smaller, load-dependent
+        adaptive = getattr(cc, "deep_adaptive", False)
+        interval = max(cc.deep_max_interval if adaptive
+                       else cc.deep_interval, 1)
+        if interval <= 1:
+            return 1.0
+        ratio = _SHALLOW_STEP_RATIO.get(self.family, 1.0)
+        return (1.0 + (interval - 1) * ratio) / interval
 
     # -- persistence ---------------------------------------------------------
 

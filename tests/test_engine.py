@@ -157,10 +157,16 @@ class TestEngine:
         reqs = [_req("h0", steps=4), _req("h1", steps=4)]
         eng.add_requests(reqs)
         outs = []
+        saw_state = False
         while eng.has_unfinished_requests():
             outs.extend(eng.step())
+            # store-backed rows live WHILE the batch denoises...
+            saw_state = saw_state or bool(eng.workers[0].pipeline._comp_state)
         assert len(outs) == 2 and all(o.error is None for o in outs)
-        assert eng.workers[0].pipeline._comp_state  # store-backed rows
+        assert saw_state
+        # ...and are evicted once every touching request finishes
+        # (Worker.step -> pipeline.evict_finished_state, session-11 OOM fix)
+        assert not eng.workers[0].pipeline._comp_state
 
     def test_prewarm_adaptive_mints_both_deep_programs(self):
         """Under adaptive refresh, prewarm must still compile BOTH the full
