@@ -118,7 +118,8 @@ def simulate(family: str, policy_name: str, rows, slo: int,
              max_batch: int = 8, cache_on: bool = True, seed: int = 0,
              collect_timeline: bool = False):
     cfg = SchedulerConfig(policy=policy_name, max_batch_size=max_batch,
-                          batch_buckets=(1, 2, 4, 8))
+                          batch_buckets=(1, 2, 4, 8),
+                          slo_scale=float(slo))  # policy targets the swept SLO
     if profile_path and os.path.exists(profile_path):
         with open(profile_path) as f:
             cfg.stage_latency_overrides = json.load(f)
@@ -284,8 +285,13 @@ def main():
                      steps=steps, slo=args.slo,
                      distribution=args.distribution,
                      cache_on=not args.cache_off)
+            tag = ""
+            if args.distribution != "uniform":
+                tag += f"_{args.distribution}"
+            if args.slo != 5:
+                tag += f"_slo{args.slo}"
             out = os.path.join(args.out_dir,
-                               f"sim_{fam}_{polname}_{qps}.json")
+                               f"sim_{fam}_{polname}_{qps}{tag}.json")
             with open(out, "w") as f:
                 json.dump(m, f, indent=1)
             summary.append(m)
@@ -295,7 +301,9 @@ def main():
                                "slo_attainment_machine", "goodput_rps",
                                "goodput_machine_rps", "throughput_rps",
                                "abort_rate", "p99_latency_s")}), flush=True)
-    with open(os.path.join(args.out_dir, f"sim_{fam}_summary.json"),
+    tag = ("" if args.distribution == "uniform" else f"_{args.distribution}") \
+        + ("" if args.slo == 5 else f"_slo{args.slo}")
+    with open(os.path.join(args.out_dir, f"sim_{fam}_summary{tag}.json"),
               "w") as f:
         json.dump(summary, f, indent=1)
 
