@@ -113,10 +113,28 @@ def needs_full(requests, cache: CacheConfig) -> bool:
         for r in requests)
 
 
+class _DisplacedPar:
+    """Stand-in ParallelConfig for the displaced admission gate."""
+
+    def __init__(self, warmup: int):
+        self.sp_mode = "displaced"
+        self.displaced_warmup = warmup
+
+
+# Displaced-SP step-cost factors (host-model estimates, not chip-measured:
+# the stale-KV step skips the all-gather critical path — DistriFuser
+# reports ~1.2-1.6x step speedups at 2-4 GPUs, reference
+# distrifuser/utils.py:23-66; the sim only needs sync > stale for the
+# admission-batching comparison to be meaningful).
+DISP_SYNC_FACTOR = 1.0
+DISP_STALE_FACTOR = 0.72
+
+
 def simulate(family: str, policy_name: str, rows, slo: int,
              predictor_path: str, profile_path: str,
              max_batch: int = 8, cache_on: bool = True, seed: int = 0,
-             collect_timeline: bool = False):
+             collect_timeline: bool = False, displaced: bool = False,
+             displaced_warmup: int = 4, displaced_defer: bool = True):
     cfg = SchedulerConfig(policy=policy_name, max_batch_size=max_batch,
                           batch_buckets=(1, 2, 4, 8),
                           slo_scale=float(slo))  # policy targets the swept SLO
@@ -130,6 +148,8 @@ def simulate(family: str, policy_name: str, rows, slo: int,
              else CacheConfig(enabled=False))
     pol = get_policy(policy_name, cfg, family=family)
     pol.cache_config = cache
+    if displaced and displaced_defer:
+        pol.parallel_config = _DisplacedPar(displaced_warmup)
 
     profile = get_profile(family, slo_scale=float(slo),
                           overrides=cfg.stage_latency_overrides or None)
@@ -147,6 +167,8 @@ def simulate(family: str, policy_name: str, rows, slo: int,
     pending = sorted(range(len(rows)), key=lambda i: rows[i].arrival_ms)
     records, timeline = [], []
     idle_spins = 0
+    # displaced-SP state mirror: composition -> steps run since it formed
+    disp_comp, disp_steps, disp_changes = None, 0, 0
 
     while True:
         while pending and rows[pending[0]].arrival_ms / 1000.0 <= clock["t"]:
@@ -194,6 +216,14 @@ def simulate(family: str, policy_name: str, rows, slo: int,
         elif batch.stage is Stage.DENOISING:
             full = needs_full(batch.requests, cache)
             c = cost.denoise_s(batch.requests, full)
+            if displaced:
+                comp = tuple(sorted(r.request_id for r in batch.requests))
+                if comp != disp_comp:
+                    disp_comp, disp_steps = comp, 0
+                    disp_changes += 1
+                c *= (DISP_SYNC_FACTOR if disp_steps < displaced_warmup
+                      else DISP_STALE_FACTOR)
+                disp_steps += 1
             pol.observe_step_time(batch.requests, c * 1000.0)
             for r in batch.requests:
                 if r.start_denoising_time is None:
@@ -233,6 +263,9 @@ def simulate(family: str, policy_name: str, rows, slo: int,
     m["slo_attainment_machine"] = machine["slo_attainment"]
     m["goodput_machine_rps"] = machine["goodput_rps"]
     m["makespan_s"] = round(clock["t"], 1)
+    if displaced:
+        m["displaced_composition_changes"] = disp_changes
+        m["displaced_defer"] = displaced_defer
     return m, timeline
 
 

@@ -49,7 +49,8 @@ class Worker:
         self.pipeline = pipeline
         self.config = config
         self.scheduler = WorkerScheduler(config.scheduler, pipeline.bundle.family,
-                                         cache_config=config.cache)
+                                         cache_config=config.cache,
+                                         parallel_config=config.parallel)
         self.iteration = 0
         # Per-step schedule log (reference schedule.csv, engine/engine.py:
         # 327-373), populated when engine.collect_data is on.

@@ -744,17 +744,35 @@ class BasePipeline:
         finishes are state boundaries that re-run ``displaced_warmup`` sync
         (fresh-gather, exact) steps — the same re-synchronization shape the
         deep cache solves with phase-aligned admission (docs/DESIGN.md
-        round-3 note).  The block caches keep precedence when enabled: they
-        don't thread through this seam yet (the runner-level composition in
-        parallel/displaced.py does; serving integration is a later round).
+        round-3 note).
+
+        Cache composition (round 3): the PLAIN deep cache (fixed interval,
+        no hybrid rows / adaptive refresh / compact gathers) rides this
+        seam — full/shallow steps each carry their OWN per-program stale-KV
+        dict (attention-site keys are per-program counters) and the deep
+        feature is composition-keyed sharded state.  Gated cache modes
+        (hybrid/compact/fine) keep GSPMD precedence: their row gathers are
+        batch-global and don't shard over 'sp' rows here (the runner-level
+        token composition in parallel/displaced.py covers that shape).
         """
         if not self._displaced_requested():
             return False
-        if self.config.cache.enabled:
-            self._warn_once("displaced sp_mode: cache.enabled takes "
-                            "precedence — serving on the GSPMD path")
+        if self.config.cache.enabled and not self._displaced_deep_ok():
+            self._warn_once("displaced sp_mode: this cache configuration "
+                            "takes precedence — serving on the GSPMD path "
+                            "(plain deep interval composes; hybrid/compact/"
+                            "adaptive do not)")
             return False
         return True
+
+    def _displaced_deep_ok(self) -> bool:
+        """Does the enabled cache compose with the displaced serving seam?
+        Plain fixed-interval deep reuse only (UNet families)."""
+        cc = self.config.cache
+        return (self._deep_cache_active()
+                and cc.deep_compact_fraction is None
+                and not cc.deep_adaptive
+                and not cc.deep_predict)
 
     def _displaced_ctx_cls(self):
         """ctx class for the sharded denoiser seam (SD3 overrides)."""
@@ -785,50 +803,113 @@ class BasePipeline:
         key = (res, bb, comp)
         st = self._disp_state.get(key)
         if st is None:
-            st = {"comp": comp, "kv": {}, "warm": 0}
+            st = {"comp": comp, "kv": {}, "warm": 0,
+                  "deep": None, "deep_age": 0}
             self._disp_state[key] = st
         self._disp_state.move_to_end(key)
         while len(self._disp_state) > 4:
             self._disp_state.popitem(last=False)
+
+        # Plain-deep composition (see _displaced_deep_ok): mode chosen
+        # exactly like _denoise_group_deep, but the deep feature is
+        # COMPOSITION state (sharded over 'sp' with the latents) — a
+        # composition change resets it alongside the KV, which aligns the
+        # forced full pass with the displaced sync warmup.
+        deep_on = self.config.cache.enabled and self._displaced_deep_ok()
+        if deep_on:
+            interval, warmup_deep, _ = self._deep_policy()
+            steps_done = min(r.sampler_table.step for r in reqs)
+            need_full = (st["deep"] is None
+                         or st["deep_age"] >= interval - 1
+                         or steps_done < warmup_deep)
+            mode = "full" if need_full else "shallow"
+        else:
+            mode = None
+        # Full and shallow are different traced programs visiting different
+        # attention sites, and ShardContext keys KV by a per-program call
+        # counter — each mode therefore carries its OWN stale-KV dict.
+        kv = st["kv"].setdefault(mode or "dense", {})
         stale = st["warm"] >= self.config.parallel.displaced_warmup \
-            and bool(st["kv"])
+            and bool(kv)
         # donate the threaded KV pytree (arg 6): full-sequence K/V for
         # every attention is multi-GB at full size; old+new copies across
         # the step would halve serving headroom (same aliasing rationale
         # as the hybrid/compact cache states)
-        fn = self._jit(("denoise_displaced", res, bb, stale),
-                       self._make_displaced_fn(stale), donate=(6,))
-        new_latents, new_kv = fn(self.params, latents, jnp.asarray(t),
-                                 jnp.asarray(coeffs), jnp.asarray(guidance),
-                                 cond, st["kv"])
-        st["kv"] = new_kv
+        fn = self._jit(("denoise_displaced", res, bb, stale, mode),
+                       self._make_displaced_fn(stale, mode), donate=(6,))
+        if mode == "full":
+            new_latents, new_kv, deep_out = fn(
+                self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
+                jnp.asarray(guidance), cond, kv)
+            st["deep"] = deep_out
+            st["deep_age"] = 0
+        elif mode == "shallow":
+            new_latents, new_kv = fn(
+                self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
+                jnp.asarray(guidance), cond, kv, st["deep"])
+            st["deep_age"] += 1
+        else:
+            new_latents, new_kv = fn(
+                self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
+                jnp.asarray(guidance), cond, kv)
+        st["kv"][mode or "dense"] = new_kv
         st["warm"] += 1
+        if deep_on:
+            # Mirror onto the requests so ESyMReD's deep-phase admission
+            # gate (_deep_defer) sees the real full/shallow cadence; the
+            # shared reference costs nothing, and its (2B, ...) layout
+            # forces a fresh full pass if a request ever re-routes to the
+            # dense deep path (shape check in _denoise_group_deep).
+            for r in reqs:
+                r.deep_state = st["deep"]
+                r.deep_age = st["deep_age"]
         return new_latents
 
-    def _make_displaced_fn(self, stale: bool):
+    def _make_displaced_fn(self, stale: bool, deep_mode=None):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         mesh = self.placement.mesh
         ctx_cls = self._displaced_ctx_cls()
+        deep_kw = {} if deep_mode is None else {"deep_mode": deep_mode}
 
-        def local_step(params, x, t, coeffs, guidance, cond, kv_state):
+        def local_step(params, x, t, coeffs, guidance, cond, kv_state,
+                       deep=None):
             ctx = ctx_cls(axis="sp", stale=stale, kv_state=kv_state)
-            noise_pred, c0, c1, _ = self._cfg_step(
+            kw = dict(deep_kw)
+            if deep_mode == "shallow":
+                kw["deep_state"] = deep
+            noise_pred, c0, c1, deep_out = self._cfg_step(
                 x, t, coeffs, guidance,
                 lambda lat_in, t2: self.denoiser_forward(
-                    params, lat_in, t2, cond, ctx=ctx))
-            return self.sampler.step(x, noise_pred, c0, c1), ctx.new_kv_state
+                    params, lat_in, t2, cond, ctx=ctx, **kw))
+            new_x = self.sampler.step(x, noise_pred, c0, c1)
+            if deep_mode == "full":
+                return new_x, ctx.new_kv_state, deep_out
+            return new_x, ctx.new_kv_state
 
-        def wrapped(params, x, t, coeffs, guidance, cond, kv_state):
+        def wrapped(params, x, t, coeffs, guidance, cond, kv_state,
+                    deep=None):
             spec_x = P(None, "sp", None, None)
             # P() is a PREFIX spec over whole subtrees: params/cond/KV are
             # replicated across 'sp' (all_gathered KV is full-sequence).
+            # The deep feature is SPATIAL (rows of the latent image), so it
+            # shards over 'sp' exactly like the latents.
             kv_specs = jax.tree.map(lambda _: P(), kv_state)
+            if deep_mode == "shallow":
+                fn = shard_map(
+                    local_step, mesh=mesh,
+                    in_specs=(P(), spec_x, P(), P(), P(), P(), kv_specs,
+                              spec_x),
+                    out_specs=(spec_x, P()), check_vma=False)
+                return fn(params, x, t, coeffs, guidance, cond, kv_state,
+                          deep)
+            out_specs = ((spec_x, P(), spec_x) if deep_mode == "full"
+                         else (spec_x, P()))
             fn = shard_map(
                 local_step, mesh=mesh,
                 in_specs=(P(), spec_x, P(), P(), P(), P(), kv_specs),
-                out_specs=(spec_x, P()), check_vma=False)
+                out_specs=out_specs, check_vma=False)
             return fn(params, x, t, coeffs, guidance, cond, kv_state)
 
         return wrapped

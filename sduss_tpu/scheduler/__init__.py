@@ -18,13 +18,17 @@ from sduss_tpu.scheduler.request_pool import RequestPool
 
 class WorkerScheduler:
     def __init__(self, config: SchedulerConfig, family: str,
-                 cache_config=None):
+                 cache_config=None, parallel_config=None):
         self.config = config
         self.pool = RequestPool()
         self.policy = get_policy(config.policy, config, family)
         # Cache settings inform admission timing (deep-phase alignment);
         # None (tests / cache-off) disables the gate.
         self.policy.cache_config = cache_config
+        # Parallel settings inform displaced-mode admission batching (an
+        # admission under sp_mode="displaced" is a KV-state boundary that
+        # re-runs sync warmup for the whole batch).
+        self.policy.parallel_config = parallel_config
 
     def add_request(self, req: Request) -> None:
         req.stage = Stage.PREPARE

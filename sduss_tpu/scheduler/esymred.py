@@ -206,6 +206,37 @@ class ESyMReDPolicy(Policy):
         return self._denoise_slack(urgent, now, rem) \
             > wait_s + MIN_RUNNING_SLACK_S
 
+    def _displaced_defer(self, running: List[Request],
+                         waiting: List[Request], now: float,
+                         step_s: float) -> bool:
+        """Accumulate-then-admit under displaced sequence parallelism.
+
+        Every admission under ``sp_mode="displaced"`` is a KV-state
+        boundary: the new composition re-runs ``displaced_warmup``
+        fresh-gather sync steps for the WHOLE batch
+        (pipelines/base.py _denoise_group_displaced), so trickling
+        admissions one per iteration pays that resync per request.  Defer
+        a candidate when (a) the accumulated waiting set can't yet fill
+        the batch to its next bucket (one resync would amortize over more
+        admissions) AND (b) the most urgent candidate's slack comfortably
+        covers both the wait and the resync it will eventually trigger.
+        SLO beats batching: pressure admits immediately.
+        """
+        pc = self.parallel_config
+        if (pc is None or getattr(pc, "sp_mode", None) != "displaced"
+                or not running or not waiting):
+            return False
+        cur = len(running)
+        next_bucket = next((b for b in self.config.batch_buckets
+                            if b > cur), None)
+        if next_bucket is None or len(waiting) >= next_bucket - cur:
+            return False  # enough accumulated: admit the batch now
+        urgent = waiting[0]
+        rem = self._single_step_s(urgent.resolution) * urgent.remain_steps
+        resync_s = getattr(pc, "displaced_warmup", 2) * max(step_s, 1e-3)
+        return self._denoise_slack(urgent, now, rem) \
+            > 2.0 * resync_s + MIN_RUNNING_SLACK_S
+
     def _schedule_denoising(self, pool: RequestPool, now: float) -> Optional[ScheduledBatch]:
         den = pool.in_stage(Stage.DENOISING)
         if not den:
@@ -245,6 +276,12 @@ class ESyMReDPolicy(Policy):
         # refreshes every row's deep feature, so the batch re-synchronizes),
         # unless the most urgent candidate's slack cannot afford the wait.
         step_now = predict_step()
+        if waiting and running and self._displaced_defer(running, waiting,
+                                                         now, step_now):
+            for r in batch:
+                r.predicted_step_ms = step_now * 1000.0
+            mixed = len({r.resolution for r in batch}) > 1
+            return ScheduledBatch(Stage.DENOISING, batch, mixed=mixed)
         if waiting and running and self._deep_defer(running, waiting[0], now,
                                                     step_now):
             # batch == running here, non-empty by the gate

@@ -43,6 +43,9 @@ class Policy:
     # CacheConfig of the serving pipeline (set by WorkerScheduler); policies
     # may use it to align admissions with cache phases.  None = cache-off.
     cache_config = None
+    # ParallelConfig of the serving deployment (set by WorkerScheduler);
+    # informs displaced-mode admission batching.  None = single device.
+    parallel_config = None
 
     def __init__(self, config: SchedulerConfig, family: str = "sd15"):
         self.config = config

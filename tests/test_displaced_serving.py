@@ -65,18 +65,23 @@ def test_displaced_stale_steps_and_state():
     eng = Engine(c)
     eng.add_request("r0", SamplingParams(prompt="p", resolution=256,
                                          num_inference_steps=4, seed=3))
+    worker = eng.workers[0]
+    snap = {}
     outs = []
     while eng.has_unfinished_requests():
         outs.extend(eng.step())
+        # composition state lives only while its requests do (finish-time
+        # eviction, session-11 OOM fix) — snapshot it while running
+        for k, e in getattr(worker.pipeline, '_disp_state', {}).items():
+            snap[k] = {"warm": e["warm"], "kv": bool(e["kv"])}
     [out] = outs
     assert np.isfinite(out.image.astype(np.float32)).all()
 
-    worker = eng.workers[0]
-    st = worker.pipeline._disp_state
-    assert len(st) == 1
-    (key, entry), = st.items()
+    assert len(snap) == 1
+    (key, entry), = snap.items()
     assert entry["warm"] == 4  # all 4 denoise iterations threaded state
     assert entry["kv"]  # stale-KV pytree captured for the next step
+    assert not worker.pipeline._disp_state  # evicted once finished
     # both step programs (sync + stale) were minted
     names = [k[0] for k in worker.pipeline._fns
              if isinstance(k, tuple) and k[0] == "denoise_displaced"]
@@ -108,19 +113,23 @@ def test_displaced_composition_change_resets_state():
 
     eng.add_request("rb", SamplingParams(prompt="b", resolution=256,
                                          num_inference_steps=6, seed=2))
+    snap = {}
     while eng.has_unfinished_requests():
         outs.extend(eng.step())
+        for e in getattr(worker.pipeline, '_disp_state', {}).values():
+            snap[e["comp"]] = {"warm": e["warm"], "kv": bool(e["kv"])}
     assert len(outs) == 2
     for out in outs:
         assert np.isfinite(out.image.astype(np.float32)).all()
     # the mid-flight arrival ran as its own composition: a SECOND state
     # entry was minted and threaded, and — because state is keyed by
     # composition — interleaved batches did not thrash each other's KV
-    # (each entry's warm counter kept advancing past its sync warmup)
-    entries = {e["comp"]: e for e in worker.pipeline._disp_state.values()}
-    assert ("rb",) in entries
-    assert entries[("rb",)]["warm"] >= 2 and entries[("rb",)]["kv"]
-    assert entries[("ra",)]["warm"] == 6  # never reset by rb's batches
+    # (each entry's warm counter kept advancing past its sync warmup);
+    # finish-time eviction then freed every entry
+    assert ("rb",) in snap
+    assert snap[("rb",)]["warm"] >= 2 and snap[("rb",)]["kv"]
+    assert snap[("ra",)]["warm"] == 6  # never reset by rb's batches
+    assert not worker.pipeline._disp_state
 
 
 def test_displaced_joint_batch_composition():
@@ -137,29 +146,102 @@ def test_displaced_joint_batch_composition():
     eng.add_request("jb", SamplingParams(prompt="b", resolution=256,
                                          num_inference_steps=3, seed=2))
     outs = []
+    worker = eng.workers[0]
+    snap = {}
     while eng.has_unfinished_requests():
         outs.extend(eng.step())
+        for e in getattr(worker.pipeline, '_disp_state', {}).values():
+            snap[e["comp"]] = e["warm"]
     assert len(outs) == 2
-    worker = eng.workers[0]
-    entries = {e["comp"]: e for e in worker.pipeline._disp_state.values()}
-    assert ("ja", "jb") in entries
-    assert entries[("ja", "jb")]["warm"] == 3
+    assert snap.get(("ja", "jb")) == 3
 
 
-def test_displaced_cache_precedence_falls_back():
-    """cache.enabled takes precedence: the displaced path must not engage
-    (block caches don't thread through the serving shard_map seam yet)."""
+def test_displaced_gated_cache_precedence_falls_back():
+    """Gated cache modes (hybrid rows / adaptive refresh) keep GSPMD
+    precedence: their batch-global row gathers don't shard over 'sp'."""
     from sduss_tpu.entrypoints.offline import DiffusionPipeline
 
     c = _cfg(warmup=1)
     c.cache.enabled = True
     c.cache.mode = "deep"
     c.cache.deep_interval = 2
+    c.cache.deep_compact_fraction = 0.5  # hybrid => fallback
     pipe = DiffusionPipeline(config=c)
     outs = pipe.generate(["a"], resolution=256, num_inference_steps=4, seed=5)
     assert np.isfinite(outs[0].image.astype(np.float32)).all()
     worker = pipe.engine.workers[0]
     assert not getattr(worker.pipeline, "_disp_state", {})
+
+
+def test_displaced_deep_composes_on_seam():
+    """PLAIN deep interval rides the displaced serving seam (round-3
+    composition): full/shallow programs alternate, each with its own
+    per-program KV dict, and the deep feature lives as composition state."""
+    from sduss_tpu.engine.engine import Engine
+    from sduss_tpu.request import SamplingParams
+
+    c = _cfg(warmup=1)
+    c.cache.enabled = True
+    c.cache.mode = "deep"
+    c.cache.deep_interval = 3
+    c.cache.deep_warmup = 1
+    eng = Engine(c)
+    eng.add_request("d0", SamplingParams(prompt="p", resolution=256,
+                                         num_inference_steps=6, seed=9))
+    outs = []
+    pipe = eng.workers[0].pipeline
+    snap = {}
+    while eng.has_unfinished_requests():
+        outs.extend(eng.step())
+        for e in getattr(pipe, '_disp_state', {}).values():
+            snap[e["comp"]] = {"warm": e["warm"], "deep": e["deep"] is not None,
+                               "modes": {m for m, kv in e["kv"].items() if kv}}
+    [out] = outs
+    assert np.isfinite(out.image.astype(np.float32)).all()
+    (entry,) = snap.values()
+    assert entry["warm"] == 6
+    assert entry["deep"]  # composition-keyed deep feature
+    # both mode programs carried their own KV dicts
+    assert entry["modes"] == {"full", "shallow"}
+    assert not pipe._disp_state  # finish-time eviction
+
+
+def test_displaced_deep_all_sync_matches_dense_deep():
+    """displaced_warmup >= steps => every displaced step gathers fresh KV;
+    with the deep cache on both sides, displaced x deep must EXACTLY match
+    the single-device dense deep engine (same interval/warmup)."""
+    from sduss_tpu.entrypoints.offline import DiffusionPipeline
+
+    def cache_on(c):
+        c.cache.enabled = True
+        c.cache.mode = "deep"
+        c.cache.deep_interval = 3
+        c.cache.deep_warmup = 1
+        return c
+
+    pipe = DiffusionPipeline(config=cache_on(_cfg(warmup=99)))
+    inner = pipe.engine.workers[0].pipeline
+    seen = {"engaged": False}
+    orig = inner.evict_finished_state
+
+    def spy(ids):
+        seen["engaged"] = seen["engaged"] or bool(inner._disp_state)
+        orig(ids)
+
+    inner.evict_finished_state = spy
+    outs = pipe.generate(["a cat"], resolution=256, num_inference_steps=5,
+                         seed=11)
+    assert seen["engaged"]  # seam engaged (state live until finish-eviction)
+
+    dense_cfg = Config()
+    dense_cfg.model = ModelConfig(model="sd15", test_tiny=True,
+                                  dtype="float32")
+    cache_on(dense_cfg)
+    pipe2 = DiffusionPipeline(config=dense_cfg)
+    outs2 = pipe2.generate(["a cat"], resolution=256, num_inference_steps=5,
+                          seed=11)
+    np.testing.assert_allclose(outs[0].image.astype(np.int32),
+                               outs2[0].image.astype(np.int32), atol=2)
 
 
 def test_displaced_sd3_serving():
@@ -168,7 +250,15 @@ def test_displaced_sd3_serving():
 
     c = _cfg(family="sd3", warmup=1)
     pipe = DiffusionPipeline(config=c)
+    inner = pipe.engine.workers[0].pipeline
+    seen = {"engaged": False}
+    orig = inner.evict_finished_state
+
+    def spy(ids):
+        seen["engaged"] = seen["engaged"] or bool(inner._disp_state)
+        orig(ids)
+
+    inner.evict_finished_state = spy
     outs = pipe.generate(["a"], resolution=256, num_inference_steps=3, seed=7)
     assert np.isfinite(outs[0].image.astype(np.float32)).all()
-    worker = pipe.engine.workers[0]
-    assert worker.pipeline._disp_state  # displaced path actually engaged
+    assert seen["engaged"]  # displaced path actually engaged

@@ -212,6 +212,91 @@ class TestDeepPhaseAdmission:
         assert {r.request_id for r in batch.requests} == {"run", "new"}
 
 
+class TestDisplacedAdmissionBatching:
+    """Accumulate-then-admit under sp_mode='displaced'
+    (esymred._displaced_defer): every admission resets the batch's stale-KV
+    state and re-runs displaced_warmup sync steps, so ESyMReD defers a
+    lone candidate with ample slack until enough accumulate to fill the
+    next batch bucket — but admits under SLO pressure or a full cohort."""
+
+    def _pol(self, warmup=4):
+        class Par:
+            sp_mode = "displaced"
+            displaced_warmup = warmup
+
+        pol = get_policy("esymred", cfg(batch_buckets=(1, 2, 4)), family="sdxl")
+        pol.parallel_config = Par()
+        return pol
+
+    @staticmethod
+    def _mark_running(pool, rid):
+        import types
+
+        r = pool.get(rid)
+        r.start_denoising_time = time.time()
+        r.sampler_table = types.SimpleNamespace(step=5)
+        return r
+
+    def test_lone_candidate_with_slack_deferred(self):
+        pool = make_pool([
+            ("run0", 512, Stage.DENOISING, 0, 10),
+            ("run1", 512, Stage.DENOISING, 0, 10),
+            ("new", 512, Stage.DENOISING, 0, 10),
+        ])
+        self._mark_running(pool, "run0")
+        self._mark_running(pool, "run1")
+        batch = self._pol().schedule(pool)
+        # next bucket above 2 is 4: one candidate can't fill it — wait
+        assert {r.request_id for r in batch.requests} == {"run0", "run1"}
+        assert not batch.aborts
+
+    def test_cohort_filling_next_bucket_admitted(self):
+        pool = make_pool([
+            ("run0", 512, Stage.DENOISING, 0, 10),
+            ("run1", 512, Stage.DENOISING, 0, 10),
+            ("newa", 512, Stage.DENOISING, 0, 10),
+            ("newb", 512, Stage.DENOISING, 0, 10),
+        ])
+        self._mark_running(pool, "run0")
+        self._mark_running(pool, "run1")
+        batch = self._pol().schedule(pool)
+        assert {r.request_id for r in batch.requests} \
+            == {"run0", "run1", "newa", "newb"}
+
+    def test_pressured_candidate_admitted_immediately(self):
+        pool = make_pool([
+            ("run0", 512, Stage.DENOISING, 0, 10),
+            ("run1", 512, Stage.DENOISING, 0, 10),
+            # 10 s elapsed: slack positive but thinner than the deferred
+            # resync cost at a huge warmup
+            ("urgent", 1024, Stage.DENOISING, -10, 30),
+        ])
+        self._mark_running(pool, "run0")
+        self._mark_running(pool, "run1")
+        # a huge warmup makes the deferred resync unaffordable for the
+        # elapsed candidate — SLO beats batching
+        batch = self._pol(warmup=100).schedule(pool)
+        assert "urgent" in {r.request_id for r in batch.requests}
+
+    def test_gspmd_mode_unaffected(self):
+        class Par:
+            sp_mode = "gspmd"
+            displaced_warmup = 4
+
+        pool = make_pool([
+            ("run0", 512, Stage.DENOISING, 0, 10),
+            ("run1", 512, Stage.DENOISING, 0, 10),
+            ("new", 512, Stage.DENOISING, 0, 10),
+        ])
+        self._mark_running(pool, "run0")
+        self._mark_running(pool, "run1")
+        pol = get_policy("esymred", cfg(batch_buckets=(1, 2, 4)), family="sdxl")
+        pol.parallel_config = Par()
+        batch = pol.schedule(pool)
+        assert {r.request_id for r in batch.requests} \
+            == {"run0", "run1", "new"}
+
+
 class TestESyMReDFittedPredictor:
     def test_fitted_predictor_survives_resolution_subset(self, tmp_path):
         """Regression: a predictor fitted over (512,768,1024) must keep its
