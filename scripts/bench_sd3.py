@@ -68,18 +68,21 @@ def main():
     # fixed interval (full when the latent rel-MSE since the last full step
     # exceeds the threshold; BENCH_SD3_DEEP_CAP shallow-step safety cap) —
     # the same in-graph trigger as bench.py's SDXL adaptive trajectory.
-    # DEFAULT = DENSE WIDE SPAN 1:24 @ interval 16, token gates OFF:
-    # 26.7 ms/step = 2.43x the H100 anchor (chip ladder
-    # exp/bench_sd3_v5e_span124_i{6,8,12,16}.json: 47.8/40.6/33.6/26.7 ms,
-    # consistent with dense full 230 ms + 12.2 ms shallow).  Quality at the
-    # real 24-block depth: @16 rel_mse 0.0008 / max 0.000997 — 12x under
-    # the reference classifier bar (0.01, cache_manager.py:101-191) and
-    # statistically flat vs @12's 0.00053 (the curve stays <=0.0017 out to
-    # interval 30, exp/cache_quality_sd3_span{wide,long}_tiny.json); every
-    # gated combo (compact rows, fine tokens) is dominated by the pure
-    # dense span on both axes — the @6+compact cliff was CFG-row
-    # alternation in gate_compact, not span staleness.  Conservative point:
-    # BENCH_SD3_DEEP_INTERVAL=12 = 33.6 ms (1.93x) at 0.00053.
+    # DEFAULT = DENSE WIDE SPAN 1:24 @ interval 30 (ONE full step per
+    # 30-step trajectory), token gates OFF: 19.7 ms/step = 3.34x the H100
+    # anchor (chip ladder exp/bench_sd3_v5e_span124_i{6,8,12,16,20,30}
+    # .json: 47.8/40.6/33.6/26.7/27.2/19.7 ms, consistent with dense full
+    # 230 ms + 12.2 ms shallow).  Quality at the real 24-block depth
+    # (3 seeds): @30 rel_mse 0.00165 — 6x under the reference classifier
+    # bar (0.01, cache_manager.py:101-191); the curve is flat through the
+    # ladder (@16 0.0008, @20 0.00056, @24 0.00077,
+    # exp/cache_quality_sd3_span{wide,long}_tiny.json); every gated combo
+    # (compact rows, fine tokens) is dominated by the pure dense span on
+    # both axes — the @6+compact cliff was CFG-row alternation in
+    # gate_compact, not span staleness.  Conservative points:
+    # BENCH_SD3_DEEP_INTERVAL=16 = 26.7 ms (2.43x) at 0.0008;
+    # =12 = 33.6 ms (1.93x) at 0.00053.  Decision rule:
+    # docs/DESIGN.md "Cache default adjudication".
     # BENCH_SD3_DEEP= (empty) reverts to dense; the old combo remains
     # BENCH_SD3_DEEP=2:24 BENCH_SD3_DEEP_INTERVAL=3 BENCH_SD3_CACHE=0.5.
     deep_env = os.environ.get("BENCH_SD3_DEEP", "1:24")
@@ -95,7 +98,7 @@ def main():
     fine = float(os.environ.get("BENCH_SD3_FINE", "0"))
     stale_kv = (fine > 0
                 and os.environ.get("BENCH_SD3_FINE_STALE_KV", "0") == "1")
-    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "16"))
+    deep_interval = int(os.environ.get("BENCH_SD3_DEEP_INTERVAL", "30"))
     deep_adaptive = float(os.environ.get("BENCH_SD3_DEEP_ADAPTIVE", "0"))
     deep_cap = int(os.environ.get("BENCH_SD3_DEEP_CAP", "6"))
     prime = None

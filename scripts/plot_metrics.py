@@ -8,7 +8,9 @@ Usage:
     python scripts/plot_metrics.py outputs/e2e --x qps --out fig_e2e.png
 
 Expects files named metrics_{model}_{policy}_{x}.json as written by
-scripts/e2e.sh and friends.
+scripts/e2e.sh and friends, or sim_{model}_{policy}_{x}.json from
+scripts/sim_policy_matrix.py (simulator artifacts add the machine-true
+SLO panels; --machine plots those instead of the H100-table ones).
 """
 
 from __future__ import annotations
@@ -21,6 +23,10 @@ import re
 from collections import defaultdict
 
 METRICS = ["slo_attainment", "avg_latency_s", "goodput_rps", "throughput_rps"]
+# machine-true variants (simulator / probe artifacts): deadlines from THIS
+# machine's profiled standalone latencies, the axis the policy schedules to
+MACHINE_METRICS = ["slo_attainment_machine", "p99_latency_s",
+                   "goodput_machine_rps", "throughput_rps"]
 
 
 def main():
@@ -28,17 +34,22 @@ def main():
     ap.add_argument("dir")
     ap.add_argument("--x", default="qps", help="sweep variable name (label only)")
     ap.add_argument("--out", default="figure.png")
+    ap.add_argument("--machine", action="store_true",
+                    help="plot machine-true SLO/goodput panels")
     args = ap.parse_args()
+    metrics = MACHINE_METRICS if args.machine else METRICS
 
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    # metrics_{model}_{policy}_{x}.json
-    pat = re.compile(r"metrics_(?P<model>[^_]+)_(?P<policy>[^_]+)_(?P<x>[^_]+)\.json$")
+    # metrics_{model}_{policy}_{x}.json | sim_{model}_{policy}_{x}.json
+    pat = re.compile(
+        r"(?:metrics|sim)_(?P<model>[^_]+)_(?P<policy>.+)_(?P<x>[0-9.]+)\.json$")
     series = defaultdict(list)  # (model, policy) -> [(x, metrics)]
-    for path in sorted(glob.glob(os.path.join(args.dir, "metrics_*.json"))):
+    for path in sorted(glob.glob(os.path.join(args.dir, "metrics_*.json"))
+                       + glob.glob(os.path.join(args.dir, "sim_*.json"))):
         m = pat.search(os.path.basename(path))
         if not m:
             continue
@@ -51,16 +62,16 @@ def main():
         series[(m.group("model"), m.group("policy"))].append((xv, data))
 
     if not series:
-        raise SystemExit(f"no metrics_*.json under {args.dir}")
+        raise SystemExit(f"no metrics_*.json / sim_*.json under {args.dir}")
 
-    fig, axes = plt.subplots(1, len(METRICS), figsize=(5 * len(METRICS), 4))
+    fig, axes = plt.subplots(1, len(metrics), figsize=(5 * len(metrics), 4))
     for (model, policy), rows in sorted(series.items()):
         rows.sort(key=lambda r: (isinstance(r[0], str), r[0]))
         xs = [r[0] for r in rows]
-        for ax, metric in zip(axes, METRICS):
+        for ax, metric in zip(axes, metrics):
             ys = [r[1].get(metric) for r in rows]
             ax.plot(xs, ys, marker="o", label=f"{model}/{policy}")
-    for ax, metric in zip(axes, METRICS):
+    for ax, metric in zip(axes, metrics):
         ax.set_xlabel(args.x)
         ax.set_ylabel(metric)
         ax.grid(alpha=0.3)

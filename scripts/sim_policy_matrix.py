@@ -134,7 +134,8 @@ def simulate(family: str, policy_name: str, rows, slo: int,
              predictor_path: str, profile_path: str,
              max_batch: int = 8, cache_on: bool = True, seed: int = 0,
              collect_timeline: bool = False, displaced: bool = False,
-             displaced_warmup: int = 4, displaced_defer: bool = True):
+             displaced_warmup: int = 4, displaced_defer: bool = True,
+             cache_override=None):
     cfg = SchedulerConfig(policy=policy_name, max_batch_size=max_batch,
                           batch_buckets=(1, 2, 4, 8),
                           slo_scale=float(slo))  # policy targets the swept SLO
@@ -144,8 +145,9 @@ def simulate(family: str, policy_name: str, rows, slo: int,
     if predictor_path and os.path.exists(predictor_path):
         cfg.predictor_path = predictor_path
 
-    cache = (CacheConfig.production(family, serving=True) if cache_on
-             else CacheConfig(enabled=False))
+    cache = cache_override if cache_override is not None else (
+        CacheConfig.production(family, serving=True) if cache_on
+        else CacheConfig(enabled=False))
     pol = get_policy(policy_name, cfg, family=family)
     pol.cache_config = cache
     if displaced and displaced_defer:

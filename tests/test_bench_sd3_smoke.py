@@ -35,12 +35,13 @@ def run_bench(monkeypatch, capsys):
 
 
 def test_default_is_wide_span(run_bench):
-    """DEFAULT = dense wide span 1:24 @16, token gates off (26.7 ms on
-    chip, exp/bench_sd3_v5e_span124_i16.json); TINY_MMDIT's 2 blocks clamp
-    it to 1:2."""
+    """DEFAULT = dense wide span 1:24 @30 — ONE full step per 30-step
+    trajectory, token gates off (19.7 ms on chip,
+    exp/bench_sd3_v5e_span124_i30.json; rel_mse 0.00165 at real depth,
+    6x under the bar); TINY_MMDIT's 2 blocks clamp the span to 1:2."""
     r = run_bench()
     assert r["ms_per_step"] > 0
-    assert r["deep_span"] == [1, 2] and r["deep_interval"] == 16
+    assert r["deep_span"] == [1, 2] and r["deep_interval"] == 30
     assert r["compact_cache_fraction"] == 0.0
 
 
