@@ -135,7 +135,14 @@ def simulate(family: str, policy_name: str, rows, slo: int,
              max_batch: int = 8, cache_on: bool = True, seed: int = 0,
              collect_timeline: bool = False, displaced: bool = False,
              displaced_warmup: int = 4, displaced_defer: bool = True,
-             cache_override=None):
+             cache_override=None, dp: int = 1):
+    """Discrete-event serving sim; ``dp`` > 1 adds replica workers behind
+    the REAL GreedyDispatch load balancer (Fig-14 scaling analog): each
+    worker owns a pool + policy instance + busy-until time; arrivals are
+    assigned by least pending pixels at delivery, and the earliest-free
+    worker with work executes next."""
+    from sduss_tpu.dispatcher import GreedyDispatch
+
     cfg = SchedulerConfig(policy=policy_name, max_batch_size=max_batch,
                           batch_buckets=(1, 2, 4, 8),
                           slo_scale=float(slo))  # policy targets the swept SLO
@@ -148,10 +155,6 @@ def simulate(family: str, policy_name: str, rows, slo: int,
     cache = cache_override if cache_override is not None else (
         CacheConfig.production(family, serving=True) if cache_on
         else CacheConfig(enabled=False))
-    pol = get_policy(policy_name, cfg, family=family)
-    pol.cache_config = cache
-    if displaced and displaced_defer:
-        pol.parallel_config = _DisplacedPar(displaced_warmup)
 
     profile = get_profile(family, slo_scale=float(slo),
                           overrides=cfg.stage_latency_overrides or None)
@@ -165,14 +168,22 @@ def simulate(family: str, policy_name: str, rows, slo: int,
     import sduss_tpu.scheduler.esymred as es
     es.time = types.SimpleNamespace(time=lambda: clock["t"])
 
-    pool = RequestPool()
+    workers = []
+    for _ in range(dp):
+        pol = get_policy(policy_name, cfg, family=family)
+        pol.cache_config = cache
+        if displaced and displaced_defer:
+            pol.parallel_config = _DisplacedPar(displaced_warmup)
+        workers.append({"pool": RequestPool(), "pol": pol, "free_at": 0.0,
+                        "idle": 0, "disp_comp": None, "disp_steps": 0})
+    dispatcher = GreedyDispatch()
+
     pending = sorted(range(len(rows)), key=lambda i: rows[i].arrival_ms)
     records, timeline = [], []
-    idle_spins = 0
-    # displaced-SP state mirror: composition -> steps run since it formed
-    disp_comp, disp_steps, disp_changes = None, 0, 0
+    disp_changes = 0
 
-    while True:
+    def deliver_due():
+        due = []
         while pending and rows[pending[0]].arrival_ms / 1000.0 <= clock["t"]:
             i = pending.pop(0)
             row = rows[i]
@@ -181,23 +192,41 @@ def simulate(family: str, policy_name: str, rows, slo: int,
                 num_inference_steps=row.steps))
             r.arrival_time = row.arrival_ms / 1000.0
             r.stage = Stage.PREPARE
-            pool.add(r)
-        if not pending and pool.unfinished() == 0:
-            break
+            due.append(r)
+        if due:
+            ranks = dispatcher.assign(
+                due, [w["pool"].pending_pixels() for w in workers])
+            for r, rank in zip(due, ranks):
+                workers[rank]["pool"].add(r)
+
+    while True:
+        deliver_due()
+        busy = [w for w in workers if w["pool"].unfinished() > 0]
+        if not busy:
+            if not pending:
+                break
+            clock["t"] = max(clock["t"],
+                             rows[pending[0]].arrival_ms / 1000.0)
+            continue
+        w = min(busy, key=lambda w: w["free_at"])
+        clock["t"] = max(clock["t"], w["free_at"])
+        deliver_due()  # arrivals up to the worker's start time
+        pool, pol = w["pool"], w["pol"]
         batch = pol.schedule(pool)
         if batch is None or batch.empty:
-            if pending:
-                clock["t"] = max(clock["t"],
-                                 rows[pending[0]].arrival_ms / 1000.0)
-                continue
-            idle_spins += 1
-            if idle_spins > 10:
+            w["idle"] += 1
+            if w["idle"] > 10:
+                if pending:
+                    # quiesce until the next arrival
+                    w["free_at"] = rows[pending[0]].arrival_ms / 1000.0
+                    w["idle"] = 0
+                    continue
                 raise RuntimeError(
                     f"{policy_name}: pool stuck with {pool.unfinished()} "
                     f"unfinished requests and no schedulable batch")
-            clock["t"] += 0.05
+            w["free_at"] = clock["t"] + 0.05
             continue
-        idle_spins = 0
+        w["idle"] = 0
         for r in batch.aborts:
             pool.remove(r.request_id)  # remove() indexes by current stage
             r.stage = Stage.ABORTED
@@ -220,12 +249,12 @@ def simulate(family: str, policy_name: str, rows, slo: int,
             c = cost.denoise_s(batch.requests, full)
             if displaced:
                 comp = tuple(sorted(r.request_id for r in batch.requests))
-                if comp != disp_comp:
-                    disp_comp, disp_steps = comp, 0
+                if comp != w["disp_comp"]:
+                    w["disp_comp"], w["disp_steps"] = comp, 0
                     disp_changes += 1
-                c *= (DISP_SYNC_FACTOR if disp_steps < displaced_warmup
+                c *= (DISP_SYNC_FACTOR if w["disp_steps"] < displaced_warmup
                       else DISP_STALE_FACTOR)
-                disp_steps += 1
+                w["disp_steps"] += 1
             pol.observe_step_time(batch.requests, c * 1000.0)
             for r in batch.requests:
                 if r.start_denoising_time is None:
@@ -248,7 +277,8 @@ def simulate(family: str, policy_name: str, rows, slo: int,
         if collect_timeline:
             timeline.append((round(clock["t"], 3), batch.stage.value, bs,
                              "full" if full else ""))
-        clock["t"] += c
+        w["free_at"] = clock["t"] + c
+    clock["t"] = max([clock["t"]] + [w["free_at"] for w in workers])
 
     m = compute_metrics(records, family, slo=slo)
     # Machine-true SLO view (mirrors scripts/serving_probe.py:211-222): the
