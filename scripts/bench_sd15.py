@@ -67,8 +67,16 @@ def main():
     guidance = jnp.full((b,), 7.5)
 
     n_lv = len(unet.cfg.block_out_channels)
-    hw_deep = hw // (2 ** (n_lv - 2))
-    c_deep = unet.cfg.block_out_channels[-1]
+    # BENCH_DEEP_BOUNDARY: deep-cache boundary level (default deepest-1 =
+    # 3 for SD1.5's 4 levels).  1 = conv-only shallow steps, the SDXL
+    # boundary-1 analog (bench.py); 0/empty = model default; clamped.
+    _bdy_env = os.environ.get("BENCH_DEEP_BOUNDARY", "")
+    deep_bdy = (int(_bdy_env) or None) if _bdy_env else None
+    if deep_bdy is not None:
+        deep_bdy = max(1, min(deep_bdy, n_lv - 1))
+    bdy = deep_bdy if deep_bdy is not None else n_lv - 1
+    hw_deep = hw // (2 ** max(bdy - 1, 0))
+    c_deep = unet.cfg.block_out_channels[bdy]
 
     cache = None
     if mode == "hybrid":
@@ -80,7 +88,7 @@ def main():
             deep_compact_fraction=float(
                 os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
             deep_compact_pairwise=True, max_hits=4))
-        layout = unet.shallow_cache_layout(hw)
+        layout = unet.shallow_cache_layout(hw, deep_bdy)
 
         def mk_state0():
             # inside the trace: zeros lower as broadcasts, not constants
@@ -97,7 +105,7 @@ def main():
                                                jnp.concatenate([c0, c0]))
             kw = {}
             if deep_mode is not None:
-                kw = dict(deep_mode=deep_mode,
+                kw = dict(deep_mode=deep_mode, deep_boundary=deep_bdy,
                           deep_state=deep if deep_mode == "shallow" else None)
                 if cache is not None:
                     kw.update(cache=cache, cache_state=st)
@@ -176,7 +184,7 @@ def main():
     print(json.dumps({
         "metric": f"images/sec/chip (SD1.5 {res}^2, {n_steps} steps)",
         "value": round(img_s, 4), "unit": "img/s",
-        "mode": mode, "batch": b,
+        "mode": mode, "batch": b, "deep_boundary": deep_bdy,
         "ms_per_step": round(best / n_steps * 1e3, 1),
         "n_full": int(np.asarray(n_full)),
         "proxy_anchor_img_s": round(proxy, 3),

@@ -55,10 +55,12 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int,
     import jax.numpy as jnp
 
     from sduss_tpu.models.unet import (SDXL_UNET, TINY3_SDXL_UNET,
-                                       TINY_SDXL_UNET, UNet2DConditionModel)
+                                       TINY4_SD15_UNET, TINY_SDXL_UNET,
+                                       UNet2DConditionModel)
     from sduss_tpu.samplers import get_sampler
 
     cfg = (TINY3_SDXL_UNET if tiny and levels == 3
+           else TINY4_SD15_UNET if tiny and levels == 4
            else TINY_SDXL_UNET if tiny else SDXL_UNET)
     bdy = boundary or None
     unet = UNet2DConditionModel(cfg)
@@ -761,7 +763,9 @@ def main():
                          "comma-separated, e.g. '13:24@3,0:13@3@0.5'")
     ap.add_argument("--unet-levels", type=int, default=0,
                     help="(sdxl tiny) 3 = 3-level tiny proxy with SDXL's "
-                         "level structure so --deep-boundary bites")
+                         "level structure so --deep-boundary bites; 4 = "
+                         "SD1.5's 4-level structure (attn levels 0-2, "
+                         "conv projections)")
     ap.add_argument("--deep-boundary", type=int, default=0,
                     help="(sdxl) deep-cache boundary level for deep/hybrid "
                          "runs (0 = model default, deepest-1); 1 = conv-"

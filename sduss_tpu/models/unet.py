@@ -93,6 +93,24 @@ TINY3_SDXL_UNET = UNetConfig(
     use_linear_projection=True,
     sample_size=16,
 )
+# 4-level tiny proxy with SD1.5's level structure (cross-attention at
+# levels 0-2, none at the deepest; conv projections) so sd15 deep-cache
+# BOUNDARY choices can be quality-ranked on the same harness
+# (scripts/cache_quality.py --unet-levels 4).  addition_embed kept so the
+# shared SDXL-shaped harness drives it unchanged — level structure, not
+# conditioning, is what the boundary ladder exercises.
+TINY4_SD15_UNET = UNetConfig(
+    block_out_channels=(16, 24, 32, 32),
+    down_block_has_attn=(True, True, True, False),
+    layers_per_block=1,
+    transformer_layers=(1, 1, 1, 0),
+    num_heads=(2, 2, 2, 2),
+    cross_attention_dim=32,
+    norm_num_groups=8,
+    addition_embed=(32, 48, 6),
+    use_linear_projection=False,
+    sample_size=32,
+)
 
 
 # ---------------------------------------------------------------------------
