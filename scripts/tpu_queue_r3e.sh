@@ -1,11 +1,10 @@
 #!/bin/bash
 # Round-3 queue r3e — runs AFTER r3d (waits on its pid):
-# 1. SD1.5 boundary-1 bench A/B: BENCH_DEEP_BOUNDARY=1 + the SDXL-winner
-#    schedule (t0.2/cap15) vs the shipped default.  SD1.5's 4-level UNet
-#    skips MORE at boundary 1 than SDXL's 3-level; quality ranked on the
-#    4-level SD1.5-structure tiny proxy
-#    (exp/cache_quality_sd15proxy_bdy1_t02c15_tiny.json) before any
-#    default flip, per the adjudication rule.
+# 1. SD1.5 boundary-1 bench A/B at the SHIPPED schedule (t0.05/cap6):
+#    the 4-level SD1.5-structure proxy PASSES bdy1 there (rel_mse
+#    0.00676 < 0.01, exp/cache_quality_sd15proxy_bdy1_t005c6_tiny.json)
+#    but REJECTS the SDXL-winner schedule t0.2/cap15 (0.0324) — so only
+#    the boundary flips, not the schedule, per the adjudication rule.
 # 2. SD3 span@30 serving probe at the new bench default (chunked
 #    dispatch): the interval-30 point has no serving artifact yet.
 set -x
@@ -18,7 +17,7 @@ until (exec 3<>/dev/tcp/127.0.0.1/8082) 2>/dev/null; do
   sleep 60
 done
 sleep 10
-BENCH_DEEP_BOUNDARY=1 BENCH_DEEP_ADAPTIVE=0.2 BENCH_DEEP_CAP=15 \
+BENCH_DEEP_BOUNDARY=1 \
 timeout 7200 python -u scripts/bench_sd15.py \
     > /tmp/bench_sd15_bdy1.log 2>&1
 timeout 7200 python -u scripts/bench_sd15.py \

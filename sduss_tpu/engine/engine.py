@@ -230,6 +230,13 @@ class Engine:
             need = pipe.estimate_serving_state_bytes(res, bucket)
             if not need:
                 return True
+            if self.config.scheduler.steps_per_dispatch > 1:
+                # Fused k-step chunk programs hold extra live copies of the
+                # threaded state across the in-graph loop (r2z: bucket 4
+                # passed the plain estimate, then the chunk-config prewarm
+                # OOMed and the caught failure poisoned the relay device
+                # for the rest of the process) — budget the state twice.
+                need *= 2
             total = pipe.device_param_bytes() + need \
                 + float(self.config.engine.prewarm_hbm_margin)
             fits = total <= self._hbm_limit()
@@ -298,8 +305,15 @@ class Engine:
             except Exception:  # noqa: BLE001
                 gc.collect()
                 _time.sleep(2.0)
-        logger.error("device still refusing small allocations after OOM — "
-                     "subsequent serving steps will likely fail")
+        # Fail FAST and loud: on the axon relay a poisoned device never
+        # recovers in-process, and limping on just moves the crash to an
+        # arbitrary later op (r2z: the probe's text-encode device_put died
+        # 20 minutes after this point with a bare RESOURCE_EXHAUSTED).
+        raise RuntimeError(
+            "device still refusing small allocations after an in-process "
+            "RESOURCE_EXHAUSTED — the process is poisoned; restart with "
+            "smaller buckets (scheduler.max_batch_size) or a larger "
+            "prewarm_hbm_margin")
 
     def _prewarm_inner(self, t0, sc, cc, res_list, steps, buckets,
                        compositions) -> float:

@@ -75,9 +75,23 @@ class ESyMReDPolicy(Policy):
         pred = requests[0].predicted_step_ms
         if pred <= 0.05:
             return
+        # Outlier guard: a cold executable load / compile mid-pass shows up
+        # as one iteration 5-20x the prediction (r3c SD1.5 pass 1: two
+        # ~2.8 s hiccups at a 111 ms prediction pushed the correction 5x up
+        # and the panicked slack math shed 25% of the pass).  A single
+        # outlier is dropped; TWO consecutive ones are believed — a real
+        # regime shift (e.g. cache-off fallback) repeats, a one-off load
+        # doesn't.
+        ratio = ms / pred
+        if ratio > 4.0:
+            self._outlier_streak = getattr(self, "_outlier_streak", 0) + 1
+            if self._outlier_streak < 2:
+                return
+        else:
+            self._outlier_streak = 0
         # predicted_step_ms already includes the current correction, so the
         # observed ratio is the residual multiplier.
-        target = self._step_correction * min(max(ms / pred, 0.05), 20.0)
+        target = self._step_correction * min(max(ratio, 0.05), 20.0)
         self._step_correction = min(max(
             (1.0 - alpha) * self._step_correction + alpha * target,
             0.05), 20.0)

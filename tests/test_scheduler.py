@@ -337,3 +337,40 @@ class TestESyMReDFittedPredictor:
         pol = get_policy("esymred", cfg(predictor_path=path), "sdxl")
         batch = pol.schedule(pool)
         assert batch is not None and len(batch.requests) == 1
+
+
+class TestStepTimeEMAOutlierGuard:
+    """observe_step_time drops a single cold-load outlier but believes two
+    consecutive ones (r3c SD1.5 pass 1: one ~2.8 s executable load at a
+    111 ms prediction pushed the correction 5x and shed 25% of the pass)."""
+
+    def _pol(self):
+        pol = get_policy("esymred", cfg(step_time_ema=0.2), family="sdxl")
+        pol._correction_primed = True  # isolate the EMA from the prior
+        return pol
+
+    @staticmethod
+    def _req(pred_ms):
+        r = Request("o", SamplingParams(prompt="o", resolution=512,
+                                        num_inference_steps=10))
+        r.predicted_step_ms = pred_ms
+        return r
+
+    def test_single_outlier_ignored(self):
+        pol = self._pol()
+        pol.observe_step_time([self._req(100.0)], 2800.0)  # cold load
+        assert pol._step_correction == 1.0
+        pol.observe_step_time([self._req(100.0)], 110.0)   # normal again
+        assert abs(pol._step_correction - 1.02) < 0.01
+
+    def test_two_consecutive_outliers_believed(self):
+        pol = self._pol()
+        pol.observe_step_time([self._req(100.0)], 900.0)
+        assert pol._step_correction == 1.0  # first: dropped
+        pol.observe_step_time([self._req(100.0)], 900.0)
+        assert pol._step_correction > 1.5   # second: regime shift
+
+    def test_normal_updates_unaffected(self):
+        pol = self._pol()
+        pol.observe_step_time([self._req(100.0)], 60.0)
+        assert abs(pol._step_correction - 0.92) < 0.01
