@@ -111,7 +111,10 @@ class TestProductionPresets:
 
         c = CacheConfig.production("sd3")
         assert c.enabled and c.sd3_deep_span == (1, 24)
-        assert c.deep_interval == 16
+        assert c.deep_interval == 16  # serving: chip-clean artifact
+        o = CacheConfig.production("sd3", serving=False)
+        # offline: one full step per 30 (19.7 ms on chip, rel_mse 0.00165)
+        assert o.deep_interval == 30
 
     def test_sdxl_serving_vs_offline(self):
         from sduss_tpu.config import CacheConfig
