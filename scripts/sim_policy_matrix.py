@@ -319,6 +319,12 @@ def main():
                     help="replay exp/{model}/qps_*.csv instead of "
                          "generating (reference trace files)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dp", type=int, default=1,
+                    help="replica workers behind GreedyDispatch "
+                         "(Fig-14 scaling analog)")
+    ap.add_argument("--displaced", action="store_true",
+                    help="displaced-SP cost model (sync/stale factors) + "
+                         "the accumulate-then-admit gate")
     ap.add_argument("--out-dir", default="outputs/e2e")
     args = ap.parse_args()
 
@@ -345,7 +351,8 @@ def main():
         for polname in policies:
             m, _ = simulate(fam, polname, rows, args.slo, predictor, profile,
                             max_batch=args.max_batch,
-                            cache_on=not args.cache_off, seed=args.seed)
+                            cache_on=not args.cache_off, seed=args.seed,
+                            dp=args.dp, displaced=args.displaced)
             m.update(model=fam, policy=polname, qps=qps, num=args.num,
                      steps=steps, slo=args.slo,
                      distribution=args.distribution,

@@ -79,6 +79,9 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
     ap = argparse.ArgumentParser("sduss_tpu trace replay")
     ap.add_argument("--model", default="sdxl")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--resolutions", default="",
+                    help="comma list overriding the family's deployed "
+                         "resolutions (tiny CPU runs of the driver)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--qps", type=float, default=1.0)
     ap.add_argument("--num-requests", type=int, default=100)
@@ -116,8 +119,10 @@ def main(argv: Optional[List[str]] = None) -> dict:  # pragma: no cover
     from sduss_tpu.config import ModelConfig
 
     config = Config()
-    config.model = ModelConfig(model=args.model, test_tiny=args.tiny,
-                               dtype=args.dtype)
+    config.model = ModelConfig(
+        model=args.model, test_tiny=args.tiny, dtype=args.dtype,
+        resolutions=tuple(int(r) for r in args.resolutions.split(","))
+        if args.resolutions else ())
     config.scheduler.policy = args.policy
     config.scheduler.slo_scale = float(args.slo)
     config.parallel.dp = args.dp
