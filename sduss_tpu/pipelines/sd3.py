@@ -376,9 +376,12 @@ class StableDiffusion3Pipeline(BasePipeline):
         Eligibility (False -> caller falls back to per-step dispatch):
         uniform resolution, stateless sampler, no stale-KV / adaptive
         refresh / span reuse-then-predict (their per-step host decisions
-        cannot live in-graph), token-cache state anchored, span chunks
-        start at a FULL boundary so the in-graph schedule is
-        ``j % interval == 0`` exactly like the per-step path."""
+        cannot live in-graph), token-cache state anchored.  Span chunks
+        carry the interval PHASE as a traced scalar — in-chunk step j runs
+        full iff (phase + j) % interval == interval - 1, the exact
+        per-step recurrence — so they are eligible at ANY step, not just
+        full boundaries (the old boundary gate left 27 of 30 steps on
+        per-step dispatch under the @30 span default)."""
         import jax.numpy as jnp
 
         ordered = [r for res in sorted(reqs_by_res) for r in reqs_by_res[res]]
@@ -414,11 +417,6 @@ class StableDiffusion3Pipeline(BasePipeline):
             if cache is not None and cc.mode == "compact" \
                     and cc.patch_fraction >= 1.0 and not entry["anchored"]:
                 return False
-            if span is not None:
-                at_full = (entry["deep"] is None
-                           or entry["deep_age"] >= itv - 1)
-                if not at_full:
-                    return False
             if any(r.sampler_table.step < cc.deep_warmup for r in ordered) \
                     and span is not None:
                 return False
@@ -461,6 +459,16 @@ class StableDiffusion3Pipeline(BasePipeline):
             ctx_len = ordered[0].conditioning["embeds"].shape[1]
             kw["deep0"] = self._chunk_deep0(entry, bb, s_pad, ctx_len)
             kw["itv"] = jnp.int32(itv)
+            # Interval PHASE at chunk entry (shallow steps since the last
+            # full): in-chunk step j runs full iff (phase + j) % itv ==
+            # itv - 1, the exact per-step recurrence — so chunks no longer
+            # need to START at a full boundary (under the @30 span default
+            # that restriction left 27 of 30 steps on RTT-bound per-step
+            # dispatch).  phase is a traced scalar like itv: no new
+            # compile keys.
+            phase = (itv - 1 if entry["deep"] is None
+                     else min(entry["deep_age"], itv - 1))
+            kw["phase"] = jnp.int32(phase)
         out = fn(*args, **kw)
         new_lat = out[0]
         pos = 1
@@ -470,7 +478,13 @@ class StableDiffusion3Pipeline(BasePipeline):
             pos += 1
         if span is not None:
             entry["deep"] = out[pos]
-            entry["deep_age"] = (k - 1) % itv
+            # age after the chunk = the per-step recurrence: last in-chunk
+            # full at j* (largest j < k with (phase+j) % itv == itv-1)
+            # leaves age k-1-j*; no in-chunk full ages the delta by k
+            fulls = [j for j in range(k)
+                     if (int(phase) + j) % itv == itv - 1]
+            entry["deep_age"] = (k - 1 - fulls[-1]) if fulls \
+                else int(phase) + k
             entry["deep_slope"] = None
         self._executed_keys.add(chunk_key)
         for i, r in enumerate(ordered):
@@ -481,9 +495,10 @@ class StableDiffusion3Pipeline(BasePipeline):
         return True
 
     def _chunk_deep0(self, entry, bb: int, s_pad: int, ctx_len: int):
-        """In-graph span carry seed: the chunk starts at a FULL boundary,
-        so step 0 overwrites this before any shallow step reads it — zeros
-        only need the right structure when no delta is live yet."""
+        """In-graph span carry seed.  When no delta is live yet the chunk
+        enters at phase itv-1 (step 0 is a full), so these zeros are
+        overwritten before any shallow step reads them; with a live delta
+        the entry's own state carries in."""
         import jax.numpy as jnp
 
         if entry["deep"] is not None:
@@ -498,8 +513,8 @@ class StableDiffusion3Pipeline(BasePipeline):
 
     def _make_sd3_chunk_fn(self, cache, span, k: int, hp: int):
         """Traced k-step loop: the SAME trunk builders as the per-step
-        path, full/shallow selected in-graph by ``j % interval == 0``
-        (chunks start at full boundaries).  Program contains each trunk
+        path, full/shallow selected in-graph by the phase recurrence
+        ``(phase + j) % interval == interval - 1``.  Program contains each trunk
         body once (lax.cond), so compile cost matches one full + one
         shallow step, not k steps."""
         import jax
@@ -515,7 +530,8 @@ class StableDiffusion3Pipeline(BasePipeline):
                  if deep else None)
 
         def fn(params, lat, ts, cs, guidance, cond, mask,
-               cache_state=None, row_valid=None, deep0=None, itv=None):
+               cache_state=None, row_valid=None, deep0=None, itv=None,
+               phase=None):
             def step(trunk):
                 def f(j, lat, st, dp):
                     c0, c1 = cs[j, :, 0], cs[j, :, 1]
@@ -551,8 +567,10 @@ class StableDiffusion3Pipeline(BasePipeline):
                 lat, st, dp = carry
                 if not deep:
                     return (*full_s(j, lat, st, dp),)
+                # the per-step full/shallow recurrence at interval PHASE:
+                # full when the delta's age reaches itv-1 at this step
                 return jax.lax.cond(
-                    j % itv == 0,
+                    (phase + j) % itv == itv - 1,
                     lambda a: full_s(*a), lambda a: sh_s(*a),
                     (j, lat, st, dp))
 

@@ -69,6 +69,7 @@ class TestMetrics:
         assert back[0].latency_s == pytest.approx(2.5)
 
 
+@pytest.mark.slow
 class TestReplayEndToEnd:
     def test_replay_tiny_engine(self):
         """Full trace replay through the async engine on the CPU mesh."""

@@ -29,6 +29,8 @@ from sduss_tpu.models.unet import SD15_UNET, SDXL_UNET, UNet2DConditionModel
 from sduss_tpu.models.vae import SD3_VAE, SD15_VAE, SDXL_VAE, AutoencoderKL
 
 
+pytestmark = pytest.mark.slow  # full-size shapes / long engine loops
+
 def zeros_params(model):
     """Structure-faithful param tree with cheap int8-zero leaves."""
     shapes = jax.eval_shape(lambda: model.init(jax.random.key(0)))

@@ -35,6 +35,7 @@ def _mk(num_layers=4, dual=(0, 1)):
 
 
 @pytest.mark.parametrize("span", [(2, 4), (0, 2), (1, 3)])
+@pytest.mark.slow
 def test_full_matches_dense_and_shallow_is_exact_at_zero_drift(span):
     model, params, (lat, t, ehs, pooled) = _mk()
     dense = model.apply(params, lat, t, ehs, pooled)

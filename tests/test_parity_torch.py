@@ -449,6 +449,7 @@ class TorchGELUProj(nn.Module):
         return F.gelu(self.proj(x), approximate="tanh")
 
 
+@pytest.mark.slow
 class TestMMDiTJointBlockParity:
     def _run(self, last, dual):
         from sduss_tpu.models.convert import _attn_qkv, _lin

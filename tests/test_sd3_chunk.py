@@ -88,8 +88,32 @@ class TestChunkExactness:
         self._compare(lambda: make_pipe(cache="compact"), k=4, pre_steps=1)
 
     def test_span_chunk_matches_per_step(self):
-        # chunk starts at a full boundary: fresh entry => step 0 is full
+        # fresh entry => phase itv-1 => step 0 is full
         self._compare(lambda: make_pipe(span=(1, 2), interval=2), k=4)
+
+    def test_span_chunk_off_boundary_phase(self):
+        """Chunks entering MID-interval carry the phase as a traced scalar
+        (in-chunk full iff (phase+j) % itv == itv-1) — the old
+        full-boundary gate left long-interval serving on per-step
+        dispatch.  pre_steps=2 at interval 4 enters at age 1; the chunk
+        spans the interior full."""
+        self._compare(lambda: make_pipe(span=(1, 2), interval=4), k=4,
+                      pre_steps=2)
+
+    def test_span_chunk_no_full_inside(self):
+        """A chunk wholly inside the shallow phase (interval 12 > k=3,
+        entry age 1) runs all-shallow and ages the delta by k."""
+        pipe = make_pipe(span=(1, 2), interval=12)
+        reqs = make_reqs(steps=8)
+        by_res = prep(pipe, reqs)
+        _run_per_step(pipe, by_res, 2)  # full at step 0, age now 1
+        (entry,) = pipe._sd3_state.values()
+        assert entry["deep_age"] == 1
+        assert pipe.denoise_chunk(by_res, 3) is True
+        (entry,) = pipe._sd3_state.values()
+        assert entry["deep_age"] == 4  # aged by k, no in-chunk full
+        self._compare(lambda: make_pipe(span=(1, 2), interval=12), k=3,
+                      pre_steps=2)
 
     def test_span_compact_chunk_matches_per_step(self):
         self._compare(lambda: make_pipe(cache="compact", span=(1, 2),
@@ -107,13 +131,14 @@ class TestChunkEligibility:
         by_res = prep(pipe, reqs)
         assert pipe.denoise_chunk(by_res, 4) is False
 
-    def test_span_off_boundary_refuses(self):
+    def test_span_off_boundary_now_eligible(self):
+        """Round-3: the full-boundary gate is gone — a mid-interval chunk
+        carries its phase and stays exact (TestChunkExactness covers the
+        equality)."""
         pipe = make_pipe(span=(1, 2), interval=3)
         reqs = make_reqs(steps=8)
         by_res = prep(pipe, reqs)
         _run_per_step(pipe, by_res, 1)  # full ran; age 0 -> mid-interval
-        assert pipe.denoise_chunk(by_res, 3) is False
-        _run_per_step(pipe, by_res, 2)  # age back at boundary
         assert pipe.denoise_chunk(by_res, 3) is True
 
     def test_mixed_resolutions_refuse(self):
@@ -148,6 +173,7 @@ class TestChunkEligibility:
         assert pipe.denoise_chunk(by_res2, 4, allow_cold=False) is True
 
 
+@pytest.mark.slow
 class TestChunkServing:
     def test_engine_serves_with_chunking(self):
         from sduss_tpu.engine.engine import Engine
@@ -158,6 +184,11 @@ class TestChunkServing:
         c.scheduler.use_mixed_resolution = True
         c.scheduler.policy = "esymred"
         c.scheduler.steps_per_dispatch = 3
+        # Slack math runs against the WALL clock: a loaded CPU host can
+        # blow the real-chip-derived deadlines and shed the whole batch,
+        # which is not what this test pins (chunked dispatch is).  A huge
+        # scale keeps ESyMReD in the loop without SLO pressure.
+        c.scheduler.slo_scale = 1000.0
         c.cache = CacheConfig(enabled=True, mode="deep",
                               sd3_deep_span=(1, 2), deep_interval=3,
                               deep_warmup=0)

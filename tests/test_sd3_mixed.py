@@ -94,6 +94,7 @@ class TestSD3Mixed:
         assert any(isinstance(k, tuple) and k[0] == "sd3_mixed"
                    for k in pipe._fns)
 
+    @pytest.mark.slow
     def test_full_generation_mixed(self):
         """End-to-end through the engine with mixed SD3 resolutions."""
         from sduss_tpu.entrypoints.offline import DiffusionPipeline

@@ -134,6 +134,7 @@ class TestUNetChunkEligibility:
         assert pipe.denoise_chunk(by_res, 2) is False
 
 
+@pytest.mark.slow
 class TestUNetChunkServing:
     def test_engine_serves_with_chunking(self):
         from sduss_tpu.engine.engine import Engine
