@@ -25,7 +25,7 @@ timeout 7200 python -u scripts/bench_sd15.py \
 timeout 10800 python -u scripts/serving_probe.py --model sd3 \
     --resolutions 1024 --qps 0.2 --num 16 --steps 30 \
     --batch-buckets 1,2 --probe-batch 2 --sd3-deep-span 1:24 \
-    --deep-interval 30 --steps-per-dispatch 3 --collect \
+    --deep-interval 30 --steps-per-dispatch 6 --collect \
     --out exp/serving_sd3_span130_chunk_v5e_r3e.json \
     > /tmp/serving_sd3_span130_r3e.log 2>&1
 echo QUEUE_R3E_DONE
