@@ -24,3 +24,13 @@ timeout 14400 python -u scripts/serving_probe.py --qps 0.45 --num 12 \
     --out exp/serving_sdxl_hybrid_chunk_v5e_r3f.json \
     > /tmp/serving_sdxl_hybrid_chunk_r3f.log 2>&1
 echo QUEUE_R3F_DONE
+
+# SD1.5 MIXED serving retry with the capped auto prewarm (the r3c attempt
+# enumerated 309 mixed compile keys = ~15 h of relay compiles and was
+# killed; prewarm_mixed_limit=24 + warm-key routing covers the tail).
+timeout 10800 python -u scripts/serving_probe.py --model sd15 \
+    --resolutions 256,512,768 --qps 1.0 --num 18 --steps 30 \
+    --deep-interval 3 --mixed-prewarm auto --collect \
+    --out exp/serving_sd15_mixed_v5e_r3f.json \
+    > /tmp/serving_sd15_mixed_r3f.log 2>&1
+echo QUEUE_R3F_APPENDIX_DONE

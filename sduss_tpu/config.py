@@ -465,6 +465,14 @@ class EngineConfig:
     # covers step workspace + decode activations (r2w datapoint: params
     # 6.7 GB + b8 hybrid state ~4 GB fit a 16 GB v5e; b12 ~6 GB did not).
     prewarm_hbm_margin: float = 4e9
+    # Cap on auto-enumerated mixed compositions prewarm compiles, ordered
+    # by total image count ascending (small batches arrive first under
+    # rolling admission).  SD1.5's {256,512,768} space enumerates 309
+    # compile keys — ~15 h of relay compiles (measured r3c: ~3 min each);
+    # warm-key routing serves the uncapped tail dense while a daemon
+    # thread warms it (pipelines/base.py denoise_step_mixed
+    # allow_cold=False).  0 = unlimited.
+    prewarm_mixed_limit: int = 24
     # Device HBM budget when the runtime exposes no memory_stats (the axon
     # relay does not); v5e = 16 GB.
     hbm_bytes_fallback: float = 16e9

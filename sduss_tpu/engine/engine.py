@@ -332,6 +332,22 @@ class Engine:
             compositions = patching.enumerate_mixed_compositions(
                 res_to_grid, sc.max_batch_size, sc.patch_buckets,
                 sc.batch_buckets)
+            limit = self.config.engine.prewarm_mixed_limit
+            total_keys = len(compositions)
+            if limit and total_keys > limit:
+                # Smallest total batches first: rolling admission reaches
+                # them soonest; the dropped tail serves DENSE via warm-key
+                # routing while a daemon thread warms it on throwaways.
+                # Never cap silently — SD1.5's space is 309 keys (~15 h of
+                # relay compiles at ~3 min each, measured r3c).
+                compositions = sorted(
+                    compositions, key=lambda c: (sum(c.values()),
+                                                 sorted(c.items())))[:limit]
+                logger.warning(
+                    "prewarm: mixed composition space capped at %d of %d "
+                    "keys (EngineConfig.prewarm_mixed_limit; the rest "
+                    "serve dense until background-warmed)", limit,
+                    total_keys)
             logger.info("prewarm: auto-enumerated %d mixed compile keys "
                         "for resolutions %s", len(compositions),
                         sorted(res_to_grid))

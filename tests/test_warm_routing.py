@@ -91,6 +91,24 @@ class TestEnumerate:
         assert self._pair_key(a, self.PB, ib) in keys
         assert self._pair_key(b, self.PB, ib) in keys
 
+    def test_sd15_space_is_large_and_cappable(self):
+        """SD1.5's {256,512,768} space enumerates hundreds of keys — the
+        measured r3c prewarm burn (309 keys x ~3 min relay compiles).
+        EngineConfig.prewarm_mixed_limit slices the SMALLEST total batches
+        first (rolling admission reaches them soonest); the engine logs
+        the cap (no silent truncation) and warm-key routing serves the
+        tail dense."""
+        grids = {256: 1, 512: 2, 768: 3}
+        comps = patching.enumerate_mixed_compositions(grids, 12, self.PB,
+                                                      (1, 2, 4, 8, 12))
+        assert len(comps) > 100  # the intractable-by-default space
+        ordered = sorted(comps, key=lambda c: (sum(c.values()),
+                                               sorted(c.items())))
+        capped, dropped = ordered[:24], ordered[24:]
+        assert len(capped) == 24 and dropped
+        assert max(sum(c.values()) for c in capped) \
+            <= min(sum(c.values()) for c in dropped)
+
     def test_single_resolution_yields_nothing(self):
         assert patching.enumerate_mixed_compositions(
             {512: 2}, 8, self.PB, self.IB) == []
