@@ -23,11 +23,13 @@ apples-to-apples comparison.  Measured on chip: boundary 1 + t0.2/cap15 =
 1.5508 img/s at 4/30 full steps = 3.45x the H100 anchor
 (exp/bench_sdxl_bdy1_t02c15_v5e.json) vs 1.0199 at the round-2 default
 (bdy2 t0.1/cap10), 0.8752 at t0.05/cap6, 0.6475 plain adaptive, 0.5684
-fixed interval 3.  Quality (tiny-harness trajectory divergence at the
-3-level proxy): bdy1 t0.2/cap15 = 0.00629
-(exp/cache_quality_sdxl_bdy1_t02c15_tiny.json) — under the reference's
-0.01 classifier bar (cache_manager.py:101-191; decision rule in
-docs/DESIGN.md "Cache default adjudication").  Pairwise selection is what
+fixed interval 3.  Quality at FULL SDXL size on chip
+(exp/cache_quality_sdxl_bdy1_t02c15_full_v5e.json): rel_mse 7.25e-5 vs
+cache-off, cosine 0.99997, at 4/30 fulls — 138x under the reference's
+0.01 classifier bar (cache_manager.py:101-191) and 100x below the
+model's own 0.0077/step output drift; the 3-level tiny proxy's 0.00629
+was an 87x over-estimate (random tiny weights drift harder).  Decision
+rule: docs/DESIGN.md "Cache default adjudication".  Pairwise selection is what
 clears fraction 0.3: independent top-K picks 5 of 16 rows (odd) and
 splits CFG pairs (5x the divergence).  The cache-off number is reported
 alongside.
