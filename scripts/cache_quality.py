@@ -734,6 +734,10 @@ def main():
                          "(full step when latent rel-MSE since the last "
                          "full exceeds the threshold; sdxl only)")
     ap.add_argument("--max-interval", type=int, default=6)
+    ap.add_argument("--warmup", type=int, default=3,
+                    help="always-full prefix steps for the adaptive/hybrid "
+                         "schedules (production deep_warmup; 3 = the "
+                         "apples-to-apples default)")
     ap.add_argument("--compact", default="0.3,0.5,0.7")
     ap.add_argument("--hybrid", default="",
                     help="deep x compact hybrid row fractions (sdxl only); "
@@ -883,12 +887,13 @@ def main():
             elif kind == "deep_warmup":
                 run = run_deep(param, 3)
             elif kind == "deep_adaptive":
-                # warmup 3 like production deep_warmup / the deep_warmup
+                # warmup like production deep_warmup / the deep_warmup
                 # rows, so full counts compare apples-to-apples
-                run = run_deep_adaptive(param, args.max_interval, 3)
+                run = run_deep_adaptive(param, args.max_interval,
+                                        args.warmup)
             elif kind == "deep_hybrid":
                 run = run_deep_hybrid(args.hybrid_threshold, param,
-                                      args.max_interval, 3,
+                                      args.max_interval, args.warmup,
                                       args.hybrid_pairwise,
                                       args.hybrid_predict)
             elif kind == "cfg_reuse":
@@ -958,6 +963,7 @@ def main():
                            (w + (n - w + itv - 1) // itv) / n, 4))
         elif kind in ("deep_adaptive", "deep_hybrid"):
             row["full_fraction"] = round(full_frac, 4)
+            row["warmup"] = args.warmup
             if kind == "deep_hybrid":
                 row["threshold"] = args.hybrid_threshold
                 row["pairwise"] = args.hybrid_pairwise
