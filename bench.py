@@ -13,23 +13,26 @@ measured img/s/chip divided by that 0.45 anchor.
 The default configuration enables temporal deep-block reuse at BOUNDARY 1
 (the shallow step is conv-only — every transformer level above level 0 is
 cached, the SDXL analog of SD3's wide span) with DRIFT-TRIGGERED refresh
-(threshold 0.2, safety cap 15) COMPOSED with CFG-pair-symmetric compact
-row gating and reuse-then-predict on the shallow steps (deep x compact
-HYBRID, row fraction 0.3, pairwise selection, momentum 0.5) — the
+(threshold 0.3, safety cap 20, warmup 1) COMPOSED with CFG-pair-symmetric
+compact row gating and reuse-then-predict on the shallow steps (deep x
+compact HYBRID, row fraction 0.3, pairwise selection, momentum 0.5) — the
 reference's headline figures likewise run WITH its learned block cache on
 (reference scripts/paper/e2e.sh:32-37 exports ESYMRED_USE_CACHE=TRUE for
 the esymred/fcfs_mixed rows), so cache-on vs cache-on is the
-apples-to-apples comparison.  Measured on chip: boundary 1 + t0.2/cap15 =
-1.5508 img/s at 4/30 full steps = 3.45x the H100 anchor
-(exp/bench_sdxl_bdy1_t02c15_v5e.json) vs 1.0199 at the round-2 default
+apples-to-apples comparison.  Measured on chip (r3g ladder):
+**w1/t0.3/cap20 = 2.1911 img/s at 2/30 full steps = 4.87x the H100
+anchor** (/tmp/bench_sdxl_bdy1_w1.log -> exp) vs 1.8089 at w2/t0.25
+(3/30), 1.5508 at w3/t0.2/cap15 (4/30,
+exp/bench_sdxl_bdy1_t02c15_v5e.json), 1.0199 at the round-2 default
 (bdy2 t0.1/cap10), 0.8752 at t0.05/cap6, 0.6475 plain adaptive, 0.5684
-fixed interval 3.  Quality at FULL SDXL size on chip
-(exp/cache_quality_sdxl_bdy1_t02c15_full_v5e.json): rel_mse 7.25e-5 vs
-cache-off, cosine 0.99997, at 4/30 fulls — 138x under the reference's
-0.01 classifier bar (cache_manager.py:101-191) and 100x below the
-model's own 0.0077/step output drift; the 3-level tiny proxy's 0.00629
-was an 87x over-estimate (random tiny weights drift harder).  Decision
-rule: docs/DESIGN.md "Cache default adjudication".  Pairwise selection is what
+fixed interval 3.  Quality at FULL SDXL size on chip is FLAT across the ladder
+(exp/cache_quality_sdxl_bdy1_{t02c15,w2t025,w1t03}_full_v5e.json):
+rel_mse 7.25e-5 / 9.47e-5 / 7.47e-5 at 4/3/2 fulls of 30 — all >=100x
+under the reference's 0.01 classifier bar (cache_manager.py:101-191)
+and far below the model's own 0.0077/step output drift; the 3-level
+tiny proxy's 0.00629 was an 87x over-estimate (random tiny weights
+drift harder).  Decision rule: docs/DESIGN.md "Cache default
+adjudication".  Pairwise selection is what
 clears fraction 0.3: independent top-K picks 5 of 16 rows (odd) and
 splits CFG pairs (5x the divergence).  The cache-off number is reported
 alongside.
@@ -40,10 +43,10 @@ Env knobs:
   BENCH_STEPS   denoise steps per timed run (default 30)
   BENCH_REPEATS timed repeats, best-of (default 3)
   BENCH_DEEP_ADAPTIVE  drift threshold for the adaptive deep schedule
-                (default 0.2, the measured on-chip winner at boundary 1;
+                (default 0.3, the measured on-chip winner at boundary 1;
                 0 reverts to the fixed BENCH_DEEP interval; BENCH_DEEP_CAP
-                safety interval, default 15; BENCH_DEEP_WARMUP always-full
-                prefix); reports the realized full-step count
+                safety interval, default 20; BENCH_DEEP_WARMUP always-full
+                prefix, default 1); reports the realized full-step count
   BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (default 0.3, the
                 measured on-chip winner inside the round-1 quality bound;
                 0 = plain adaptive): shallow steps additionally gate their
@@ -491,7 +494,7 @@ def main() -> None:
             (params, latents, t, coeffs, guidance, ehs, pooled, time_ids) = args
             deep_interval = int(os.environ.get("BENCH_DEEP", "3"))
             compact_frac = float(os.environ.get("BENCH_COMPACT", "0"))
-            adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.2"))
+            adaptive_thresh = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.3"))
             hybrid_frac = float(os.environ.get("BENCH_DEEP_HYBRID", "0.3"))
             n_full = None
             if mode == "scan":
@@ -500,8 +503,8 @@ def main() -> None:
                 if hybrid_frac > 0 and compact_frac <= 0:
                     run = make_hybrid_trajectory(
                         n_steps, adaptive_thresh or 0.05,
-                        cap=int(os.environ.get("BENCH_DEEP_CAP", "15")),
-                        warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")),
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "20")),
+                        warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "1")),
                         fraction=hybrid_frac,
                         pairwise=os.environ.get("BENCH_HYBRID_PAIRWISE",
                                                 "1") == "1",
@@ -510,8 +513,8 @@ def main() -> None:
                 elif adaptive:
                     run = make_adaptive_deep_trajectory(
                         n_steps, adaptive_thresh,
-                        cap=int(os.environ.get("BENCH_DEEP_CAP", "15")),
-                        warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "3")))
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "20")),
+                        warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "1")))
                 elif compact_frac > 0:
                     run = make_compact_trajectory(n_steps, compact_frac)
                 else:
@@ -573,14 +576,19 @@ def main() -> None:
         "batch": best_b,
         "deep_reuse_interval": deep if mode == "scan" else 0,
         "deep_adaptive_threshold": float(
-            os.environ.get("BENCH_DEEP_ADAPTIVE", "0.2")),
-        "deep_cap": int(os.environ.get("BENCH_DEEP_CAP", "15")),
+            os.environ.get("BENCH_DEEP_ADAPTIVE", "0.3")),
+        "deep_cap": int(os.environ.get("BENCH_DEEP_CAP", "20")),
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
         "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
         "hybrid_pairwise": os.environ.get("BENCH_HYBRID_PAIRWISE", "1") == "1",
         "hybrid_predict": float(os.environ.get("BENCH_HYBRID_PREDICT", "0.5")),
-        "deep_boundary": (int(os.environ.get("BENCH_DEEP_BOUNDARY", "1"))
-                          or None),
+        # mirror of build_step's parsing incl. the [1, n_levels-1] clamp
+        # (full SDXL has 3 levels): int("") crashed the final print AFTER
+        # the multi-hour run, and an unclamped value mislabeled the
+        # artifact (review r3 finding)
+        "deep_boundary": (lambda v: min(max(int(v), 1), 2)
+                          if v and int(v) else None)(
+                              os.environ.get("BENCH_DEEP_BOUNDARY", "1")),
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 

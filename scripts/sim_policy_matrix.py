@@ -57,13 +57,10 @@ from sduss_tpu.scheduler.predictor import LatencyPredictor
 from sduss_tpu.scheduler.profiles import get_profile
 from sduss_tpu.scheduler.request_pool import RequestPool
 
-# Measured cache shallow/full step-cost ratios (one v5e):
-#   sdxl: deep-3 b8 full 830 ms / shallow 360 ms (exp/serving_sdxl_v5e_r2
-#         warm probe + BENCH logs)   -> 0.434
-#   sd3:  span 1:24 full 230 ms / shallow 12.2 ms
-#         (exp/bench_sd3_v5e_span124_i12.json ladder)  -> 0.053
-#   sd15: no measured split; UNet structure mirrors sdxl -> sdxl's ratio.
-SHALLOW_RATIO = {"sdxl": 0.434, "sd15": 0.434, "sd3": 0.053}
+# Measured cache shallow/full step-cost ratios: ONE source of truth in
+# sduss_tpu/scheduler/profiles.py (_SHALLOW_STEP_RATIO) — the scheduler's
+# EMA prior and this simulator's clock must never diverge silently.
+from sduss_tpu.scheduler.profiles import _SHALLOW_STEP_RATIO as SHALLOW_RATIO
 # Host text-encode + latent init per PREPARE batch, seconds
 # (bucket-amortized; sd3 = batched dual-CLIP+T5 after the r2t fixes).
 PREPARE_S = {"sdxl": 0.35, "sd15": 0.2, "sd3": 0.9}
@@ -375,9 +372,21 @@ def main():
                                "abort_rate", "p99_latency_s")}), flush=True)
     tag = ("" if args.distribution == "uniform" else f"_{args.distribution}") \
         + ("" if args.slo == 5 else f"_slo{args.slo}")
-    with open(os.path.join(args.out_dir, f"sim_{fam}_summary{tag}.json"),
-              "w") as f:
-        json.dump(summary, f, indent=1)
+    # MERGE into any existing summary keyed by (policy, qps, num): a
+    # partial rerun must not clobber the full-sweep records (a 30-request
+    # smoke run once overwrote the committed 500-request sdxl summary —
+    # review r3 finding).
+    spath = os.path.join(args.out_dir, f"sim_{fam}_summary{tag}.json")
+    merged = {}
+    if os.path.exists(spath):
+        with open(spath) as f:
+            for r in json.load(f):
+                merged[(r["policy"], r["qps"], r.get("num"))] = r
+    for r in summary:
+        merged[(r["policy"], r["qps"], r.get("num"))] = r
+    with open(spath, "w") as f:
+        json.dump(sorted(merged.values(),
+                         key=lambda r: (r["qps"], r["policy"])), f, indent=1)
 
 
 if __name__ == "__main__":

@@ -396,10 +396,11 @@ class CacheConfig:
           .json); a hybrid interval-3 serving pass is chip-clean (100%
           machine SLO, zero aborts, exp/serving_sdxl_hybrid_v5e_r2z.json).
           Offline/aligned batches additionally get boundary-1 (conv-only
-          shallow steps) + the adaptive schedule (threshold 0.2/cap 15:
-          1.5508 img/s = 3.45x the H100 SDXL anchor on one v5e,
-          exp/bench_sdxl_bdy1_t02c15_v5e.json; adjudication rule in
-          docs/DESIGN.md "Cache default adjudication").
+          shallow steps) + the adaptive schedule (threshold 0.3/cap 20/
+          warmup 1: 2.1911 img/s = 4.87x the H100 SDXL anchor on one
+          v5e at 2/30 fulls, exp/bench_sdxl_bdy1_w1t03_v5e.json;
+          full-size quality 7.47e-5 — 134x under the bar; adjudication
+          rule in docs/DESIGN.md "Cache default adjudication").
         - sd3: wide span-skip 1:24.  Serving keeps interval 16 (26.7 ms =
           2.43x the H100 anchor, rel_mse 0.0008 at 24-block depth;
           chip-clean serving artifact exp/serving_sd3_span_v5e_r2w.json;
@@ -417,8 +418,9 @@ class CacheConfig:
         if not serving:
             cfg.deep_boundary = 1
             cfg.deep_adaptive = True
-            cfg.deep_drift_threshold = 0.2
-            cfg.deep_max_interval = 15
+            cfg.deep_drift_threshold = 0.3
+            cfg.deep_max_interval = 20
+            cfg.deep_warmup = 1
             cfg.deep_predict = 0.5
         return cfg
 

@@ -255,10 +255,11 @@ class Engine:
     def _prewarm_chunk(self, pipe, res: int, b: int, steps: int) -> None:
         """Mint the fused multi-step program for (res, bucket)
         (SchedulerConfig.steps_per_dispatch; pipelines denoise_chunk).
-        Chunks require host-state alignment (compact anchoring sync done,
-        span at a FULL boundary), so per-step throwaway steps run until the
-        chunk becomes eligible — exactly how the worker reaches it in
-        production."""
+        SD3 span chunks are eligible at ANY interval phase (the phase is a
+        traced scalar, round 3); compact token state still needs its
+        anchoring sync step and the UNet chunk its boundary, so per-step
+        throwaway steps run until the chunk becomes eligible — exactly how
+        the worker reaches it in production (usually 0-1 iterations now)."""
         sc = self.config.scheduler
         cc = self.config.cache
         itv = max(getattr(cc, "deep_interval", 1), 1)

@@ -828,9 +828,16 @@ class BasePipeline:
         # Full and shallow are different traced programs visiting different
         # attention sites, and ShardContext keys KV by a per-program call
         # counter — each mode therefore carries its OWN stale-KV dict.
+        # FULL steps always run SYNC (fresh gathers): their per-mode dict
+        # is only written once per interval, so "stale" there would mean
+        # interval-steps-old KV — far outside the 1-step displacement the
+        # approximation is validated for (review r3 finding).  Fulls are
+        # 1/interval of steps; the gather cost there is marginal.  Shallow
+        # steps update their dict every step, keeping their staleness at
+        # ~1 step (2 across a full boundary).
         kv = st["kv"].setdefault(mode or "dense", {})
-        stale = st["warm"] >= self.config.parallel.displaced_warmup \
-            and bool(kv)
+        stale = (st["warm"] >= self.config.parallel.displaced_warmup
+                 and bool(kv) and mode != "full")
         # donate the threaded KV pytree (arg 6): full-sequence K/V for
         # every attention is multi-GB at full size; old+new copies across
         # the step would halve serving headroom (same aliasing rationale

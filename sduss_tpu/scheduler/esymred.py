@@ -66,6 +66,7 @@ class ESyMReDPolicy(Policy):
         # starved admissions (exp/serving_sd15_v5e_r2w.json: batch stuck at
         # 3 with 12 requests prepared while the EMA learned 120 -> 67 ms).
         self._step_correction = 1.0
+        self._outlier_cut = 6.0
         self._correction_primed = False
 
     def observe_step_time(self, requests: List[Request], ms: float) -> None:
@@ -76,14 +77,20 @@ class ESyMReDPolicy(Policy):
         if pred <= 0.05:
             return
         # Outlier guard: a cold executable load / compile mid-pass shows up
-        # as one iteration 5-20x the prediction (r3c SD1.5 pass 1: two
+        # as one iteration far above the prediction (r3c SD1.5 pass 1: two
         # ~2.8 s hiccups at a 111 ms prediction pushed the correction 5x up
         # and the panicked slack math shed 25% of the pass).  A single
         # outlier is dropped; TWO consecutive ones are believed — a real
         # regime shift (e.g. cache-off fallback) repeats, a one-off load
-        # doesn't.
+        # doesn't.  The cut must sit ABOVE the legitimate periodic ratio of
+        # a cache-on FULL step against the averaged prediction (SD3
+        # span@16: full/avg ~ 1/0.112 ~ 8.9; span@30 ~ 11.8 — a fixed 4x
+        # cut would reject every full and decay the correction to the
+        # shallow-only cost, ~2x underprediction): cut = max(6, 2/factor),
+        # primed with the correction, keeps fulls in and cold loads
+        # (20-50x) out.
         ratio = ms / pred
-        if ratio > 4.0:
+        if ratio > self._outlier_cut:
             self._outlier_streak = getattr(self, "_outlier_streak", 0) + 1
             if self._outlier_streak < 2:
                 return
@@ -103,8 +110,9 @@ class ESyMReDPolicy(Policy):
         construction by WorkerScheduler, so priming is lazy)."""
         if not self._correction_primed:
             self._correction_primed = True
-            self._step_correction = self.profile.cache_step_factor(
-                self.cache_config)
+            factor = self.profile.cache_step_factor(self.cache_config)
+            self._step_correction = factor
+            self._outlier_cut = max(6.0, 2.0 / max(factor, 1e-3))
 
     def _predict_counts(self, counts: List[int]) -> float:
         self._maybe_prime_correction()
@@ -240,6 +248,20 @@ class ESyMReDPolicy(Policy):
         if (pc is None or getattr(pc, "sp_mode", None) != "displaced"
                 or not running or not waiting):
             return False
+        # The pipeline serves GSPMD (no composition resync to amortize)
+        # whenever the enabled cache is not plain fixed-interval deep on a
+        # UNet family — mirror of pipelines/base.py _displaced_deep_ok;
+        # deferring there would add queueing latency for nothing.
+        cc = self.cache_config
+        if cc is not None and getattr(cc, "enabled", False):
+            plain_deep = (getattr(cc, "mode", None) == "deep"
+                          and getattr(cc, "deep_compact_fraction", None)
+                          is None
+                          and not getattr(cc, "deep_adaptive", False)
+                          and not getattr(cc, "deep_predict", 0)
+                          and self.family != "sd3")
+            if not plain_deep:
+                return False
         cur = len(running)
         next_bucket = next((b for b in self.config.batch_buckets
                             if b > cur), None)

@@ -134,6 +134,13 @@ class StageProfile:
         if interval <= 1:
             return 1.0
         ratio = _SHALLOW_STEP_RATIO.get(self.family, 1.0)
+        if (getattr(cc, "deep_boundary", None) == 1
+                and self.family in ("sdxl", "sd15")):
+            # boundary-1 shallow steps are CONV-ONLY (~50 ms vs the 830 ms
+            # full at SDXL b8, r3b chip ladder) — the default-boundary
+            # ratio would overestimate ~7x and re-create the cold-start
+            # admission starvation this priming exists to fix.
+            ratio = 0.06
         return (1.0 + (interval - 1) * ratio) / interval
 
     # -- persistence ---------------------------------------------------------

@@ -125,10 +125,12 @@ class TestProductionPresets:
         assert not s.deep_adaptive and s.deep_interval == 3
         assert s.deep_compact_fraction == 0.3 and s.deep_compact_pairwise
         # offline/aligned: boundary-1 + adaptive refresh + reuse-then-predict
-        # (chip-confirmed 1.5508 img/s, exp/bench_sdxl_bdy1_t02c15_v5e.json)
+        # (chip-confirmed 2.1911 img/s at 2/30 fulls,
+        # exp/bench_sdxl_bdy1_w1t03_v5e.json; full-size quality 7.47e-5)
         assert o.deep_adaptive and o.deep_predict == 0.5
         assert o.deep_boundary == 1
-        assert o.deep_drift_threshold == 0.2 and o.deep_max_interval == 15
+        assert o.deep_drift_threshold == 0.3 and o.deep_max_interval == 20
+        assert o.deep_warmup == 1
 
     def test_preset_drives_tiny_engine(self):
         import numpy as np
