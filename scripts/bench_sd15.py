@@ -67,10 +67,16 @@ def main():
     guidance = jnp.full((b,), 7.5)
 
     n_lv = len(unet.cfg.block_out_channels)
-    # BENCH_DEEP_BOUNDARY: deep-cache boundary level (default deepest-1 =
-    # 3 for SD1.5's 4 levels).  1 = conv-only shallow steps, the SDXL
-    # boundary-1 analog (bench.py); 0/empty = model default; clamped.
-    _bdy_env = os.environ.get("BENCH_DEEP_BOUNDARY", "")
+    # BENCH_DEEP_BOUNDARY: deep-cache boundary level (default 1 =
+    # conv-only shallow steps, the SDXL boundary-1 analog): 6.6398 img/s
+    # at 40.2 ms/step, 4/30 fulls on chip vs 4.3153 at the old deepest-1
+    # default (/tmp/bench_sd15_bdy1.log -> exp/bench_sd15_bdy1_v5e.json);
+    # quality-passed on the 4-level SD1.5-structure proxy at the SHIPPED
+    # schedule (rel_mse 0.00676 < 0.01,
+    # exp/cache_quality_sd15proxy_bdy1_t005c6_tiny.json — the aggressive
+    # SDXL schedule is proxy-REJECTED there, so only the boundary flips).
+    # 0 = model default (deepest-1 = 3); clamped.
+    _bdy_env = os.environ.get("BENCH_DEEP_BOUNDARY", "1")
     deep_bdy = (int(_bdy_env) or None) if _bdy_env else None
     if deep_bdy is not None:
         deep_bdy = max(1, min(deep_bdy, n_lv - 1))
