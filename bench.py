@@ -19,19 +19,18 @@ compact HYBRID, row fraction 0.3, pairwise selection, momentum 0.5) — the
 reference's headline figures likewise run WITH its learned block cache on
 (reference scripts/paper/e2e.sh:32-37 exports ESYMRED_USE_CACHE=TRUE for
 the esymred/fcfs_mixed rows), so cache-on vs cache-on is the
-apples-to-apples comparison.  Measured on chip (r3g ladder):
-**w1/t0.3/cap20 = 2.1911 img/s at 2/30 full steps = 4.87x the H100
-anchor** (/tmp/bench_sdxl_bdy1_w1.log -> exp) vs 1.8089 at w2/t0.25
-(3/30), 1.5508 at w3/t0.2/cap15 (4/30,
-exp/bench_sdxl_bdy1_t02c15_v5e.json), 1.0199 at the round-2 default
-(bdy2 t0.1/cap10), 0.8752 at t0.05/cap6, 0.6475 plain adaptive, 0.5684
-fixed interval 3.  Quality at FULL SDXL size on chip is FLAT across the ladder
-(exp/cache_quality_sdxl_bdy1_{t02c15,w2t025,w1t03}_full_v5e.json):
-rel_mse 7.25e-5 / 9.47e-5 / 7.47e-5 at 4/3/2 fulls of 30 — all >=100x
-under the reference's 0.01 classifier bar (cache_manager.py:101-191)
-and far below the model's own 0.0077/step output drift; the 3-level
-tiny proxy's 0.00629 was an 87x over-estimate (random tiny weights
-drift harder).  Decision rule: docs/DESIGN.md "Cache default
+apples-to-apples comparison.  Measured on chip (r3g/r3i ladder):
+**w1/t0.3/cap30 = 2.7849 img/s at ONE full step of 30 = 6.19x the H100
+anchor** (exp/bench_sdxl_bdy1_w1c30_v5e.json) vs 2.1911 at cap20
+(2/30; zero-env confirm 2.1867), 1.8089 at w2/t0.25 (3/30), 1.5508 at
+w3/t0.2/cap15 (4/30), 1.0199 at the round-2 default (bdy2 t0.1/cap10),
+0.8752 at t0.05/cap6, 0.6475 plain adaptive, 0.5684 fixed interval 3.  Quality at FULL SDXL size on chip is FLAT across the ladder
+(exp/cache_quality_sdxl_bdy1_{t02c15,w2t025,w1t03,w1c30}_full_v5e.json):
+rel_mse 7.25e-5 / 9.47e-5 / 7.47e-5 / 7.93e-5 at 4/3/2/1 fulls of 30 —
+all >=100x under the reference's 0.01 classifier bar
+(cache_manager.py:101-191) and far below the model's own 0.0077/step
+output drift; the 3-level tiny proxy's 0.00629 was an 87x over-estimate
+(random tiny weights drift harder).  Decision rule: docs/DESIGN.md "Cache default
 adjudication".  Pairwise selection is what
 clears fraction 0.3: independent top-K picks 5 of 16 rows (odd) and
 splits CFG pairs (5x the divergence).  The cache-off number is reported
@@ -45,7 +44,7 @@ Env knobs:
   BENCH_DEEP_ADAPTIVE  drift threshold for the adaptive deep schedule
                 (default 0.3, the measured on-chip winner at boundary 1;
                 0 reverts to the fixed BENCH_DEEP interval; BENCH_DEEP_CAP
-                safety interval, default 20; BENCH_DEEP_WARMUP always-full
+                safety interval, default 30; BENCH_DEEP_WARMUP always-full
                 prefix, default 1); reports the realized full-step count
   BENCH_DEEP_HYBRID  deep x compact hybrid row fraction (default 0.3, the
                 measured on-chip winner inside the round-1 quality bound;
@@ -503,7 +502,7 @@ def main() -> None:
                 if hybrid_frac > 0 and compact_frac <= 0:
                     run = make_hybrid_trajectory(
                         n_steps, adaptive_thresh or 0.05,
-                        cap=int(os.environ.get("BENCH_DEEP_CAP", "20")),
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "30")),
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "1")),
                         fraction=hybrid_frac,
                         pairwise=os.environ.get("BENCH_HYBRID_PAIRWISE",
@@ -513,7 +512,7 @@ def main() -> None:
                 elif adaptive:
                     run = make_adaptive_deep_trajectory(
                         n_steps, adaptive_thresh,
-                        cap=int(os.environ.get("BENCH_DEEP_CAP", "20")),
+                        cap=int(os.environ.get("BENCH_DEEP_CAP", "30")),
                         warmup=int(os.environ.get("BENCH_DEEP_WARMUP", "1")))
                 elif compact_frac > 0:
                     run = make_compact_trajectory(n_steps, compact_frac)
@@ -577,7 +576,7 @@ def main() -> None:
         "deep_reuse_interval": deep if mode == "scan" else 0,
         "deep_adaptive_threshold": float(
             os.environ.get("BENCH_DEEP_ADAPTIVE", "0.3")),
-        "deep_cap": int(os.environ.get("BENCH_DEEP_CAP", "20")),
+        "deep_cap": int(os.environ.get("BENCH_DEEP_CAP", "30")),
         "compact_fraction": float(os.environ.get("BENCH_COMPACT", "0")),
         "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
         "hybrid_pairwise": os.environ.get("BENCH_HYBRID_PAIRWISE", "1") == "1",

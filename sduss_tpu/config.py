@@ -389,18 +389,20 @@ class CacheConfig:
         (its e2e scripts load family-specific trained caches,
         reference scripts/paper/e2e.sh:32-55):
 
-        - sdxl/sd15: deep reuse x compact CFG-pair rows (fraction 0.3).
-          Serving keeps the FIXED interval-3 refresh — drift-adaptive
-          refresh loses under rolling admissions (the "any member needs
-          full" OR re-densifies the schedule, exp/sim_adaptive_serving
-          .json); a hybrid interval-3 serving pass is chip-clean (100%
-          machine SLO, zero aborts, exp/serving_sdxl_hybrid_v5e_r2z.json).
-          Offline/aligned batches additionally get boundary-1 (conv-only
-          shallow steps) + the adaptive schedule (threshold 0.3/cap 20/
-          warmup 1: 2.1911 img/s = 4.87x the H100 SDXL anchor on one
-          v5e at 2/30 fulls, exp/bench_sdxl_bdy1_w1t03_v5e.json;
-          full-size quality 7.47e-5 — 134x under the bar; adjudication
-          rule in docs/DESIGN.md "Cache default adjudication").
+        - sdxl/sd15: deep reuse x compact CFG-pair rows (fraction 0.3) at
+          BOUNDARY 1 (conv-only shallow steps).  Serving keeps the FIXED
+          interval-3 refresh — drift-adaptive refresh loses under rolling
+          admissions (exp/sim_adaptive_serving.json); the boundary-1
+          interval-3 serving pass is chip-clean at qps 0.45 (93.75%
+          machine SLO, zero aborts, warm step 355.2 ms => 0.75 img/s/chip
+          under load, exp/serving_sdxl_bdy1_v5e_r3h.json; bdy-default
+          control exp/serving_sdxl_hybrid_sat_v5e_r3c.json).
+          Offline/aligned batches get the adaptive schedule (threshold
+          0.3/cap 30/warmup 1: ONE full step per 30 — 2.7849 img/s =
+          6.19x the H100 SDXL anchor on one v5e,
+          exp/bench_sdxl_bdy1_w1c30_v5e.json; full-size quality 7.93e-5,
+          126x under the bar; adjudication rule in docs/DESIGN.md
+          "Cache default adjudication").
         - sd3: wide span-skip 1:24.  Serving keeps interval 16 (26.7 ms =
           2.43x the H100 anchor, rel_mse 0.0008 at 24-block depth;
           chip-clean serving artifact exp/serving_sd3_span_v5e_r2w.json;
@@ -414,12 +416,12 @@ class CacheConfig:
             return cls(enabled=True, mode="deep", sd3_deep_span=(1, 24),
                        deep_interval=16 if serving else 30, deep_warmup=3)
         cfg = cls(enabled=True, mode="deep", deep_interval=3, deep_warmup=3,
-                  deep_compact_fraction=0.3, deep_compact_pairwise=True)
+                  deep_compact_fraction=0.3, deep_compact_pairwise=True,
+                  deep_boundary=1)
         if not serving:
-            cfg.deep_boundary = 1
             cfg.deep_adaptive = True
             cfg.deep_drift_threshold = 0.3
-            cfg.deep_max_interval = 20
+            cfg.deep_max_interval = 30
             cfg.deep_warmup = 1
             cfg.deep_predict = 0.5
         return cfg

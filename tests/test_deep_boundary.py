@@ -122,14 +122,16 @@ class TestProductionPresets:
         s = CacheConfig.production("sdxl", serving=True)
         o = CacheConfig.production("sdxl", serving=False)
         # serving: fixed interval (adaptive loses under rolling admissions)
+        # at boundary 1 (chip-clean: exp/serving_sdxl_bdy1_v5e_r3h.json)
         assert not s.deep_adaptive and s.deep_interval == 3
         assert s.deep_compact_fraction == 0.3 and s.deep_compact_pairwise
+        assert s.deep_boundary == 1
         # offline/aligned: boundary-1 + adaptive refresh + reuse-then-predict
-        # (chip-confirmed 2.1911 img/s at 2/30 fulls,
-        # exp/bench_sdxl_bdy1_w1t03_v5e.json; full-size quality 7.47e-5)
+        # (chip-confirmed 2.7849 img/s at ONE full of 30,
+        # exp/bench_sdxl_bdy1_w1c30_v5e.json; full-size quality 7.93e-5)
         assert o.deep_adaptive and o.deep_predict == 0.5
         assert o.deep_boundary == 1
-        assert o.deep_drift_threshold == 0.3 and o.deep_max_interval == 20
+        assert o.deep_drift_threshold == 0.3 and o.deep_max_interval == 30
         assert o.deep_warmup == 1
 
     def test_preset_drives_tiny_engine(self):
