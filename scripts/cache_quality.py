@@ -43,7 +43,8 @@ def _metrics(a, b):
 
 
 def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int,
-                    levels: int = 0, boundary: int = 0):
+                    levels: int = 0, boundary: int = 0,
+                    family: str = "sdxl"):
     """(run_plain, run_deep(interval), run_compact(fraction), make_inputs).
 
     ``levels`` (tiny only): 3 = use TINY3_SDXL_UNET, the 3-level proxy with
@@ -54,14 +55,21 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int,
     import jax
     import jax.numpy as jnp
 
-    from sduss_tpu.models.unet import (SDXL_UNET, TINY3_SDXL_UNET,
-                                       TINY4_SD15_UNET, TINY_SDXL_UNET,
+    from sduss_tpu.models.unet import (SD15_UNET, SDXL_UNET,
+                                       TINY3_SDXL_UNET, TINY4_SD15_UNET,
+                                       TINY_SDXL_UNET,
                                        UNet2DConditionModel)
     from sduss_tpu.samplers import get_sampler
 
+    # Full-size SD1.5 rides the same builders: UNetConfig with
+    # addition_embed=None ignores the added_cond inputs (unet.time_embed
+    # guards), so the SDXL-shaped harness drives it unchanged.  Tiny sd15
+    # = the 4-level structure proxy.
     cfg = (TINY3_SDXL_UNET if tiny and levels == 3
-           else TINY4_SD15_UNET if tiny and levels == 4
-           else TINY_SDXL_UNET if tiny else SDXL_UNET)
+           else TINY4_SD15_UNET if tiny and (levels == 4
+                                             or family == "sd15")
+           else TINY_SDXL_UNET if tiny
+           else SD15_UNET if family == "sd15" else SDXL_UNET)
     bdy = boundary or None
     unet = UNet2DConditionModel(cfg)
     sampler = get_sampler("euler")
@@ -722,7 +730,8 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
 
 def main():
     ap = argparse.ArgumentParser("cache quality sweep")
-    ap.add_argument("--family", choices=["sdxl", "sd3"], default="sdxl")
+    ap.add_argument("--family", choices=["sdxl", "sd15", "sd3"],
+                    default="sdxl")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--res", type=int, default=0, help="0 = family default")
@@ -789,23 +798,26 @@ def main():
     except Exception:
         pass
 
-    res = args.res or (256 if args.tiny else 1024)
-    build = build_unet_runs if args.family == "sdxl" else build_mmdit_runs
+    res = args.res or (256 if args.tiny else
+                       512 if args.family == "sd15" else 1024)
+    build = (build_mmdit_runs if args.family == "sd3"
+             else build_unet_runs)
     # params threads through as an explicit jit argument: closing over the
     # full-size bundle captured it as 5.13 GB of lowered CONSTANTS (shipped
     # with the program through the relay on every compile; measured warning
     # in the r2 chip queue).
     build_kw = ({"layers": args.mmdit_layers}
                 if args.family == "sd3" and args.mmdit_layers else {})
-    if args.family == "sdxl":
+    if args.family in ("sdxl", "sd15"):
         if args.unet_levels:
             if not args.tiny:
                 ap.error("--unet-levels shapes the TINY proxy only; pass "
-                         "--tiny (full-size SDXL always has its real 3 "
-                         "levels)")
+                         "--tiny (full-size models have their real level "
+                         "count)")
             build_kw["levels"] = args.unet_levels
         if args.deep_boundary:
             build_kw["boundary"] = args.deep_boundary
+        build_kw["family"] = args.family
     elif args.unet_levels or args.deep_boundary:
         # These knobs only reach the SDXL UNet builders; silently echoing
         # them into the artifact for sd15/sd3 would label default-config
