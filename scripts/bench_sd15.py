@@ -68,14 +68,15 @@ def main():
 
     n_lv = len(unet.cfg.block_out_channels)
     # BENCH_DEEP_BOUNDARY: deep-cache boundary level (default 1 =
-    # conv-only shallow steps, the SDXL boundary-1 analog): 6.6398 img/s
-    # at 40.2 ms/step, 4/30 fulls on chip vs 4.3153 at the old deepest-1
-    # default (/tmp/bench_sd15_bdy1.log -> exp/bench_sd15_bdy1_v5e.json);
-    # quality-passed on the 4-level SD1.5-structure proxy at the SHIPPED
-    # schedule (rel_mse 0.00676 < 0.01,
-    # exp/cache_quality_sd15proxy_bdy1_t005c6_tiny.json — the aggressive
-    # SDXL schedule is proxy-REJECTED there, so only the boundary flips).
-    # 0 = model default (deepest-1 = 3); clamped.
+    # conv-only shallow steps, the SDXL boundary-1 analog).  Chip ladder:
+    # w1/t0.3/cap30 (ONE full step) = 8.6531 img/s at 30.8 ms/step vs
+    # 6.6398 at the old schedule and 4.3153 at deepest-1
+    # (exp/bench_sd15_bdy1_w1c30_v5e.json).  Quality at FULL SD1.5 size
+    # on chip: rel_mse 1.28e-4 (78x under the 0.01 bar,
+    # exp/cache_quality_sd15_bdy1_w1c30_full_v5e.json) — the 4-level
+    # random-tiny proxy's 0.0324 rejection over-estimated 250x, the
+    # same proxy bias measured for SDXL (87x).  0 = model default
+    # (deepest-1 = 3); clamped.
     _bdy_env = os.environ.get("BENCH_DEEP_BOUNDARY", "1")
     deep_bdy = (int(_bdy_env) or None) if _bdy_env else None
     if deep_bdy is not None:
@@ -143,10 +144,9 @@ def main():
         # adaptive deep refresh (threshold 0.05 cap 6 warmup ~10%) like
         # bench.py's default schedule; hybrid additionally row-gates the
         # shallow steps
-        threshold = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.05"))
-        cap = int(os.environ.get("BENCH_DEEP_CAP", "6"))
-        warmup = int(os.environ.get("BENCH_DEEP_WARMUP",
-                                    str(max(2, n_steps // 10))))
+        threshold = float(os.environ.get("BENCH_DEEP_ADAPTIVE", "0.3"))
+        cap = int(os.environ.get("BENCH_DEEP_CAP", "30"))
+        warmup = int(os.environ.get("BENCH_DEEP_WARMUP", "1"))
         full_f = mk_step("full")
         shallow_f = mk_step("shallow")
 
