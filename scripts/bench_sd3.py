@@ -39,7 +39,12 @@ def main():
     # 10 realizes interval-3-ish schedules; long-interval spans (the dense
     # wide-span ladder, interval 8-16) need the full 30-step production
     # schedule to hit their true full fraction — set BENCH_SD3_STEPS=30
-    n_steps = int(os.environ.get("BENCH_SD3_STEPS", "10"))
+    # 30 = the standard trajectory everywhere else (bench.py, serving,
+    # the H100 anchors).  With amortized caches the per-step number
+    # DEPENDS on trajectory length (interval 30 over 10 steps = 1 full
+    # per 10 = 33.8 ms; over 30 steps = 19.7 ms) — a 10-step default
+    # silently under-reported the wide-span default 1.9x.
+    n_steps = int(os.environ.get("BENCH_SD3_STEPS", "30"))
     table = sampler.make_table(n_steps)
     ts = jnp.asarray(table.timesteps)
     cs = jnp.asarray(table.coeffs)
