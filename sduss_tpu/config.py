@@ -390,13 +390,16 @@ class CacheConfig:
         reference scripts/paper/e2e.sh:32-55):
 
         - sdxl/sd15: deep reuse x compact CFG-pair rows (fraction 0.3) at
-          BOUNDARY 1 (conv-only shallow steps).  Serving keeps the FIXED
-          interval-3 refresh — drift-adaptive refresh loses under rolling
-          admissions (exp/sim_adaptive_serving.json); the boundary-1
-          interval-3 serving pass is chip-clean at qps 0.45 (93.75%
-          machine SLO, zero aborts, warm step 355.2 ms => 0.75 img/s/chip
-          under load, exp/serving_sdxl_bdy1_v5e_r3h.json; bdy-default
-          control exp/serving_sdxl_hybrid_sat_v5e_r3c.json).
+          BOUNDARY 1 (conv-only shallow steps).  Serving keeps a FIXED
+          interval — drift-adaptive refresh loses under rolling
+          admissions (exp/sim_adaptive_serving.json) — at interval 6:
+          chip-clean at qps 0.45 AND 0.7 (100% machine SLO, zero aborts,
+          warm step 217.3 ms => 1.23 img/s/chip under load = 2.73x the
+          H100 anchor, exp/serving_sdxl_bdy1_i6_v5e_r3n.json; full-size
+          quality at the fixed-6 cadence 4.73e-5,
+          exp/cache_quality_sdxl_bdy1_fixed6_full_v5e.json; interval-3
+          and bdy-default controls exp/serving_sdxl_bdy1_v5e_r3h.json,
+          exp/serving_sdxl_hybrid_sat_v5e_r3c.json).
           Offline/aligned batches get the adaptive schedule (threshold
           0.3/cap 30/warmup 1: ONE full step per 30 — 2.7849 img/s =
           6.19x the H100 SDXL anchor on one v5e,
@@ -415,7 +418,7 @@ class CacheConfig:
         if family == "sd3":
             return cls(enabled=True, mode="deep", sd3_deep_span=(1, 24),
                        deep_interval=16 if serving else 30, deep_warmup=3)
-        cfg = cls(enabled=True, mode="deep", deep_interval=3, deep_warmup=3,
+        cfg = cls(enabled=True, mode="deep", deep_interval=6, deep_warmup=3,
                   deep_compact_fraction=0.3, deep_compact_pairwise=True,
                   deep_boundary=1)
         if not serving:

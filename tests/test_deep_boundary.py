@@ -121,9 +121,10 @@ class TestProductionPresets:
 
         s = CacheConfig.production("sdxl", serving=True)
         o = CacheConfig.production("sdxl", serving=False)
-        # serving: fixed interval (adaptive loses under rolling admissions)
-        # at boundary 1 (chip-clean: exp/serving_sdxl_bdy1_v5e_r3h.json)
-        assert not s.deep_adaptive and s.deep_interval == 3
+        # serving: fixed interval 6 (adaptive loses under rolling
+        # admissions) at boundary 1 — chip-clean at qps 0.45+0.7, warm
+        # 217.3 ms (exp/serving_sdxl_bdy1_i6_v5e_r3n.json)
+        assert not s.deep_adaptive and s.deep_interval == 6
         assert s.deep_compact_fraction == 0.3 and s.deep_compact_pairwise
         assert s.deep_boundary == 1
         # offline/aligned: boundary-1 + adaptive refresh + reuse-then-predict
