@@ -421,6 +421,16 @@ class CacheConfig:
         cfg = cls(enabled=True, mode="deep", deep_interval=6, deep_warmup=3,
                   deep_compact_fraction=0.3, deep_compact_pairwise=True,
                   deep_boundary=1)
+        if serving and family == "sd15":
+            # SD1.5's own boundary-1 serving run is NOT clean yet (62.5%
+            # machine SLO at qps 1.5 with a cold-key first-pass tail,
+            # exp/serving_sd15_bdy1_v5e_r3p.json) — rule 3 blocks the flip
+            # for this family; its last CLEAN serving artifact is
+            # interval-3 at the model-default boundary (100% machine SLO,
+            # 0.80 img/s delivered at qps 1.5,
+            # exp/serving_sd15_chunk_v5e_r3c.json).
+            cfg.deep_interval = 3
+            cfg.deep_boundary = None
         if not serving:
             cfg.deep_adaptive = True
             cfg.deep_drift_threshold = 0.3
