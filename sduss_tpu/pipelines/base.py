@@ -145,7 +145,29 @@ class BasePipeline:
                     # hybrid row state alone is ~4 GB = 16 CFG rows x
                     # ~252 MB), and holding old+new copies across the step
                     # OOMed the r2v serving prewarm on a 16 GB chip.
-                    self._fns[name] = jax.jit(fn, donate_argnums=tuple(donate))
+                    jitted = jax.jit(fn, donate_argnums=tuple(donate))
+
+                    def timed_first_call(*a, _jitted=jitted, _key=name,
+                                         **kw):
+                        # Identify cold-compile stalls mid-serving by KEY:
+                        # the r3p SD1.5 bdy1 pass hid a 64.8 s stall whose
+                        # responsible program was undiagnosable from the
+                        # schedule log alone.  Only the first call is
+                        # timed; afterwards the raw jitted fn replaces
+                        # this shim in _fns (zero steady-state overhead).
+                        import time as _t
+                        t0 = _t.perf_counter()
+                        out = _jitted(*a, **kw)
+                        dt = _t.perf_counter() - t0
+                        if dt > 5.0:
+                            logger.warning(
+                                "first call of jit key %r took %.1f s "
+                                "(cold compile/executable load reached "
+                                "the serving path)", _key, dt)
+                        self._fns[_key] = _jitted
+                        return out
+
+                    self._fns[name] = timed_first_call
         return self._fns[name]
 
     # -- family hooks --------------------------------------------------------
