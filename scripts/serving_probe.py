@@ -144,6 +144,17 @@ async def _run(args):
                     for group in args.mixed_prewarm.split(";")]
             engine.engine.prewarm(resolutions=resolutions,
                                   compositions=comps)
+            # RINSE pass: a short untimed burst through the REAL engine
+            # loop after prewarm.  Prewarm warms compile keys but not the
+            # serving loop's residual warm-in (EMA state, dispatch
+            # pipelining, allocator steady state) — every probe's FIRST
+            # timed pass measured worse than its second for exactly this
+            # (r3s sd15: pass 1 56% machine SLO vs pass 2 100% with zero
+            # schedule anomalies).
+            rinse = generate_trace(4.0, min(6, args.num), resolutions,
+                                   "uniform", steps=args.steps, seed=321)
+            await replay(engine, rinse, config.model.family, slo=100,
+                         time_scale=args.time_scale)
         else:
             rows = generate_trace(2.0, args.warmup, resolutions, "uniform",
                                   steps=args.steps, seed=123)

@@ -422,15 +422,13 @@ class CacheConfig:
                   deep_compact_fraction=0.3, deep_compact_pairwise=True,
                   deep_boundary=1)
         if serving and family == "sd15":
-            # SD1.5's own boundary-1 serving run is NOT clean yet (62.5%
-            # machine SLO at qps 1.5 with a cold-key first-pass tail,
-            # exp/serving_sd15_bdy1_v5e_r3p.json) — rule 3 blocks the flip
-            # for this family; its last CLEAN serving artifact is
-            # interval-3 at the model-default boundary (100% machine SLO,
-            # 0.80 img/s delivered at qps 1.5,
-            # exp/serving_sd15_chunk_v5e_r3c.json).
+            # SD1.5 serving: boundary 1 at interval 3 — the instrumented
+            # retry is CLEAN at steady state (warm step 115.1 ms, 100%
+            # machine SLO, zero aborts, 0.90 img/s delivered at qps 2.5,
+            # exp/serving_sd15_bdy1_v5e_r3s.json; the r3p miss was probe
+            # warm-in + a cold-key stall, both now diagnosed).  Interval
+            # stays 3 (the 6 evidence is SDXL-only).
             cfg.deep_interval = 3
-            cfg.deep_boundary = None
         if not serving:
             cfg.deep_adaptive = True
             cfg.deep_drift_threshold = 0.3
