@@ -392,13 +392,16 @@ class CacheConfig:
         - sdxl/sd15: deep reuse x compact CFG-pair rows (fraction 0.3) at
           BOUNDARY 1 (conv-only shallow steps).  Serving keeps a FIXED
           interval — drift-adaptive refresh loses under rolling
-          admissions (exp/sim_adaptive_serving.json) — at interval 6:
-          chip-clean at qps 0.45 AND 0.7 (100% machine SLO, zero aborts,
-          warm step 217.3 ms => 1.23 img/s/chip under load = 2.73x the
-          H100 anchor, exp/serving_sdxl_bdy1_i6_v5e_r3n.json; full-size
-          quality at the fixed-6 cadence 4.73e-5,
-          exp/cache_quality_sdxl_bdy1_fixed6_full_v5e.json; interval-3
-          and bdy-default controls exp/serving_sdxl_bdy1_v5e_r3h.json,
+          admissions (exp/sim_adaptive_serving.json) — at interval 12
+          for SDXL: chip-clean at qps 0.7 AND 1.1 (100% machine SLO,
+          zero aborts, warm step 184.1 ms => 1.45 img/s/chip under load
+          = 3.22x the H100 anchor,
+          exp/serving_sdxl_bdy1_i12_v5e_r3t.json; full-size quality at
+          the fixed-12 cadence 6.64e-5,
+          exp/cache_quality_sdxl_bdy1_fixed12_full_v5e.json; interval-6,
+          interval-3 and bdy-default controls
+          exp/serving_sdxl_bdy1_i6_v5e_r3n.json + _sat_v5e_r3q.json,
+          exp/serving_sdxl_bdy1_v5e_r3h.json,
           exp/serving_sdxl_hybrid_sat_v5e_r3c.json).
           Offline/aligned batches get the adaptive schedule (threshold
           0.3/cap 30/warmup 1: ONE full step per 30 — 2.7849 img/s =
@@ -418,9 +421,9 @@ class CacheConfig:
         if family == "sd3":
             return cls(enabled=True, mode="deep", sd3_deep_span=(1, 24),
                        deep_interval=16 if serving else 30, deep_warmup=3)
-        cfg = cls(enabled=True, mode="deep", deep_interval=6, deep_warmup=3,
-                  deep_compact_fraction=0.3, deep_compact_pairwise=True,
-                  deep_boundary=1)
+        cfg = cls(enabled=True, mode="deep", deep_interval=12,
+                  deep_warmup=3, deep_compact_fraction=0.3,
+                  deep_compact_pairwise=True, deep_boundary=1)
         if serving and family == "sd15":
             # SD1.5 serving: boundary 1 at interval 3 — the instrumented
             # retry is CLEAN at steady state (warm step 115.1 ms, 100%
