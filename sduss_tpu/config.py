@@ -425,13 +425,15 @@ class CacheConfig:
                   deep_warmup=3, deep_compact_fraction=0.3,
                   deep_compact_pairwise=True, deep_boundary=1)
         if serving and family == "sd15":
-            # SD1.5 serving: boundary 1 at interval 3 — the instrumented
-            # retry is CLEAN at steady state (warm step 115.1 ms, 100%
-            # machine SLO, zero aborts, 0.90 img/s delivered at qps 2.5,
-            # exp/serving_sd15_bdy1_v5e_r3s.json; the r3p miss was probe
-            # warm-in + a cold-key stall, both now diagnosed).  Interval
-            # stays 3 (the 6 evidence is SDXL-only).
-            cfg.deep_interval = 3
+            # SD1.5 serving: boundary 1 at interval 12 — chip-clean at
+            # qps 4.0 (warm step 77.9 ms => 3.42 img/s/chip under load;
+            # 100% machine SLO, zero aborts, 1.27 img/s DELIVERED through
+            # the relay and 0.81 e2e H100-table SLO — the short step beats
+            # the relay RTT bound under fused dispatch,
+            # exp/serving_sd15_bdy1_i12_v5e_r3u.json; full-size quality
+            # at the fixed-12 cadence 1.03e-4; interval-3 control
+            # exp/serving_sd15_bdy1_v5e_r3s.json).
+            pass  # inherits interval 12 + boundary 1 from the base cfg
         if not serving:
             cfg.deep_adaptive = True
             cfg.deep_drift_threshold = 0.3
