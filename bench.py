@@ -84,6 +84,21 @@ def _random_params_bf16(model, seed: int = 0):
     return random_params_bf16(model, seed)
 
 
+def _deep_boundary_env():
+    """BENCH_DEEP_BOUNDARY parse + clamp into [1, n_levels-1] of the LIVE
+    model config — the one parse used both by build_step and the artifact
+    JSON label (advisor r3: the label clamped against full SDXL's 3 levels
+    while build_step clamps against the active config's level count, so
+    tiny 2-level smoke runs were mislabeled)."""
+    from sduss_tpu.models.unet import SDXL_UNET
+
+    v = os.environ.get("BENCH_DEEP_BOUNDARY", "1")
+    bdy = (int(v) or None) if v else None
+    if bdy is not None:
+        bdy = max(1, min(bdy, len(SDXL_UNET.block_out_channels) - 1))
+    return bdy
+
+
 def build_step_abstract(batch: int):
     """(step_fn, abstract_args) with jax.ShapeDtypeStruct arguments — for
     chip-free lowering / XLA cost analysis (scripts/sdxl_roofline.py).
@@ -179,10 +194,7 @@ def build_step(batch: int):
     # degenerate to deepest-1 instead of crashing (a literal boundary 0
     # would never capture deep_feature and the first shallow step dies on
     # deep_state=None — advisor r2 finding).
-    _bdy_env = os.environ.get("BENCH_DEEP_BOUNDARY", "1")
-    deep_bdy = (int(_bdy_env) or None) if _bdy_env else None
-    if deep_bdy is not None:
-        deep_bdy = max(1, min(deep_bdy, len(unet.cfg.block_out_channels) - 1))
+    deep_bdy = _deep_boundary_env()
 
     def _deep_shapes():
         n_lv = len(unet.cfg.block_out_channels)
@@ -581,13 +593,10 @@ def main() -> None:
         "hybrid_fraction": float(os.environ.get("BENCH_DEEP_HYBRID", "0.3")),
         "hybrid_pairwise": os.environ.get("BENCH_HYBRID_PAIRWISE", "1") == "1",
         "hybrid_predict": float(os.environ.get("BENCH_HYBRID_PREDICT", "0.5")),
-        # mirror of build_step's parsing incl. the [1, n_levels-1] clamp
-        # (full SDXL has 3 levels): int("") crashed the final print AFTER
-        # the multi-hour run, and an unclamped value mislabeled the
-        # artifact (review r3 finding)
-        "deep_boundary": (lambda v: min(max(int(v), 1), 2)
-                          if v and int(v) else None)(
-                              os.environ.get("BENCH_DEEP_BOUNDARY", "1")),
+        # the SAME parse+clamp build_step used (int("") once crashed the
+        # final print AFTER a multi-hour run; a duplicated clamp constant
+        # mislabeled tiny-config artifacts — advisor r3)
+        "deep_boundary": _deep_boundary_env(),
         "cache_off_img_s": 0.3218,  # measured same config (fused attention), BENCH logs
     }))
 

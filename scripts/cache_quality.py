@@ -822,8 +822,8 @@ def main():
         # These knobs only reach the SDXL UNet builders; silently echoing
         # them into the artifact for sd15/sd3 would label default-config
         # numbers with knobs that never applied (advisor r2 finding).
-        ap.error("--unet-levels/--deep-boundary only apply to "
-                 "--family sdxl")
+        ap.error("--unet-levels/--deep-boundary only apply to the UNet "
+                 "families (--family sdxl/sd15)")
     (run_plain, run_deep, run_compact, make_inputs, params,
      run_drift, run_deep_adaptive, run_deep_hybrid, run_deep_span,
      run_cfg_reuse, run_deep_predict) = build(args.tiny, args.batch, res,

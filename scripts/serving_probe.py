@@ -68,6 +68,8 @@ async def _run(args):
         config.cache.deep_interval = args.deep_interval
         if args.deep_hybrid > 0:
             config.cache.deep_compact_fraction = args.deep_hybrid
+        if args.deep_row_warmup:
+            config.cache.deep_row_warmup = True
         if args.deep_boundary:
             # conv-only shallow step at boundary 1 (SDXL wide span);
             # quality ranked in exp/cache_quality_sdxl_bdy1_tiny.json
@@ -184,10 +186,14 @@ async def _run(args):
         probe_batch = min(args.probe_batch,
                           config.scheduler.max_batch_size,
                           config.scheduler.batch_buckets[-1])
+        row_warm = (cc.enabled and cc.mode == "deep"
+                    and getattr(cc, "deep_row_warmup", False))
+        probe_steps = warm_steps + n_timed + 2 \
+            + (n_timed + 2 if row_warm else 0)
         probe_reqs = [
             Request(f"probe-{i}", SamplingParams(
                 prompt="probe", resolution=max(resolutions),
-                num_inference_steps=warm_steps + n_timed + 2, seed=i))
+                num_inference_steps=probe_steps, seed=i))
             for i in range(probe_batch)]
         pipe.prepare(probe_reqs)
         for r in probe_reqs:
@@ -206,6 +212,24 @@ async def _run(args):
         print(f"# warm {probe_batch}x{max(resolutions)} steady step "
               f"({n_timed}-step window): {out['warm_step_ms']} ms",
               flush=True)
+        if row_warm:
+            # STAGGERED window: the aligned probe above expires every row
+            # together (one batch-wide full per interval — the offline
+            # schedule).  Under rolling admissions row-granular ages
+            # stagger, so each step refreshes ~batch/interval rows via the
+            # partial program; time that steady state directly.
+            for i, r in enumerate(probe_reqs):
+                r.deep_age = (i * interval) // max(probe_batch, 1)
+            step(by_res)  # settle: first staggered expiries mint nothing new
+            np.asarray(probe_reqs[0].latents)
+            t0 = time.perf_counter()
+            for _ in range(n_timed):
+                step(by_res)
+            np.asarray(probe_reqs[0].latents)
+            out["warm_step_staggered_ms"] = round(
+                (time.perf_counter() - t0) / n_timed * 1e3, 1)
+            print(f"# warm staggered row-granular step ({n_timed}-step "
+                  f"window): {out['warm_step_staggered_ms']} ms", flush=True)
 
         # -- measured passes -------------------------------------------------
         for qps in [float(q) for q in args.qps.split(",")]:
@@ -295,6 +319,11 @@ def main():
                     help="deep x compact hybrid row fraction (>0 enables "
                          "CacheConfig.deep_compact_fraction: shallow steps "
                          "gate their block pairs at top-K row capacity)")
+    ap.add_argument("--deep-row-warmup", action="store_true",
+                    help="row-granular deep refresh (CacheConfig."
+                         "deep_row_warmup): admissions/interval expiries "
+                         "warm only their own rows via partial programs — "
+                         "plain deep mode only (ignored with --deep-hybrid)")
     ap.add_argument("--cache-mode", default="deep",
                     choices=("deep", "compact", "fine", "off"),
                     help="serving cache: deep (UNet temporal reuse), compact "

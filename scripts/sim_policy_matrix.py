@@ -58,9 +58,11 @@ from sduss_tpu.scheduler.profiles import get_profile
 from sduss_tpu.scheduler.request_pool import RequestPool
 
 # Measured cache shallow/full step-cost ratios: ONE source of truth in
-# sduss_tpu/scheduler/profiles.py (_SHALLOW_STEP_RATIO) — the scheduler's
-# EMA prior and this simulator's clock must never diverge silently.
-from sduss_tpu.scheduler.profiles import _SHALLOW_STEP_RATIO as SHALLOW_RATIO
+# sduss_tpu/scheduler/profiles.py (shallow_step_ratio, boundary-aware —
+# the production presets set deep_boundary=1, whose conv-only shallow
+# steps cost 0.06x not 0.434x) — the scheduler's EMA prior and this
+# simulator's clock must never diverge silently.
+from sduss_tpu.scheduler.profiles import shallow_step_ratio
 # Host text-encode + latent init per PREPARE batch, seconds
 # (bucket-amortized; sd3 = batched dual-CLIP+T5 after the r2t fixes).
 PREPARE_S = {"sdxl": 0.35, "sd15": 0.2, "sd3": 0.9}
@@ -87,7 +89,7 @@ class CostModel:
         step = self.predictor.predict(
             [counts[r] for r in self.predictor.resolutions])
         if self.cache.enabled and not full:
-            step *= SHALLOW_RATIO[self.family]
+            step *= shallow_step_ratio(self.family, self.cache)
         return step
 
     def post_s(self, requests) -> float:
@@ -125,6 +127,89 @@ class _DisplacedPar:
 # admission-batching comparison to be meaningful).
 DISP_SYNC_FACTOR = 1.0
 DISP_STALE_FACTOR = 0.72
+
+
+# Reference DistriFuser serving baseline — the curve the paper's figures
+# beat (parsed as its own policy in reference scripts/draw/get_metric.py:
+# 20-27,62-120; driven by distrifuser/{distribution,scalibility}.sh).
+# Per-resolution dynamic-batch caps from reference distrifuser/utils.py:
+# 21-66 (setup["max_bs"], identical across world sizes), with the serving
+# loop's own cap of 12 (utils.py:205-206).  sd15 has no reference arm; the
+# sdxl table shape is reused for comparability.
+DISTRIFUSER_MAX_BS = {
+    "sdxl": {512: 40, 768: 20, 1024: 12},
+    "sd3": {512: 40, 768: 16, 1024: 8},
+    "sd15": {256: 40, 512: 40, 768: 20},
+}
+DISTRIFUSER_WARMUP = 4  # DistriConfig(warmup_steps=4), utils.py:66-73
+
+
+def simulate_distrifusion(family: str, rows, slo: int, predictor_path: str,
+                          profile_path: str):
+    """Run-to-completion dynamic batching on displaced-parallel pipelines
+    (reference distrifuser/utils.py:126-211 RequestPool): one FIFO per
+    resolution; each round serves the resolution whose OLDEST request
+    arrived first, up to min(max_bs[res], 12) requests, and runs that batch
+    prepare -> every step -> decode before re-reading arrivals.  No slack
+    math, no aborts, no learned cache — DistriFuser's only step saving is
+    displaced staleness (warmup_steps sync steps, then stale steps), which
+    the same sync/stale factors as the displaced arm model."""
+    cfg_overrides = None
+    if profile_path and os.path.exists(profile_path):
+        with open(profile_path) as f:
+            cfg_overrides = json.load(f)
+    profile = get_profile(family, slo_scale=float(slo),
+                          overrides=cfg_overrides)
+    truth_pred = (LatencyPredictor.load(predictor_path, profile)
+                  if predictor_path and os.path.exists(predictor_path)
+                  else LatencyPredictor(list(DEPLOYED_RES[family]), profile))
+    cost = CostModel(family, truth_pred, profile, CacheConfig(enabled=False))
+    max_bs = DISTRIFUSER_MAX_BS[family]
+
+    order = sorted(range(len(rows)), key=lambda i: rows[i].arrival_ms)
+    pending = [(rows[i].arrival_ms / 1000.0, rows[i]) for i in order]
+    queues = {res: [] for res in DEPLOYED_RES[family]}
+    t = 0.0
+    records = []
+
+    def deliver():
+        while pending and pending[0][0] <= t:
+            arr, row = pending.pop(0)
+            queues.setdefault(row.resolution, []).append((arr, row))
+
+    while True:
+        deliver()
+        live = {res: q for res, q in queues.items() if q}
+        if not live:
+            if not pending:
+                break
+            t = max(t, pending[0][0])
+            continue
+        res = min(live, key=lambda r: live[r][0][0])  # oldest head wins
+        cap = min(max_bs.get(res, 12), 12)
+        batch = queues[res][:cap]
+        queues[res] = queues[res][cap:]
+        reqs = [types.SimpleNamespace(resolution=res) for _ in batch]
+        c = PREPARE_S[family]
+        step_c = cost.denoise_s(reqs, full=True)
+        for j in range(max(row.steps for _, row in batch)):
+            c += step_c * (DISP_SYNC_FACTOR if j < DISTRIFUSER_WARMUP
+                           else DISP_STALE_FACTOR)
+        c += cost.post_s(reqs)
+        t += c
+        for k, (arr, row) in enumerate(batch):
+            records.append(RequestRecord(f"df-{arr}-{k}", res, arr, t))
+
+    m = compute_metrics(records, family, slo=slo)
+    machine = compute_metrics(
+        records, family, slo=slo,
+        deadline_overrides={
+            r: profile.e2e_ddl_s(r) / profile.slo_scale * 5.0
+            for r in DEPLOYED_RES[family]})
+    m["slo_attainment_machine"] = machine["slo_attainment"]
+    m["goodput_machine_rps"] = machine["goodput_rps"]
+    m["makespan_s"] = round(t, 1)
+    return m, []
 
 
 def simulate(family: str, policy_name: str, rows, slo: int,
@@ -302,7 +387,7 @@ def main():
     ap = argparse.ArgumentParser("policy comparison matrix (host simulator)")
     ap.add_argument("--model", default="sdxl", choices=("sdxl", "sd3", "sd15"))
     ap.add_argument("--policies",
-                    default="esymred,fcfs_mixed,orca_resbyres")
+                    default="esymred,fcfs_mixed,orca_resbyres,distrifusion")
     ap.add_argument("--qps", default="")
     ap.add_argument("--num", type=int, default=500)
     ap.add_argument("--steps", type=int, default=0,
@@ -346,10 +431,14 @@ def main():
                                   distribution=args.distribution,
                                   steps=steps, seed=args.seed)
         for polname in policies:
-            m, _ = simulate(fam, polname, rows, args.slo, predictor, profile,
-                            max_batch=args.max_batch,
-                            cache_on=not args.cache_off, seed=args.seed,
-                            dp=args.dp, displaced=args.displaced)
+            if polname == "distrifusion":
+                m, _ = simulate_distrifusion(fam, rows, args.slo, predictor,
+                                             profile)
+            else:
+                m, _ = simulate(fam, polname, rows, args.slo, predictor,
+                                profile, max_batch=args.max_batch,
+                                cache_on=not args.cache_off, seed=args.seed,
+                                dp=args.dp, displaced=args.displaced)
             m.update(model=fam, policy=polname, qps=qps, num=args.num,
                      steps=steps, slo=args.slo,
                      distribution=args.distribution,

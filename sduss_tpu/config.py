@@ -319,6 +319,22 @@ class CacheConfig:
     # deep features, re-synchronizing the batch); a candidate whose SLO slack
     # cannot afford the wait is admitted immediately (SLO beats cache).
     phase_admission: bool = True
+    # ROW-GRANULAR deep refresh (plain deep mode, UNet dense path): when a
+    # step has SOME rows needing a full pass (trajectory warmup after an
+    # admission, a staggered interval expiry, an adaptive drift trigger)
+    # and others fresh, run a "partial" program — shallow spine for every
+    # row plus the deep tail for just the k needy request rows (static
+    # bucketed k, CFG-pair symmetric), scattering their fresh deep features
+    # into the batch carry.  Kills the serving full-step floor: batch-wide
+    # "any member needs full" warmup floored realized fulls at ~10% under
+    # rolling admissions regardless of interval (interval 24 == interval 12
+    # == 184-186 ms warm step, exp/serving_sdxl_bdy1_i24_v5e_r3u.json);
+    # with per-row ages each request refreshes its own rows every interval
+    # steps and NO step needs a batch-wide full.  The static-k analog of
+    # the reference's per-patch cache granularity (cache_manager.py:84-99).
+    # Does not compose with the deep x compact hybrid (whose row caches are
+    # composition-anchored) — ignored when deep_compact_fraction is set.
+    deep_row_warmup: bool = False
     # Deep x compact HYBRID (mode "deep" only): on SHALLOW steps,
     # additionally gate the shallow block pairs (the only blocks a shallow
     # step runs) with top-K compact row recompute — each gated pair
@@ -380,6 +396,18 @@ class CacheConfig:
     # None => relative-MSE-threshold fallback.
     classifier_path: Optional[str] = None
     mse_threshold: float = 0.01
+
+    def plain_fixed_deep(self) -> bool:
+        """Enabled plain fixed-interval deep reuse — no hybrid rows, no
+        adaptive refresh, no reuse-then-predict.  The ONE predicate for
+        "does this cache compose with the displaced serving seam" shared
+        by pipelines/base.py (_displaced_deep_ok) and scheduler/esymred.py
+        (_displaced_defer); two independent mirrors could silently drift
+        and the scheduler would defer admissions for a batch the pipeline
+        actually serves on the GSPMD path (advisor r3)."""
+        return (self.enabled and self.mode == "deep"
+                and self.deep_compact_fraction is None
+                and not self.deep_adaptive and not self.deep_predict)
 
     @classmethod
     def production(cls, family: str, serving: bool = True) -> "CacheConfig":

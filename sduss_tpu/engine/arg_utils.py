@@ -53,6 +53,10 @@ def add_engine_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--deep-max-interval", type=int, default=6,
                    help="safety cap between full passes under "
                         "--deep-adaptive")
+    g.add_argument("--deep-row-warmup", action="store_true",
+                   help="row-granular deep refresh: admissions / interval "
+                        "expiries warm only their own rows via partial "
+                        "programs (plain deep mode, UNet families)")
     g.add_argument("--compact-fraction", type=float, default=0.5,
                    help="rows each gated block recomputes in compact mode")
     g.add_argument("--cache-classifier-path", type=str, default=None)
@@ -87,6 +91,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
                                                 if args.deep_adaptive > 0
                                                 else 0.05),
                           deep_max_interval=args.deep_max_interval,
+                          deep_row_warmup=getattr(args, "deep_row_warmup",
+                                                  False),
                           compact_fraction=args.compact_fraction,
                           classifier_path=args.cache_classifier_path),
         engine=EngineConfig(

@@ -284,6 +284,43 @@ class Engine:
                         "ineligible under this configuration", res, b, k)
         pipe.release_serving_state()
 
+    def _prewarm_partial(self, pipe, res: int, b: int) -> None:
+        """Mint the row-granular "partial" deep programs for (res, bucket)
+        (CacheConfig.deep_row_warmup; pipelines/base.py _denoise_group_deep
+        mode "partial").  One compile key per power-of-two row bucket kb < b:
+        drive throwaway requests past trajectory warmup, then force exactly
+        kb rows to interval expiry before each extra step so the production
+        mode choice selects the partial program."""
+        cc = self.config.cache
+        itv = max(cc.deep_max_interval if cc.deep_adaptive
+                  else cc.deep_interval, 1)
+        kbs = []
+        kb = 1
+        while kb < b:
+            kbs.append(kb)
+            kb *= 2
+        if not kbs or itv <= 1:
+            return  # partial unreachable: b == 1 or every step is full
+        warm = max(cc.deep_warmup, 0)
+        n_steps = warm + 2 + len(kbs)
+        reqs = [Request(f"prewarm-partial-{res}-{b}-{i}", SamplingParams(
+                    prompt="", resolution=res,
+                    num_inference_steps=n_steps, seed=0))
+                for i in range(b)]
+        pipe.prepare(reqs)
+        for r in reqs:
+            r.stage = Stage.DENOISING
+        by_res = {res: reqs}
+        for _ in range(warm + 1):  # past warmup: every row fresh + aligned
+            pipe.denoise_step(by_res)
+        for kb in kbs:
+            for j, r in enumerate(reqs):
+                r.deep_age = itv if j < kb else 0
+            pipe.denoise_step(by_res)
+        pipe.release_serving_state()
+        logger.info("prewarm: partial deep programs (res %d bucket %d "
+                    "kb %s) done%s", res, b, kbs, self._hbm_note())
+
     def _settle_after_oom(self) -> None:
         """Best-effort recovery after an in-process RESOURCE_EXHAUSTED:
         drop python garbage so dead device buffers release, then verify the
@@ -405,6 +442,12 @@ class Engine:
                         pipe.postprocess(by_res)
                         if sc.steps_per_dispatch > 1:
                             self._prewarm_chunk(pipe, res, b, steps)
+                        if (cc.enabled and cc.mode == "deep"
+                                and getattr(cc, "deep_row_warmup", False)
+                                and cc.deep_compact_fraction is None
+                                and hasattr(pipe.bundle.denoiser,
+                                            "_deep_tail")):
+                            self._prewarm_partial(pipe, res, b)
                     except Exception as e:  # noqa: BLE001
                         if "RESOURCE_EXHAUSTED" not in str(e):
                             raise

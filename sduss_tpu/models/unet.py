@@ -497,11 +497,62 @@ class UNet2DConditionModel:
                 layout[f"up{i}.{j}"] = (s, res_in + skip_ch, rev[i])
         return layout
 
+    def _deep_tail(self, params, h, temb, ehs, boundary: int):
+        """Dense, ungated deep tail: the exact op sequence a FULL pass runs
+        between the partial capture point (input of the level-(boundary-1)
+        downsample) and the deep-feature capture (output of up block
+        ``first_shallow_up - 1``, post-upsample) — levels >= boundary down,
+        mid, and the deep up blocks.  Used by deep_mode="partial" on a
+        GATHERED row subset; rows are independent on the dense path (per-
+        sample GroupNorm/attention), so per-row outputs equal the full
+        pass's (tests/test_deep_partial.py)."""
+        cfg = self.cfg
+        n_levels = len(cfg.block_out_channels)
+        groups = cfg.norm_num_groups
+        dskips = []
+        h = L.conv2d(params["down_blocks"][boundary - 1]["downsample"], h,
+                     stride=2)
+        dskips.append(h)
+        for i in range(boundary, n_levels):
+            blk = params["down_blocks"][i]
+            for j, res in enumerate(blk["resnets"]):
+                h = _resnet_apply(res, h, temb, groups, None, i)
+                if blk["attentions"]:
+                    h = _transformer_apply(
+                        blk["attentions"][j], h, ehs, cfg.num_heads[i],
+                        groups, cfg.use_linear_projection, None, i)
+                dskips.append(h)
+            if "downsample" in blk:
+                h = L.conv2d(blk["downsample"], h, stride=2)
+                dskips.append(h)
+        mid = params["mid_block"]
+        h = _resnet_apply(mid["resnets"][0], h, temb, groups, None, n_levels - 1)
+        h = _transformer_apply(mid["attentions"][0], h, ehs,
+                               cfg.num_heads[-1], groups,
+                               cfg.use_linear_projection, None, n_levels - 1)
+        h = _resnet_apply(mid["resnets"][1], h, temb, groups, None, n_levels - 1)
+        first_shallow_up = n_levels - boundary
+        for i in range(first_shallow_up):
+            lvl = n_levels - 1 - i
+            blk = params["up_blocks"][i]
+            for j, res in enumerate(blk["resnets"]):
+                h = jnp.concatenate([h, dskips.pop()], axis=-1)
+                h = _resnet_apply(res, h, temb, groups, None, lvl)
+                if blk["attentions"]:
+                    h = _transformer_apply(
+                        blk["attentions"][j], h, ehs, cfg.num_heads[lvl],
+                        groups, cfg.use_linear_projection, None, lvl)
+            h = _upsample_2x(h, None, lvl)
+            h = L.conv2d(blk["upsample"], h)
+        assert not dskips
+        return h
+
     def apply(self, params, sample, timesteps, encoder_hidden_states,
               added_cond=None, ctx: Any = None, cache: Any = None,
               cache_state: Any = None, deep_mode: Optional[str] = None,
               deep_state: Any = None, deep_boundary: Optional[int] = None,
-              row_valid: Any = None, compact_sync: bool = False):
+              row_valid: Any = None, compact_sync: bool = False,
+              deep_sel: Any = None):
         """Denoise forward.
 
         sample: (B, H, W, C) dense latents, or (P, ph, pw, C) patches with ctx.
@@ -515,10 +566,26 @@ class UNet2DConditionModel:
           "full"    — compute everything, also return the deep feature
                       (output of the deepest up block, post-upsample);
           "shallow" — skip levels >= deep_boundary (down tail + mid + deep up
-                      blocks) and resume from the cached deep feature.
+                      blocks) and resume from the cached deep feature;
+          "partial" — ROW-GRANULAR warmup (dense path only): shallow spine
+                      for every row, deep tail for just the ``deep_sel``
+                      request rows (int32[k] request indices; both CFG
+                      halves of each selected request run), scattering
+                      their fresh deep features into ``deep_state`` — the
+                      serving fix for batch-wide warmup fulls flooring the
+                      deep schedule under rolling admissions (the TPU
+                      static-k analog of the reference's per-patch cache
+                      granularity, cache_manager.py:84-99).
         Returns (out, deep_feature) when deep_mode is given.
         """
         cfg = self.cfg
+        if deep_mode == "partial":
+            if ctx is not None or cache is not None:
+                raise ValueError("deep_mode='partial' is dense-path only and "
+                                 "does not compose with block caches")
+            if deep_sel is None or deep_state is None:
+                raise ValueError("deep_mode='partial' needs deep_sel + "
+                                 "deep_state")
         hybrid = (deep_mode is not None and cache is not None
                   and getattr(cache.config, "deep_compact_fraction", None)
                   is not None)
@@ -654,7 +721,7 @@ class UNet2DConditionModel:
                 new_state[key] = ns
             return y
 
-        shallow = deep_mode == "shallow"
+        shallow = deep_mode in ("shallow", "partial")
         h = _conv(params["conv_in"], sample, ctx, 0)
         skips = [h]
         for i, blk in enumerate(params["down_blocks"]):
@@ -683,7 +750,18 @@ class UNet2DConditionModel:
                 skips.append(h)
 
         deep_feature = None
-        if shallow:
+        if deep_mode == "partial":
+            # Deep tail for the selected request rows only (both CFG halves:
+            # rows i and i + B/2 — pair-symmetric by construction, the
+            # property the hybrid needed explicit pairwise selection for).
+            half = h.shape[0] // 2
+            sel2 = jnp.concatenate([deep_sel, deep_sel + half], axis=0)
+            hd = self._deep_tail(params, h[sel2], temb[sel2], ehs[sel2],
+                                 boundary)
+            new_deep = deep_state.at[sel2].set(hd.astype(deep_state.dtype))
+            deep_feature = new_deep
+            h = new_deep.astype(h.dtype)
+        elif shallow:
             h = deep_state.astype(h.dtype)
             deep_feature = deep_state
         else:

@@ -27,21 +27,34 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
 
 # Column-parallel (output dim over 'tp') and row-parallel (input dim over
 # 'tp') kernel names — covers the UNet transformer blocks AND the SD3 MMDiT
-# (add_*_proj / ff1 / ff_context1 etc.).
+# (add_*_proj / ff1 / ff_context1 etc.).  time_emb_proj is column-parallel
+# so its per-channel bias adds locally to conv1's channel-sharded output.
 _COLUMN = ("to_q", "to_k", "to_v", "ff_geglu",
            "add_q_proj", "add_k_proj", "add_v_proj",
-           "ff1", "ff_context1")
+           "ff1", "ff_context1", "time_emb_proj")
 _ROW = ("to_out", "ff_out", "to_add_out", "ff2", "ff_context2")
+# Megatron-style CONV pair inside each resnet (the DistriFuser working-TP
+# coverage this matches, reference distrifuser/distrifuser/modules/tp/
+# conv2d.py:10-60): conv1 shards OUTPUT channels, conv2 shards INPUT
+# channels -> one XLA all-reduce per resnet instead of replicated conv
+# FLOPs.  Guarded by channel divisibility; the in-between GroupNorm runs
+# on channel-sharded activations (GSPMD inserts the per-group reductions —
+# exactness is the partitioner's invariant, pinned in tests/test_tp.py).
+# Kernels are HWIO.
+_CONV_COLUMN = ("conv1",)
+_CONV_ROW = ("conv2",)
 
 
 def unet_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Sharding pytree for denoiser params: attention/FF kernels over 'tp'.
+    """Sharding pytree for denoiser params: attention/FF kernels plus the
+    resnet conv pairs over 'tp'.
 
     Column-parallel kernels shard the output dim; row-parallel kernels shard
     the input dim -> XLA all-reduces the partial sums.  Everything else
-    (convs, norms, embeddings) replicated.  Applies to both the UNet and the
-    MMDiT param trees (name-based rules).
+    (shortcut/up/downsample convs, norms, embeddings) replicated.  Applies
+    to both the UNet and the MMDiT param trees (name-based rules).
     """
+    tp = dict(mesh.shape).get("tp", 1)
 
     def rule(path, leaf) -> NamedSharding:
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
@@ -51,6 +64,12 @@ def unet_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
                 return _ns(mesh, None, "tp")
             if any(n in _ROW for n in names) and names[-1] == "kernel":
                 return _ns(mesh, "tp", None)
+        if leaf.ndim == 4 and names and names[-1] == "kernel" and tp > 1:
+            cin, cout = leaf.shape[2], leaf.shape[3]
+            if any(n in _CONV_COLUMN for n in names) and cout % tp == 0:
+                return _ns(mesh, None, None, None, "tp")
+            if any(n in _CONV_ROW for n in names) and cin % tp == 0:
+                return _ns(mesh, None, None, "tp", None)
         return _ns(mesh)
 
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -437,24 +437,39 @@ class BasePipeline:
         mode = "dense"
         cache = None
         entry = None
+        sel_plan = None
         if cc.enabled and cc.mode == "deep":
             if (getattr(cc, "deep_adaptive", 0.0)
-                    or float(getattr(cc, "deep_predict", 0.0) or 0.0)
-                    or any(r.sampler_table.step < cc.deep_warmup
-                           for r in ordered)):
+                    or float(getattr(cc, "deep_predict", 0.0) or 0.0)):
                 return False
-            mode = ("hybrid" if cc.deep_compact_fraction is not None
-                    else "deep")
-            # the chunk must START where the per-step path would run a
-            # FULL pass (lockstep ages from j=0); seeding the carry also
-            # needs every request's deep feature in the dense layout
-            shapes = {None if r.deep_state is None else
-                      tuple(r.deep_state.shape) for r in ordered}
-            if None in shapes or len(shapes) != 1 \
-                    or next(iter(shapes))[0] != 2:
-                return False
-            if not any(r.deep_age + 1 >= itv for r in ordered):
-                return False
+            row_warm = (getattr(cc, "deep_row_warmup", False)
+                        and cc.deep_compact_fraction is None
+                        and hasattr(self.bundle.denoiser, "_deep_tail"))
+            if row_warm and itv > 1:
+                # PARTIAL chunk: every in-chunk step refreshes a
+                # host-scheduled kb-row selection — no full-boundary or
+                # no-warmup-rows eligibility left, so chunks stay engaged
+                # under rolling admissions (the r3r regression's fix).
+                sel_plan = self._plan_partial_chunk(ordered, k, itv, bb)
+                if sel_plan is None:
+                    return False
+                mode = "partial"
+            else:
+                if any(r.sampler_table.step < cc.deep_warmup
+                       for r in ordered):
+                    return False
+                mode = ("hybrid" if cc.deep_compact_fraction is not None
+                        else "deep")
+                # the chunk must START where the per-step path would run a
+                # FULL pass (lockstep ages from j=0); seeding the carry
+                # also needs every request's deep feature in dense layout
+                shapes = {None if r.deep_state is None else
+                          tuple(r.deep_state.shape) for r in ordered}
+                if None in shapes or len(shapes) != 1 \
+                        or next(iter(shapes))[0] != 2:
+                    return False
+                if not any(r.deep_age + 1 >= itv for r in ordered):
+                    return False
         elif cc.enabled and cc.mode == "compact":
             if not self._compact_cache_active():
                 return False
@@ -489,7 +504,10 @@ class BasePipeline:
             if mode == "compact" and not entry["anchored"]:
                 return False  # the anchoring sync program runs per-step
 
-        chunk_key = ("unet_chunk", mode, res, bb, k)
+        if mode == "partial":
+            chunk_key = ("unet_chunk", "partial", res, bb, k, sel_plan[3])
+        else:
+            chunk_key = ("unet_chunk", mode, res, bb, k)
         if not allow_cold and chunk_key not in self._executed_keys:
             return False
 
@@ -523,6 +541,22 @@ class BasePipeline:
                 u += [u[-1]] * pad
                 c += [c[-1]] * pad
             args += [jnp.concatenate(u + c, axis=0), jnp.int32(itv)]
+        elif mode == "partial":
+            # zeros for rows awaiting their first refresh (sel[0] includes
+            # them, the in-graph scatter overwrites before any read)
+            want = self._deep_state_shape(res)
+            zero = self._deep_zeros_shape(want, self._latent_dtype())
+            states = [r.deep_state if r.deep_state is not None
+                      and tuple(r.deep_state.shape) == want else zero
+                      for r in ordered]
+            u = [s[0:1] for s in states]
+            c = [s[1:2] for s in states]
+            pad = bb - b
+            if pad:
+                u += [u[-1]] * pad
+                c += [c[-1]] * pad
+            args += [jnp.concatenate(u + c, axis=0),
+                     jnp.asarray(sel_plan[0]), jnp.asarray(sel_plan[1])]
         if mode in ("hybrid", "compact"):
             row_valid = np.zeros((bb,), bool)
             row_valid[:b] = True
@@ -536,7 +570,7 @@ class BasePipeline:
         out = fn(*args)
         new_latents = out[0]
         pos = 1
-        if mode in ("deep", "hybrid"):
+        if mode in ("deep", "hybrid", "partial"):
             deep_out = out[pos]
             pos += 1
         if mode in ("hybrid", "compact"):
@@ -545,10 +579,11 @@ class BasePipeline:
         self._executed_keys.add(chunk_key)
         for i, r in enumerate(ordered):
             r.latents = new_latents[i : i + 1]
-            if mode in ("deep", "hybrid"):
+            if mode in ("deep", "hybrid", "partial"):
                 r.deep_state = jnp.stack([deep_out[i], deep_out[bb + i]],
                                          axis=0)
-                r.deep_age = (k - 1) % itv
+                r.deep_age = (sel_plan[2][i] if mode == "partial"
+                              else (k - 1) % itv)
                 r.deep_slope = None
             for _ in range(k):
                 r.sampler_table.advance()
@@ -563,6 +598,25 @@ class BasePipeline:
         contains each body once."""
         import jax
 
+        if mode == "partial":
+            p_f = self._make_deep_partial_fn()
+            sh_f = self._make_deep_fn("shallow")
+
+            def fn(params, lat, ts, cs, guidance, cond, deep0, sel_arr,
+                   act_arr):
+                def body(j, carry):
+                    lat, dp = carry
+                    return jax.lax.cond(
+                        act_arr[j] > 0,
+                        lambda a: p_f(params, a[0], ts[j], cs[j], guidance,
+                                      cond, a[1], sel_arr[j]),
+                        lambda a: sh_f(params, a[0], ts[j], cs[j], guidance,
+                                       cond, a[1]),
+                        (lat, dp))
+
+                return jax.lax.fori_loop(0, k, body, (lat, deep0))
+
+            return fn
         if mode == "deep":
             full_f = self._make_deep_fn("full")
             sh_f = self._make_deep_fn("shallow")
@@ -789,12 +843,11 @@ class BasePipeline:
 
     def _displaced_deep_ok(self) -> bool:
         """Does the enabled cache compose with the displaced serving seam?
-        Plain fixed-interval deep reuse only (UNet families)."""
-        cc = self.config.cache
-        return (self._deep_cache_active()
-                and cc.deep_compact_fraction is None
-                and not cc.deep_adaptive
-                and not cc.deep_predict)
+        Plain fixed-interval deep reuse only (UNet families) — the shared
+        predicate lives on CacheConfig.plain_fixed_deep so the scheduler's
+        admission mirror (esymred._displaced_defer) can never drift."""
+        return (self.config.cache.plain_fixed_deep()
+                and hasattr(self.bundle.denoiser, "cache_layout"))
 
     def _displaced_ctx_cls(self):
         """ctx class for the sharded denoiser seam (SD3 overrides)."""
@@ -964,25 +1017,71 @@ class BasePipeline:
         member lacks a fresh deep feature, else shallow until deep_interval.
         """
         interval, warmup, adaptive = self._deep_policy()
-        hybrid = self.config.cache.deep_compact_fraction is not None
-        need_full = any(
-            r.deep_state is None or r.deep_age >= interval - 1
-            or r.sampler_table.step < warmup
-            # dense layout is (2, h', w', C); a patched-path feature (2n rows
-            # or different spatial extent) forces a full pass
-            or r.deep_state.shape[0] != 2
-            or r.deep_state.shape[1] != latents.shape[1] // self._deep_factor()
-            or (adaptive and self._drift_exceeds(r))
-            for r in reqs)
+        cc = self.config.cache
+        hybrid = cc.deep_compact_fraction is not None
+        dense_hw = latents.shape[1] // self._deep_factor()
+
+        def _needs_full(r):
+            return (r.deep_state is None or r.deep_age >= interval - 1
+                    or r.sampler_table.step < warmup
+                    # dense layout is (2, h', w', C); a patched-path feature
+                    # (2n rows / different extent) forces a refresh
+                    or r.deep_state.shape[0] != 2
+                    or r.deep_state.shape[1] != dense_hw
+                    or (adaptive and self._drift_exceeds(r)))
+
+        need = [i for i, r in enumerate(reqs) if _needs_full(r)]
         if hybrid and self._comp_state_peek(
                 "unet_hybrid", res, reqs, bb, self._hybrid_sig()) is None:
             # fresh composition row state: the full step's write-through is
             # the anchoring sync (splicing zero out rows would corrupt)
-            need_full = True
-        mode = "full" if need_full else "shallow"
+            need = list(range(len(reqs)))
+        # Row-granular refresh (CacheConfig.deep_row_warmup): when only SOME
+        # rows need a full pass, a "partial" program warms exactly those —
+        # static bucketed k (powers of two) to bound compile keys.
+        kb = 1
+        while kb < len(need):
+            kb *= 2
+        partial = (cc.deep_row_warmup and not hybrid
+                   and 0 < len(need) < len(reqs) and kb < bb
+                   and hasattr(self.bundle.denoiser, "_deep_tail"))
+        mode = "partial" if partial else ("full" if need else "shallow")
+        if mode == "partial":
+            # The kb-bucket padding slots are free compute (the tail runs kb
+            # rows regardless) — fill them with the OLDEST fresh rows
+            # instead of duplicating a needy one: those rows refresh early
+            # at zero cost, which staggers future expiries and shrinks the
+            # next partial.
+            need_set = set(need)
+            fill = sorted((i for i in range(len(reqs)) if i not in need_set),
+                          key=lambda i: -reqs[i].deep_age)[: kb - len(need)]
+            need = need + fill
+            need_set = set(need)
 
         if mode == "shallow":
             states = [self._deep_predicted(r) for r in reqs]
+        elif mode == "partial":
+            # carry rows for refreshed requests are overwritten in-graph by
+            # the scatter; feed their stale state when the shape fits (no
+            # fresh allocation) and a cached zeros tensor otherwise (new
+            # request / layout flip).  A valid template always exists:
+            # len(need) < len(reqs) held before the fill, so some row
+            # passed every _needs_full shape check.
+            tmpl = next((r.deep_state for i, r in enumerate(reqs)
+                         if i not in need_set), None)
+            if tmpl is None:  # the fill consumed every fresh row
+                tmpl = next(r.deep_state for i, r in enumerate(reqs)
+                            if r.deep_state is not None
+                            and r.deep_state.shape[0] == 2
+                            and r.deep_state.shape[1] == dense_hw)
+            states = [
+                (r.deep_state if i in need_set
+                 and r.deep_state is not None
+                 and r.deep_state.shape == tmpl.shape
+                 else self._deep_zeros(tmpl) if i in need_set
+                 else self._deep_predicted(r))
+                for i, r in enumerate(reqs)]
+        if mode != "full":
             u = [s[0:1] for s in states]
             c = [s[1:2] for s in states]
             pad = bb - len(reqs)
@@ -996,14 +1095,25 @@ class BasePipeline:
         if hybrid:
             new_latents, deep_out = self._deep_hybrid_call(
                 res, reqs, bb, latents, t, coeffs, guidance, cond, mode, deep)
+        elif mode == "partial":
+            sel = np.full((kb,), need[0], np.int32)
+            sel[: len(need)] = need
+            fn = self._jit(("denoise_deep", "partial", res, bb, kb),
+                           self._make_deep_partial_fn())
+            new_latents, deep_out = fn(self.params, latents, jnp.asarray(t),
+                                       jnp.asarray(coeffs),
+                                       jnp.asarray(guidance), cond, deep,
+                                       jnp.asarray(sel))
         else:
             fn = self._jit(("denoise_deep", mode, res, bb),
                            self._make_deep_fn(mode))
             new_latents, deep_out = fn(self.params, latents, jnp.asarray(t),
                                        jnp.asarray(coeffs),
                                        jnp.asarray(guidance), cond, deep)
+        refreshed = set(range(len(reqs))) if mode == "full" else (
+            set(need) if mode == "partial" else set())
         for i, r in enumerate(reqs):
-            if mode == "full":
+            if i in refreshed:
                 new = jnp.stack([deep_out[i], deep_out[bb + i]], axis=0)
                 self._deep_update_slope(r, new)
                 r.deep_state = new
@@ -1011,13 +1121,127 @@ class BasePipeline:
             else:
                 r.deep_age += 1
             if adaptive:
-                # full: the reference is the latent the deep features were
-                # computed FROM (the step's input); shallow: this step's
+                # refreshed: the reference is the latent the deep features
+                # were computed FROM (the step's input); else this step's
                 # output is the next decision's current latent
-                self._note_drift(r, mode,
-                                 latents[i : i + 1] if mode == "full"
+                self._note_drift(r, "full" if i in refreshed else "shallow",
+                                 latents[i : i + 1] if i in refreshed
                                  else new_latents[i : i + 1])
         return new_latents
+
+    def _deep_zeros(self, tmpl):
+        """Cached zero deep-feature tensor matching ``tmpl``'s shape/dtype
+        (one device allocation per shape, reused across admissions)."""
+        return self._deep_zeros_shape(tuple(tmpl.shape), tmpl.dtype)
+
+    def _deep_zeros_shape(self, shape, dtype):
+        key = (tuple(shape), str(dtype))
+        cache = getattr(self, "_deep_zeros_cache", None)
+        if cache is None:
+            cache = self._deep_zeros_cache = {}
+        if key not in cache:
+            cache[key] = jnp.zeros(shape, dtype)
+        return cache[key]
+
+    def _deep_state_shape(self, res: int):
+        """Per-request dense deep-feature shape (2, h', w', C) at ``res``:
+        spatial of level boundary-1, channels of the deepest cached up
+        block's upsample conv (models/unet.py apply: the feature captured
+        entering up block ``n_levels - boundary``)."""
+        cfg = self.bundle.denoiser.cfg
+        n = len(cfg.block_out_channels)
+        bdy = self.config.cache.deep_boundary
+        bdy = max(1, min(bdy if bdy is not None else n - 1, n - 1))
+        hw = (res // self.vae_scale) >> max(bdy - 1, 0)
+        return (2, hw, hw, cfg.block_out_channels[bdy])
+
+    def _plan_partial_chunk(self, ordered, k: int, itv: int, bb: int):
+        """Host-side row-refresh schedule for a k-step PARTIAL chunk
+        (deep_row_warmup x steps_per_dispatch): ages/warmup evolve
+        deterministically inside the window, so the per-step selection the
+        per-step path would make is precomputable — each in-chunk step j
+        refreshes sel[j] (kb rows: expiring/warmup rows plus oldest-fresh
+        fill, exactly the per-step policy in _denoise_group_deep), while
+        steps with no needs run shallow (act[j] = 0).  Returns
+        (sel[k, kb] int32, act[k] int32, final_ages, kb) or None when the
+        window degenerates to batch-wide fulls (kb would reach the
+        bucket) — the caller then falls back to per-step dispatch.
+
+        This is what makes chunked dispatch compose with rolling
+        admissions: the r3r SDXL chunk leg never engaged because any
+        in-warmup row made the full-boundary chunk ineligible, leaving the
+        pass RTT-bound per-step (0.0 e2e SLO at both QPS points,
+        exp/serving_sdxl_bdy1_i6_chunk_v5e_r3r.json)."""
+        cc = self.config.cache
+        warmup = max(cc.deep_warmup, 0)
+        b = len(ordered)
+        want = self._deep_state_shape(ordered[0].resolution)
+        missing0 = [r.deep_state is None
+                    or tuple(r.deep_state.shape) != want for r in ordered]
+        age0 = [r.deep_age for r in ordered]
+        step0 = [r.sampler_table.step for r in ordered]
+
+        def needs(j, sim_age, sim_missing):
+            return [i for i in range(b)
+                    if sim_missing[i] or sim_age[i] >= itv - 1
+                    or step0[i] + j < warmup]
+
+        sim_age, sim_missing = list(age0), list(missing0)
+        max_need = 1
+        for j in range(k):
+            nj = set(needs(j, sim_age, sim_missing))
+            max_need = max(max_need, len(nj))
+            for i in range(b):
+                if i in nj:
+                    sim_age[i], sim_missing[i] = 0, False
+                else:
+                    sim_age[i] += 1
+        kb = 1
+        while kb < max_need:
+            kb *= 2
+        if kb >= bb:
+            return None
+        # Pass 2: concrete schedule.  Steps with NO needs stay SHALLOW
+        # (act=0) exactly like the per-step path; active steps pad their
+        # needs to kb with the oldest fresh rows (the per-step fill
+        # policy — free refreshes, the tail computes kb rows either way).
+        # Residual per-step divergence is schedule granularity only: one
+        # window-wide kb vs per-step bucketing, so a window mixing need
+        # counts fills a few extra rows — strictly fresher features,
+        # never staler (exactness for matched counts is pinned in
+        # tests/test_deep_partial.py).
+        sim_age, sim_missing = list(age0), list(missing0)
+        sel = np.zeros((k, kb), np.int32)
+        act = np.zeros((k,), np.int32)
+        for j in range(k):
+            nj = needs(j, sim_age, sim_missing)
+            rset = set()
+            if nj:
+                act[j] = 1
+                nset = set(nj)
+                fill = sorted((i for i in range(b) if i not in nset),
+                              key=lambda i: -sim_age[i])[: kb - len(nj)]
+                row = nj + fill
+                row += [row[0]] * (kb - len(row))
+                sel[j] = row
+                rset = set(row)
+            for i in range(b):
+                if i in rset:
+                    sim_age[i], sim_missing[i] = 0, False
+                else:
+                    sim_age[i] += 1
+        return sel, act, sim_age, kb
+
+    def _make_deep_partial_fn(self):
+        def fn(params, latents, t, coeffs, guidance, cond, deep, sel):
+            noise_pred, c0, c1, deep_out = self._cfg_step(
+                latents, t, coeffs, guidance,
+                lambda lat_in, t2: self.denoiser_forward(
+                    params, lat_in, t2, cond, deep_mode="partial",
+                    deep_state=deep, deep_sel=sel))
+            return self.sampler.step(latents, noise_pred, c0, c1), deep_out
+
+        return fn
 
     # -- reuse-then-predict (CacheConfig.deep_predict) --------------------------
 

@@ -27,7 +27,7 @@ class StableDiffusionPipeline(BasePipeline):
     def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
                          cache=None, cache_state=None, deep_mode=None,
                          deep_state=None, row_valid=None,
-                         compact_sync=False):
+                         compact_sync=False, deep_sel=None):
         import jax.numpy as jnp
 
         # CFG order: [uncond, cond] (reference denoising_step :249-266).
@@ -37,4 +37,5 @@ class StableDiffusionPipeline(BasePipeline):
             cache=cache, cache_state=cache_state, deep_mode=deep_mode,
             deep_state=deep_state,
             deep_boundary=self.config.cache.deep_boundary,
-            row_valid=row_valid, compact_sync=compact_sync)
+            row_valid=row_valid, compact_sync=compact_sync,
+            deep_sel=deep_sel)

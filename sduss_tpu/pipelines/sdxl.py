@@ -53,7 +53,7 @@ class StableDiffusionXLPipeline(BasePipeline):
     def denoiser_forward(self, params, latents_in, t, cond, ctx=None,
                          cache=None, cache_state=None, deep_mode=None,
                          deep_state=None, row_valid=None,
-                         compact_sync=False):
+                         compact_sync=False, deep_sel=None):
         import jax.numpy as jnp
 
         ehs = jnp.concatenate([cond["neg_embeds"], cond["embeds"]], axis=0)
@@ -65,4 +65,5 @@ class StableDiffusionXLPipeline(BasePipeline):
             added_cond=added, ctx=ctx, cache=cache, cache_state=cache_state,
             deep_mode=deep_mode, deep_state=deep_state,
             deep_boundary=self.config.cache.deep_boundary,
-            row_valid=row_valid, compact_sync=compact_sync)
+            row_valid=row_valid, compact_sync=compact_sync,
+            deep_sel=deep_sel)

@@ -204,6 +204,12 @@ class ESyMReDPolicy(Policy):
                 or getattr(cc, "mode", None) != "deep" \
                 or not getattr(cc, "phase_admission", True):
             return False
+        if getattr(cc, "deep_row_warmup", False) \
+                and getattr(cc, "deep_compact_fraction", None) is None:
+            # Row-granular warmup (partial programs): an admission warms only
+            # its own rows — there is no batch-wide full phase to align with,
+            # so deferral would just add queueing latency.
+            return False
         adaptive = getattr(cc, "deep_adaptive", False)
         interval = max(cc.deep_max_interval if adaptive else cc.deep_interval, 1)
         if interval <= 1:
@@ -254,12 +260,9 @@ class ESyMReDPolicy(Policy):
         # deferring there would add queueing latency for nothing.
         cc = self.cache_config
         if cc is not None and getattr(cc, "enabled", False):
-            plain_deep = (getattr(cc, "mode", None) == "deep"
-                          and getattr(cc, "deep_compact_fraction", None)
-                          is None
-                          and not getattr(cc, "deep_adaptive", False)
-                          and not getattr(cc, "deep_predict", 0)
-                          and self.family != "sd3")
+            plain_deep = (
+                bool(getattr(cc, "plain_fixed_deep", lambda: False)())
+                and self.family != "sd3")
             if not plain_deep:
                 return False
         cur = len(running)

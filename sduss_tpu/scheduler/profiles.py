@@ -45,6 +45,21 @@ _SHALLOW_STEP_RATIO: Dict[str, float] = {
     "sdxl": 0.434, "sd15": 0.434, "sd3": 0.053}
 
 
+def shallow_step_ratio(family: str, cache_config=None) -> float:
+    """Boundary-aware shallow/full step-cost ratio — the ONE source of
+    truth for both the scheduler's EMA prior (cache_step_factor) and the
+    policy-matrix simulator's virtual clock (scripts/sim_policy_matrix.py).
+    boundary-1 shallow steps are CONV-ONLY (~50 ms vs the 830 ms full at
+    SDXL b8, r3b chip ladder) — the default-boundary ratio would
+    overestimate them ~7x."""
+    ratio = _SHALLOW_STEP_RATIO.get(family, 1.0)
+    if (cache_config is not None
+            and getattr(cache_config, "deep_boundary", None) == 1
+            and family in ("sdxl", "sd15")):
+        ratio = 0.06
+    return ratio
+
+
 @dataclasses.dataclass
 class StageProfile:
     family: str
@@ -133,14 +148,7 @@ class StageProfile:
                        else cc.deep_interval, 1)
         if interval <= 1:
             return 1.0
-        ratio = _SHALLOW_STEP_RATIO.get(self.family, 1.0)
-        if (getattr(cc, "deep_boundary", None) == 1
-                and self.family in ("sdxl", "sd15")):
-            # boundary-1 shallow steps are CONV-ONLY (~50 ms vs the 830 ms
-            # full at SDXL b8, r3b chip ladder) — the default-boundary
-            # ratio would overestimate ~7x and re-create the cold-start
-            # admission starvation this priming exists to fix.
-            ratio = 0.06
+        ratio = shallow_step_ratio(self.family, cc)
         return (1.0 + (interval - 1) * ratio) / interval
 
     # -- persistence ---------------------------------------------------------

@@ -168,6 +168,36 @@ class TestEngine:
         # (Worker.step -> pipeline.evict_finished_state, session-11 OOM fix)
         assert not eng.workers[0].pipeline._comp_state
 
+    def test_prewarm_row_warmup_mints_partial_programs(self):
+        """With deep_row_warmup on, prewarm must mint the partial deep
+        programs (one per power-of-two row bucket kb < bucket) — a cold
+        partial key would otherwise stall the first rolling admission —
+        and rolling-admission serving must then run on them."""
+        c = _cfg(policy="esymred")
+        c.scheduler.batch_buckets = (1, 2, 4)
+        c.scheduler.max_batch_size = 4
+        c.cache.enabled = True
+        c.cache.mode = "deep"
+        c.cache.deep_interval = 4
+        c.cache.deep_warmup = 1
+        c.cache.deep_row_warmup = True
+        eng = Engine(c)
+        eng.prewarm(resolutions=(128,))
+        fns = eng.workers[0].pipeline._fns
+        kbs = {k[-1] for k in fns if isinstance(k, tuple)
+               and k[:2] == ("denoise_deep", "partial")}
+        assert kbs == {1, 2}, sorted(k for k in fns if isinstance(k, tuple))
+        # rolling admission: two requests in flight, a third arrives late
+        reqs = [_req(f"p{i}", steps=6) for i in range(2)]
+        eng.add_requests(reqs)
+        outs = []
+        for _ in range(4):
+            outs.extend(eng.step())
+        eng.add_requests([_req("late", steps=6)])
+        while eng.has_unfinished_requests():
+            outs.extend(eng.step())
+        assert len(outs) == 3 and all(o.error is None for o in outs)
+
     def test_prewarm_adaptive_mints_both_deep_programs(self):
         """Under adaptive refresh, prewarm must still compile BOTH the full
         and shallow deep programs (the drift trigger could otherwise force

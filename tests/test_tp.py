@@ -29,6 +29,21 @@ class TestTensorParallel:
         n_sharded = sum(1 for s in flat_s if s.spec != P())
         assert n_sharded > 0, "expected some TP-sharded kernels"
 
+    def test_shardings_cover_resnet_conv_pairs(self):
+        """Conv-channel TP (DistriFuser working-TP coverage, reference
+        distrifuser/distrifuser/modules/tp/conv2d.py:10-60): conv1 kernels
+        shard output channels, conv2 kernels shard input channels."""
+        unet = UNet2DConditionModel(TINY_UNET)
+        params = unet.init(jax.random.key(0))
+        mesh = make_mesh(tp=4)
+        sh = unet_param_shardings(params, mesh)
+        blk = sh["down_blocks"][0]["resnets"][0]
+        assert blk["conv1"]["kernel"].spec == P(None, None, None, "tp")
+        assert blk["conv2"]["kernel"].spec == P(None, None, "tp", None)
+        assert blk["time_emb_proj"]["kernel"].spec == P(None, "tp")
+        # shortcut / up / downsample convs stay replicated
+        assert sh["down_blocks"][0]["downsample"]["kernel"].spec == P()
+
     def test_tp_forward_matches_unsharded(self):
         unet = UNet2DConditionModel(TINY_UNET)
         params = unet.init(jax.random.key(0))
