@@ -11,11 +11,18 @@
 set -x
 cd /root/repo
 export PYTHONPATH="/root/repo:$PYTHONPATH"
-if [ -f /tmp/queue_r4a.pid ]; then
-  while kill -0 "$(cat /tmp/queue_r4a.pid)" 2>/dev/null; do sleep 60; done
+if [ -f /tmp/queue_r4d.pid ]; then
+  while kill -0 "$(cat /tmp/queue_r4d.pid)" 2>/dev/null; do sleep 60; done
 fi
 until (exec 3<>/dev/tcp/127.0.0.1/8082) 2>/dev/null; do sleep 60; done
 sleep 10
+# Scan-mode control: PLAIN deep bdy1 i12 with zero dispatch overhead —
+# pins the device-only shallow cost against the probe's 149 ms dispatched
+# figure (separates device vs relay-dispatch in the serving numbers).
+BENCH_DEEP_HYBRID=0 BENCH_DEEP_ADAPTIVE=0 BENCH_DEEP=12 \
+BENCH_DEEP_BOUNDARY=1 BENCH_REPEATS=2 \
+timeout 7200 python -u bench.py > /tmp/bench_plain_i12_bdy1_r4b.log 2>&1
+cp /tmp/bench_plain_i12_bdy1_r4b.log exp/bench_sdxl_plain_i12_bdy1_v5e_r4b.log
 timeout 14400 python -u scripts/serving_probe.py --qps 1.1,1.5 \
     --num 16 --steps 30 --deep-interval 12 --deep-boundary 1 \
     --deep-row-warmup --steps-per-dispatch 3 --resolutions 1024 \

@@ -319,21 +319,23 @@ class CacheConfig:
     # deep features, re-synchronizing the batch); a candidate whose SLO slack
     # cannot afford the wait is admitted immediately (SLO beats cache).
     phase_admission: bool = True
-    # ROW-GRANULAR deep refresh (plain deep mode, UNet dense path): when a
-    # step has SOME rows needing a full pass (trajectory warmup after an
-    # admission, a staggered interval expiry, an adaptive drift trigger)
-    # and others fresh, run a "partial" program — shallow spine for every
-    # row plus the deep tail for just the k needy request rows (static
-    # bucketed k, CFG-pair symmetric), scattering their fresh deep features
-    # into the batch carry.  Kills the serving full-step floor: batch-wide
-    # "any member needs full" warmup floored realized fulls at ~10% under
-    # rolling admissions regardless of interval (interval 24 == interval 12
-    # == 184-186 ms warm step, exp/serving_sdxl_bdy1_i24_v5e_r3u.json);
-    # with per-row ages each request refreshes its own rows every interval
-    # steps and NO step needs a batch-wide full.  The static-k analog of
-    # the reference's per-patch cache granularity (cache_manager.py:84-99).
-    # Does not compose with the deep x compact hybrid (whose row caches are
-    # composition-anchored) — ignored when deep_compact_fraction is set.
+    # ROW-GRANULAR deep WARMUP (plain deep mode, UNet dense path): rows
+    # with admission-type needs (no deep feature yet / trajectory warmup /
+    # layout flip) are served by a "partial" program — shallow spine for
+    # every row plus the deep tail for just the k needy request rows
+    # (static bucketed k, CFG-pair symmetric), scattering fresh deep
+    # features into the batch carry.  Kills the serving full-step floor:
+    # batch-wide "any member needs full" warmup floored realized fulls at
+    # ~10% under rolling admissions regardless of interval (i24 == i12 ==
+    # 184-186 ms warm step, exp/serving_sdxl_bdy1_i24_v5e_r3u.json).
+    # Interval/adaptive EXPIRY stays batch-wide on purpose: one aligned
+    # full re-syncs every age and beats staggered per-row refreshes —
+    # small-k deep tails run ~1.8x/row less efficiently than the batched
+    # tail (chip r4a i24: aligned 177.3 ms vs staggered 201.2 warm step).
+    # The static-k analog of the reference's per-patch cache granularity
+    # (cache_manager.py:84-99).  Does not compose with the deep x compact
+    # hybrid (whose row caches are composition-anchored) — ignored when
+    # deep_compact_fraction is set.
     deep_row_warmup: bool = False
     # Deep x compact HYBRID (mode "deep" only): on SHALLOW steps,
     # additionally gate the shallow block pairs (the only blocks a shallow

@@ -288,9 +288,10 @@ class Engine:
         """Mint the row-granular "partial" deep programs for (res, bucket)
         (CacheConfig.deep_row_warmup; pipelines/base.py _denoise_group_deep
         mode "partial").  One compile key per power-of-two row bucket kb < b:
-        drive throwaway requests past trajectory warmup, then force exactly
-        kb rows to interval expiry before each extra step so the production
-        mode choice selects the partial program."""
+        drive throwaway requests past trajectory warmup, then drop exactly
+        kb rows' deep state before each extra step (what a fresh admission
+        looks like) so the production mode choice selects the partial
+        program."""
         cc = self.config.cache
         itv = max(cc.deep_max_interval if cc.deep_adaptive
                   else cc.deep_interval, 1)
@@ -315,7 +316,9 @@ class Engine:
             pipe.denoise_step(by_res)
         for kb in kbs:
             for j, r in enumerate(reqs):
-                r.deep_age = itv if j < kb else 0
+                if j < kb:
+                    r.deep_state = None
+                r.deep_age = 0
             pipe.denoise_step(by_res)
         pipe.release_serving_state()
         logger.info("prewarm: partial deep programs (res %d bucket %d "
@@ -444,7 +447,6 @@ class Engine:
                             self._prewarm_chunk(pipe, res, b, steps)
                         if (cc.enabled and cc.mode == "deep"
                                 and getattr(cc, "deep_row_warmup", False)
-                                and cc.deep_compact_fraction is None
                                 and hasattr(pipe.bundle.denoiser,
                                             "_deep_tail")):
                             self._prewarm_partial(pipe, res, b)

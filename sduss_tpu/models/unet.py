@@ -579,16 +579,17 @@ class UNet2DConditionModel:
         Returns (out, deep_feature) when deep_mode is given.
         """
         cfg = self.cfg
-        if deep_mode == "partial":
-            if ctx is not None or cache is not None:
-                raise ValueError("deep_mode='partial' is dense-path only and "
-                                 "does not compose with block caches")
-            if deep_sel is None or deep_state is None:
-                raise ValueError("deep_mode='partial' needs deep_sel + "
-                                 "deep_state")
         hybrid = (deep_mode is not None and cache is not None
                   and getattr(cache.config, "deep_compact_fraction", None)
                   is not None)
+        if deep_mode == "partial":
+            if ctx is not None or (cache is not None and not hybrid):
+                raise ValueError("deep_mode='partial' is dense-path only; "
+                                 "the only composing cache is the deep x "
+                                 "compact hybrid")
+            if deep_sel is None or deep_state is None:
+                raise ValueError("deep_mode='partial' needs deep_sel + "
+                                 "deep_state")
         if deep_mode is not None and cache is not None and not hybrid:
             # the deep-mode return (out, deep_feature) would silently drop
             # the new cache state: gates would splice against a frozen
@@ -634,7 +635,10 @@ class UNet2DConditionModel:
             # patch path: image-granular gating via the canonical
             # sub-composition (rows couple through GN/halo/attention).
             if ctx is None:
-                compact = caching and deep_mode == "shallow"
+                # partial steps gate their shallow spine exactly like
+                # shallow steps (the deep tail for the selected rows stays
+                # ungated — tail blocks are not in shallow_cache_layout)
+                compact = caching and deep_mode in ("shallow", "partial")
                 patch_compact = False
                 n_active = max(1, round(sample.shape[0]
                                         * cache.config.deep_compact_fraction))

@@ -344,18 +344,11 @@ class BasePipeline:
             entry = {"state": mk_state(2 * bb), "anchored": False}
             self._comp_state[key] = entry
         self._comp_state.move_to_end(key)
-        lru = max(int(self.config.cache.comp_state_lru), 1)
-        while len(self._comp_state) > lru:
-            self._comp_state.popitem(last=False)
         # Count bound alone is HBM-blind: entry size scales with bucket x
         # resolution, and two big-bucket entries next to full-size params
-        # OOMed the r2r hybrid prewarm (16 GB chip).  Evict to the byte
-        # budget too, always keeping the newest entry.
-        budget = float(self.config.cache.comp_state_bytes)
-        while (len(self._comp_state) > 1
-               and sum(_state_nbytes(e["state"])
-                       for e in self._comp_state.values()) > budget):
-            self._comp_state.popitem(last=False)
+        # OOMed the r2r hybrid prewarm (16 GB chip).  _trim_comp_state
+        # evicts to the byte budget too, always keeping the newest entry.
+        self._trim_comp_state()
         return entry
 
     def _comp_state_peek(self, kind, res, reqs, bb, sig):
@@ -392,6 +385,7 @@ class BasePipeline:
         ids = set(req_ids)
         if not ids:
             return
+        row_warm = getattr(self.config.cache, "deep_row_warmup", False)
         for attr in ("_comp_state", "_sd3_state", "_disp_state"):
             store = getattr(self, attr, None)
             if not store:
@@ -400,7 +394,35 @@ class BasePipeline:
                     if any(isinstance(part, tuple) and ids.intersection(part)
                            for part in k)]
             for k in dead:
-                del store[k]
+                entry = store.pop(k)
+                if (attr == "_comp_state" and row_warm
+                        and k[0] == "unet_hybrid"
+                        and entry.get("anchored")):
+                    # Row carry-over (deep_row_warmup): survivors keep
+                    # their row caches in a SHRUNK entry — a finish event
+                    # otherwise costs the next composition an anchoring
+                    # full, the same class of cost admissions just stopped
+                    # paying.  The full-size entry is still dropped before
+                    # the decode (the r2y OOM).
+                    live = [r for r in k[3] if r not in ids]
+                    if live:
+                        self._shrink_hybrid_entry(store, k, entry, live)
+
+    def _shrink_hybrid_entry(self, store, key, entry, live) -> None:
+        """Gather the surviving requests' CFG-doubled rows into a
+        smaller-bucket hybrid entry (padding repeats the last live row;
+        row_valid masks pads at gate time) so _hybrid_entry_carry can seed
+        the next composition from it."""
+        kind, res, bb, ids, sig = key
+        nb = bucket_for(len(live), self.config.scheduler.batch_buckets)
+        pos = {rid: i for i, rid in enumerate(ids)}
+        idx = [pos[live[min(j, len(live) - 1)]] for j in range(nb)]
+        g = jnp.asarray(np.asarray(idx + [i + bb for i in idx]))
+        state = {k2: jax.tree.map(lambda a: a[g], leaves)
+                 for k2, leaves in entry["state"].items()}
+        store[(kind, res, nb, tuple(live), sig)] = {"state": state,
+                                                    "anchored": True}
+        self._trim_comp_state()
 
     def denoise_chunk(self, reqs_by_res, k: int,
                       allow_cold: bool = True) -> bool:
@@ -601,17 +623,20 @@ class BasePipeline:
         if mode == "partial":
             p_f = self._make_deep_partial_fn()
             sh_f = self._make_deep_fn("shallow")
+            full_f = self._make_deep_fn("full")
 
             def fn(params, lat, ts, cs, guidance, cond, deep0, sel_arr,
                    act_arr):
                 def body(j, carry):
                     lat, dp = carry
-                    return jax.lax.cond(
-                        act_arr[j] > 0,
-                        lambda a: p_f(params, a[0], ts[j], cs[j], guidance,
-                                      cond, a[1], sel_arr[j]),
-                        lambda a: sh_f(params, a[0], ts[j], cs[j], guidance,
-                                       cond, a[1]),
+                    return jax.lax.switch(
+                        act_arr[j],
+                        [lambda a: sh_f(params, a[0], ts[j], cs[j],
+                                        guidance, cond, a[1]),
+                         lambda a: p_f(params, a[0], ts[j], cs[j],
+                                       guidance, cond, a[1], sel_arr[j]),
+                         lambda a: full_f(params, a[0], ts[j], cs[j],
+                                          guidance, cond, a[1])],
                         (lat, dp))
 
                 return jax.lax.fori_loop(0, k, body, (lat, deep0))
@@ -1021,42 +1046,66 @@ class BasePipeline:
         hybrid = cc.deep_compact_fraction is not None
         dense_hw = latents.shape[1] // self._deep_factor()
 
-        def _needs_full(r):
-            return (r.deep_state is None or r.deep_age >= interval - 1
-                    or r.sampler_table.step < warmup
-                    # dense layout is (2, h', w', C); a patched-path feature
-                    # (2n rows / different extent) forces a refresh
+        def _warm_need(r):
+            # admission-type needs: no usable dense feature yet (new
+            # request, patched-path layout flip) or trajectory warmup
+            return (r.deep_state is None
                     or r.deep_state.shape[0] != 2
                     or r.deep_state.shape[1] != dense_hw
+                    or r.sampler_table.step < warmup)
+
+        def _expired(r):
+            return (r.deep_age >= interval - 1
                     or (adaptive and self._drift_exceeds(r)))
 
-        need = [i for i, r in enumerate(reqs) if _needs_full(r)]
-        if hybrid and self._comp_state_peek(
-                "unet_hybrid", res, reqs, bb, self._hybrid_sig()) is None:
-            # fresh composition row state: the full step's write-through is
-            # the anchoring sync (splicing zero out rows would corrupt)
-            need = list(range(len(reqs)))
-        # Row-granular refresh (CacheConfig.deep_row_warmup): when only SOME
-        # rows need a full pass, a "partial" program warms exactly those —
-        # static bucketed k (powers of two) to bound compile keys.
+        need = [i for i, r in enumerate(reqs) if _warm_need(r)]
+        # Interval/adaptive expiry stays BATCH-wide: one aligned full
+        # refreshes every row and re-syncs ages, which beats staggered
+        # per-row refreshes — small-k deep tails run ~1.8x/row less
+        # efficiently than the batched tail (chip, r4a i24: aligned warm
+        # step 177.3 ms vs staggered 201.2; model full 830 / shallow 149 /
+        # one-request tail 157 ms).  Row-granular "partial" programs serve
+        # ONLY admission warmup, the case that floored serving at ~10%
+        # fulls (exp/serving_sdxl_bdy1_i24_v5e_r3u.json).
+        expiry = any(_expired(r) for r in reqs if not _warm_need(r))
+        row_warm_ok = (cc.deep_row_warmup
+                       and hasattr(self.bundle.denoiser, "_deep_tail"))
+        entry = None
+        if hybrid:
+            _, mk_state = self._hybrid_state_builder(res)
+            if row_warm_ok:
+                # row CARRY-OVER: an admission seeds the new composition's
+                # row caches from the previous one's surviving rows — the
+                # anchoring full is only needed when the fresh pairs exceed
+                # the gate capacity (their forced top-K selection is then
+                # no longer guaranteed and a zero-state row could splice)
+                entry, fresh_pairs = self._hybrid_entry_carry(
+                    res, reqs, bb, self._hybrid_sig(), mk_state,
+                    self._latent_dtype())
+                if cc.deep_compact_pairwise:
+                    cap = max(1, round(bb * cc.deep_compact_fraction))
+                else:
+                    cap = max(1, round(2 * bb
+                                       * cc.deep_compact_fraction)) // 2
+                if fresh_pairs > cap or not entry["anchored"]:
+                    expiry = True
+            else:
+                entry = self._comp_state_entry(
+                    "unet_hybrid", res, reqs, bb, self._hybrid_sig(),
+                    mk_state)
+                if not entry["anchored"]:
+                    # fresh composition row state: the full step's write-
+                    # through is the anchoring sync (splicing zero out rows
+                    # would corrupt)
+                    expiry = True
         kb = 1
         while kb < len(need):
             kb *= 2
-        partial = (cc.deep_row_warmup and not hybrid
-                   and 0 < len(need) < len(reqs) and kb < bb
-                   and hasattr(self.bundle.denoiser, "_deep_tail"))
-        mode = "partial" if partial else ("full" if need else "shallow")
-        if mode == "partial":
-            # The kb-bucket padding slots are free compute (the tail runs kb
-            # rows regardless) — fill them with the OLDEST fresh rows
-            # instead of duplicating a needy one: those rows refresh early
-            # at zero cost, which staggers future expiries and shrinks the
-            # next partial.
-            need_set = set(need)
-            fill = sorted((i for i in range(len(reqs)) if i not in need_set),
-                          key=lambda i: -reqs[i].deep_age)[: kb - len(need)]
-            need = need + fill
-            need_set = set(need)
+        partial = (row_warm_ok and not expiry
+                   and 0 < len(need) < len(reqs) and kb < bb)
+        mode = ("partial" if partial
+                else "full" if (need or expiry) else "shallow")
+        need_set = set(need)
 
         if mode == "shallow":
             states = [self._deep_predicted(r) for r in reqs]
@@ -1065,15 +1114,9 @@ class BasePipeline:
             # the scatter; feed their stale state when the shape fits (no
             # fresh allocation) and a cached zeros tensor otherwise (new
             # request / layout flip).  A valid template always exists:
-            # len(need) < len(reqs) held before the fill, so some row
-            # passed every _needs_full shape check.
-            tmpl = next((r.deep_state for i, r in enumerate(reqs)
-                         if i not in need_set), None)
-            if tmpl is None:  # the fill consumed every fresh row
-                tmpl = next(r.deep_state for i, r in enumerate(reqs)
-                            if r.deep_state is not None
-                            and r.deep_state.shape[0] == 2
-                            and r.deep_state.shape[1] == dense_hw)
+            # len(need) < len(reqs) means some row passed every shape check.
+            tmpl = next(r.deep_state for i, r in enumerate(reqs)
+                        if i not in need_set)
             states = [
                 (r.deep_state if i in need_set
                  and r.deep_state is not None
@@ -1092,12 +1135,15 @@ class BasePipeline:
         else:
             deep = None
 
-        if hybrid:
-            new_latents, deep_out = self._deep_hybrid_call(
-                res, reqs, bb, latents, t, coeffs, guidance, cond, mode, deep)
-        elif mode == "partial":
+        sel = None
+        if mode == "partial":
             sel = np.full((kb,), need[0], np.int32)
             sel[: len(need)] = need
+        if hybrid:
+            new_latents, deep_out = self._deep_hybrid_call(
+                res, reqs, bb, latents, t, coeffs, guidance, cond, mode,
+                deep, entry, sel=sel, kb=kb)
+        elif mode == "partial":
             fn = self._jit(("denoise_deep", "partial", res, bb, kb),
                            self._make_deep_partial_fn())
             new_latents, deep_out = fn(self.params, latents, jnp.asarray(t),
@@ -1160,12 +1206,14 @@ class BasePipeline:
         (deep_row_warmup x steps_per_dispatch): ages/warmup evolve
         deterministically inside the window, so the per-step selection the
         per-step path would make is precomputable — each in-chunk step j
-        refreshes sel[j] (kb rows: expiring/warmup rows plus oldest-fresh
-        fill, exactly the per-step policy in _denoise_group_deep), while
-        steps with no needs run shallow (act[j] = 0).  Returns
-        (sel[k, kb] int32, act[k] int32, final_ages, kb) or None when the
-        window degenerates to batch-wide fulls (kb would reach the
-        bucket) — the caller then falls back to per-step dispatch.
+        refreshes sel[j] (kb ADMISSION rows: missing-state/warmup, exactly
+        the per-step policy in _denoise_group_deep), steps where an
+        incumbent's interval expires run a batch-wide FULL (act[j] = 2,
+        re-syncing every age — aligned fulls beat staggered per-row
+        refreshes, see _denoise_group_deep), and steps with no needs run
+        shallow (act[j] = 0).  Returns (sel[k, kb] int32, act[k] int32,
+        final_ages, kb) or None when the window's warm needs reach the
+        bucket (degenerate: per-step dispatch decides).
 
         This is what makes chunked dispatch compose with rolling
         admissions: the r3r SDXL chunk leg never engaged because any
@@ -1181,56 +1229,47 @@ class BasePipeline:
         age0 = [r.deep_age for r in ordered]
         step0 = [r.sampler_table.step for r in ordered]
 
-        def needs(j, sim_age, sim_missing):
+        def warm_needs(j, sim_age, sim_missing):
+            del sim_age
             return [i for i in range(b)
-                    if sim_missing[i] or sim_age[i] >= itv - 1
-                    or step0[i] + j < warmup]
+                    if sim_missing[i] or step0[i] + j < warmup]
 
-        sim_age, sim_missing = list(age0), list(missing0)
-        max_need = 1
-        for j in range(k):
-            nj = set(needs(j, sim_age, sim_missing))
-            max_need = max(max_need, len(nj))
-            for i in range(b):
-                if i in nj:
-                    sim_age[i], sim_missing[i] = 0, False
-                else:
-                    sim_age[i] += 1
+        def plan(record):
+            sim_age, sim_missing = list(age0), list(missing0)
+            max_need = 1
+            sel = np.zeros((k, record or 1), np.int32)
+            act = np.zeros((k,), np.int32)
+            for j in range(k):
+                nj = warm_needs(j, sim_age, sim_missing)
+                nset = set(nj)
+                full = any(sim_age[i] >= itv - 1 for i in range(b)
+                           if i not in nset)
+                if full:
+                    act[j] = 2
+                    sim_age = [0] * b
+                    sim_missing = [False] * b
+                    continue
+                if nj:
+                    act[j] = 1
+                    max_need = max(max_need, len(nj))
+                    if record:
+                        row = nj + [nj[0]] * (record - len(nj))
+                        sel[j] = row[:record]
+                for i in range(b):
+                    if i in nset:
+                        sim_age[i], sim_missing[i] = 0, False
+                    else:
+                        sim_age[i] += 1
+            return sel, act, sim_age, max_need
+
+        _, _, _, max_need = plan(0)
         kb = 1
         while kb < max_need:
             kb *= 2
         if kb >= bb:
             return None
-        # Pass 2: concrete schedule.  Steps with NO needs stay SHALLOW
-        # (act=0) exactly like the per-step path; active steps pad their
-        # needs to kb with the oldest fresh rows (the per-step fill
-        # policy — free refreshes, the tail computes kb rows either way).
-        # Residual per-step divergence is schedule granularity only: one
-        # window-wide kb vs per-step bucketing, so a window mixing need
-        # counts fills a few extra rows — strictly fresher features,
-        # never staler (exactness for matched counts is pinned in
-        # tests/test_deep_partial.py).
-        sim_age, sim_missing = list(age0), list(missing0)
-        sel = np.zeros((k, kb), np.int32)
-        act = np.zeros((k,), np.int32)
-        for j in range(k):
-            nj = needs(j, sim_age, sim_missing)
-            rset = set()
-            if nj:
-                act[j] = 1
-                nset = set(nj)
-                fill = sorted((i for i in range(b) if i not in nset),
-                              key=lambda i: -sim_age[i])[: kb - len(nj)]
-                row = nj + fill
-                row += [row[0]] * (kb - len(row))
-                sel[j] = row
-                rset = set(row)
-            for i in range(b):
-                if i in rset:
-                    sim_age[i], sim_missing[i] = 0, False
-                else:
-                    sim_age[i] += 1
-        return sel, act, sim_age, kb
+        sel, act, final_age, _ = plan(kb)
+        return sel, act, final_age, kb
 
     def _make_deep_partial_fn(self):
         def fn(params, latents, t, coeffs, guidance, cond, deep, sel):
@@ -1355,12 +1394,85 @@ class BasePipeline:
         cc = self.config.cache
         return ("hybrid", cc.deep_compact_fraction, cc.deep_boundary)
 
-    def _deep_hybrid_call(self, res, reqs, bb, latents, t, coeffs, guidance,
-                          cond, mode: str, deep):
-        """One deep-mode step with per-pair compact row gating on shallow
-        steps (write-through on full steps).  Threads per-request row caches
-        exactly like _denoise_group_compact: rows are CFG-doubled
-        ([uncond x bb | cond x bb], matching _cfg_step's concat order)."""
+    def _hybrid_entry_carry(self, res, reqs, bb, sig, mk_state, dtype):
+        """Get-or-create the hybrid composition row-state entry WITH row
+        carry-over (CacheConfig.deep_row_warmup): a new composition's entry
+        is seeded by gathering surviving requests' rows out of the previous
+        composition's state instead of resetting to zeros — so an admission
+        no longer forces an anchoring batch-wide full.  New requests' rows
+        keep the fresh init (hits = max_hits -> forced top-K selection);
+        carried incumbents' hits are clamped to max_hits - 1 so ONLY the
+        fresh rows carry the forced boost on the next gated step, making
+        their selection guaranteed while the fresh-pair count fits the gate
+        capacity (the caller anchors with a full otherwise).  Returns
+        (entry, fresh_pairs_at_creation)."""
+        import collections
+
+        if not hasattr(self, "_comp_state"):
+            self._comp_state = collections.OrderedDict()
+        kind = "unet_hybrid"
+        key = (kind, res, bb, tuple(r.request_id for r in reqs), sig)
+        entry = self._comp_state.get(key)
+        if entry is not None:
+            self._comp_state.move_to_end(key)
+            return entry, 0
+        parent = None
+        for pk in reversed(self._comp_state):
+            if pk[0] == kind and pk[1] == res and pk[4] == sig:
+                parent = pk
+                break
+        if parent is None:
+            entry = {"state": mk_state(2 * bb), "anchored": False}
+            self._comp_state[key] = entry
+            self._trim_comp_state()
+            return entry, len(reqs)  # every pair fresh: anchor required
+        old_ids, old_bb = list(parent[3]), parent[2]
+        pos = {rid: i for i, rid in enumerate(old_ids)}
+        fresh = [i for i, r in enumerate(reqs) if r.request_id not in pos]
+        # CFG-doubled row map [u x bb | c x bb]: new row j <- old row
+        # pos[id] (uncond half) / old_bb + pos[id] (cond half); -1 = fresh
+        idx = np.full((2 * bb,), -1, np.int64)
+        for j, r in enumerate(reqs):
+            i = pos.get(r.request_id)
+            if i is not None:
+                idx[j] = i
+                idx[bb + j] = old_bb + i
+        gather = jnp.asarray(np.maximum(idx, 0))
+        fresh_rows = jnp.asarray(idx < 0)
+        old_state = self._comp_state[parent]["state"]
+        init = mk_state(2 * bb)
+
+        def seed(init_leaf, old_leaf):
+            mask = fresh_rows.reshape((-1,) + (1,) * (init_leaf.ndim - 1))
+            return jnp.where(mask, init_leaf,
+                             old_leaf.astype(init_leaf.dtype)[gather])
+
+        state = {k: jax.tree.map(lambda i_, o_: seed(i_, o_),
+                                 init[k], old_state[k])
+                 for k in init}
+        maxh = int(self.config.cache.max_hits)
+        for k in state:
+            h = state[k]["hits"]
+            state[k]["hits"] = jnp.where(fresh_rows, maxh,
+                                         jnp.minimum(h, maxh - 1))
+        entry = {"state": state,
+                 "anchored": self._comp_state[parent].get("anchored", False)}
+        self._comp_state[key] = entry
+        self._trim_comp_state()
+        return entry, len(fresh)
+
+    def _trim_comp_state(self):
+        lru = max(int(self.config.cache.comp_state_lru), 1)
+        while len(self._comp_state) > lru:
+            self._comp_state.popitem(last=False)
+        budget = float(self.config.cache.comp_state_bytes)
+        while (len(self._comp_state) > 1
+               and sum(_state_nbytes(e["state"])
+                       for e in self._comp_state.values()) > budget):
+            self._comp_state.popitem(last=False)
+
+    def _hybrid_state_builder(self, res):
+        """(BlockCache, mk_state) for the hybrid row-state entries."""
         from sduss_tpu.cache.manager import BlockCache
 
         if not hasattr(self, "_cache_obj"):
@@ -1368,32 +1480,69 @@ class BasePipeline:
         cache = self._cache_obj
         layout = self._hybrid_layout(res)
         dtype = self._latent_dtype()
-        b = len(reqs)
 
         def mk_state(n):
             return {key: cache.init_rows(key, n, s, c_in, c_out, dtype)
                     for key, (s, c_in, c_out) in layout.items()}
 
-        entry = self._comp_state_entry("unet_hybrid", res, reqs, bb,
-                                       self._hybrid_sig(), mk_state)
-        # a fresh entry forces mode "full" upstream (_denoise_group_deep's
-        # peek), whose write-through anchors every gated pair's rows
+        return cache, mk_state
+
+    def _deep_hybrid_call(self, res, reqs, bb, latents, t, coeffs, guidance,
+                          cond, mode: str, deep, entry, sel=None, kb=None):
+        """One deep-mode step with per-pair compact row gating on shallow/
+        partial steps (write-through on full steps).  Threads the
+        composition row-cache entry (created by the caller, with carry-over
+        under deep_row_warmup): rows are CFG-doubled ([uncond x bb |
+        cond x bb], matching _cfg_step's concat order)."""
+        b = len(reqs)
+        # an un-anchored entry forces mode "full" upstream, whose write-
+        # through anchors every gated pair's rows
         assert entry["anchored"] or mode == "full"
         row_valid = np.zeros((bb,), bool)
         row_valid[:b] = True
         # donate the row state (arg 7): ~4 GB at b8 1024^2; without
         # aliasing the full step held old+new copies and OOMed the r2v
         # serving prewarm next to the text-encoder params
-        fn = self._jit(("denoise_deep_hybrid", mode, res, bb),
-                       self._make_deep_hybrid_fn(mode), donate=(7,))
-        new_latents, deep_out, new_state = fn(
-            self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
-            jnp.asarray(guidance), cond, deep, entry["state"],
-            jnp.asarray(row_valid))
+        if mode == "partial":
+            fn = self._jit(("denoise_deep_hybrid", "partial", res, bb, kb),
+                           self._make_deep_hybrid_partial_fn(), donate=(7,))
+            new_latents, deep_out, new_state = fn(
+                self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
+                jnp.asarray(guidance), cond, deep, entry["state"],
+                jnp.asarray(row_valid), jnp.asarray(sel))
+        else:
+            fn = self._jit(("denoise_deep_hybrid", mode, res, bb),
+                           self._make_deep_hybrid_fn(mode), donate=(7,))
+            new_latents, deep_out, new_state = fn(
+                self.params, latents, jnp.asarray(t), jnp.asarray(coeffs),
+                jnp.asarray(guidance), cond, deep, entry["state"],
+                jnp.asarray(row_valid))
         entry["state"] = new_state
         if mode == "full":
             entry["anchored"] = True
         return new_latents, deep_out
+
+    def _make_deep_hybrid_partial_fn(self):
+        cache = self._cache_obj
+
+        def fn(params, latents, t, coeffs, guidance, cond, deep, cache_state,
+               row_valid, sel):
+            rv2 = jnp.concatenate([row_valid, row_valid], axis=0)
+
+            def call(lat_in, t2):
+                h, deep_out, new_state = self.denoiser_forward(
+                    params, lat_in, t2, cond, cache=cache,
+                    cache_state=cache_state, deep_mode="partial",
+                    deep_state=deep, row_valid=rv2, deep_sel=sel)
+                return h, (deep_out, new_state)
+
+            noise_pred, c0, c1, extra = self._cfg_step(
+                latents, t, coeffs, guidance, call)
+            deep_out, new_state = extra
+            return (self.sampler.step(latents, noise_pred, c0, c1),
+                    deep_out, new_state)
+
+        return fn
 
     def _make_deep_hybrid_fn(self, mode: str):
         cache = self._cache_obj

@@ -204,11 +204,11 @@ class ESyMReDPolicy(Policy):
                 or getattr(cc, "mode", None) != "deep" \
                 or not getattr(cc, "phase_admission", True):
             return False
-        if getattr(cc, "deep_row_warmup", False) \
-                and getattr(cc, "deep_compact_fraction", None) is None:
-            # Row-granular warmup (partial programs): an admission warms only
-            # its own rows — there is no batch-wide full phase to align with,
-            # so deferral would just add queueing latency.
+        if getattr(cc, "deep_row_warmup", False):
+            # Row-granular warmup (partial programs; the hybrid composes
+            # via row carry-over): an admission warms only its own rows —
+            # there is no batch-wide full phase to align with, so deferral
+            # would just add queueing latency.
             return False
         adaptive = getattr(cc, "deep_adaptive", False)
         interval = max(cc.deep_max_interval if adaptive else cc.deep_interval, 1)

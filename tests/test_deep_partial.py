@@ -165,24 +165,34 @@ class TestPartialPipeline:
             pipe.denoise_step(by_res)
         return pipe, reqs, by_res
 
-    def test_forced_expiry_routes_partial(self):
+    def test_admission_need_routes_partial_expiry_routes_full(self):
         pipe, reqs, by_res = self._warmed(True)
-        reqs[0].deep_age = 99
+        reqs[0].deep_state = None  # admission-type need
         pipe.denoise_step(by_res)
         assert any(k[:2] == ("denoise_deep", "partial") and k[-1] == 1
                    for k in pipe._fns if isinstance(k, tuple)), \
             sorted(k for k in pipe._fns if isinstance(k, tuple))
-        assert reqs[0].deep_age == 0
+        assert reqs[0].deep_age == 0 and reqs[0].deep_state is not None
         assert reqs[1].deep_age == 2 and reqs[2].deep_age == 2
+        # interval expiry stays BATCH-wide (aligned fulls beat staggered
+        # per-row refreshes on chip — r4a i24): no new partial key, every
+        # age re-synced
+        n_partial = sum(1 for k in pipe._fns if isinstance(k, tuple)
+                        and k[:2] == ("denoise_deep", "partial"))
+        reqs[1].deep_age = 99
+        pipe.denoise_step(by_res)
+        assert all(r.deep_age == 0 for r in reqs)
+        assert sum(1 for k in pipe._fns if isinstance(k, tuple)
+                   and k[:2] == ("denoise_deep", "partial")) == n_partial
 
     def test_partial_rows_match_full_and_shallow_runs(self):
         pa, a, by_a = self._warmed(True)
         pb, b, by_b = self._warmed(False)
         pc, c, by_c = self._warmed(False)
-        # A: partial refresh of request 0; B: batch-wide full (legacy
-        # behavior on the same expiry); C: plain shallow (no expiry).
-        a[0].deep_age = 99
-        b[0].deep_age = 99
+        # A: partial refresh of request 0 (admission-type need); B: batch-
+        # wide full (legacy behavior on the same need); C: plain shallow.
+        a[0].deep_state = None
+        b[0].deep_state = None
         pa.denoise_step(by_a)
         pb.denoise_step(by_b)
         pc.denoise_step(by_c)
@@ -221,19 +231,17 @@ class TestPartialPipeline:
         assert any(k[:2] == ("denoise_deep", "partial")
                    for k in pipe._fns if isinstance(k, tuple))
 
-    def test_bucket_padding_refreshes_oldest_fresh_rows(self):
-        """kb-bucket padding slots refresh the oldest fresh rows for free
-        (the tail computes kb rows either way), staggering future
-        expiries."""
+    def test_kb_bucketing_pads_with_duplicates(self):
+        """Three admission rows bucket to kb=4; the padding slot duplicates
+        a needy row (identical scatter values — harmless)."""
         pipe, reqs, by_res = self._warmed(True, n=5)
         for i in (0, 1, 2):
-            reqs[i].deep_age = 99
-        pipe.denoise_step(by_res)  # need=3 -> kb=4 -> one fill slot
+            reqs[i].deep_state = None
+        pipe.denoise_step(by_res)  # need=3 -> kb=4
         assert any(k[:2] == ("denoise_deep", "partial") and k[-1] == 4
                    for k in pipe._fns if isinstance(k, tuple))
         ages = [r.deep_age for r in reqs]
-        assert ages[:3] == [0, 0, 0]
-        assert sorted(ages[3:]) == [0, 2], ages  # one filled, one shallow
+        assert ages == [0, 0, 0, 2, 2], ages
 
     def test_all_rows_expired_runs_full(self):
         pipe, reqs, by_res = self._warmed(True)
@@ -248,13 +256,13 @@ class TestPartialPipeline:
                    and k[:2] == ("denoise_deep", "partial")) == n_partial
 
     def test_partial_chunk_matches_per_step(self):
-        """A k-step PARTIAL chunk (host-scheduled per-step row refreshes,
-        _plan_partial_chunk) equals k per-step calls when the per-step
-        selections match the plan (one expiry per step -> kb=1)."""
+        """A k-step PARTIAL chunk (host-scheduled: act=2 batch fulls at
+        interval expiry, act=1 admission partials, act=0 shallow —
+        _plan_partial_chunk) equals k per-step calls."""
         pa, a, by_a = self._warmed(True, n=2, steps_run=2)
         pb, b, by_b = self._warmed(True, n=2, steps_run=2)
         for reqs in (a, b):
-            reqs[0].deep_age = 3  # interval 4: expires now
+            reqs[0].deep_age = 3  # interval 4: batch full at window step 0
             reqs[1].deep_age = 1
         assert pa.denoise_chunk(by_a, 4), "partial chunk ineligible"
         assert any(k[:2] == ("unet_chunk", "partial")
@@ -284,22 +292,81 @@ class TestPartialPipeline:
         assert all(np.isfinite(np.asarray(r.latents, np.float32)).all()
                    for r in reqs + new)
 
-    def test_hybrid_ignores_row_warmup(self):
+    def _hybrid_pipe(self, fraction=0.5, interval=6):
         config = Config()
         config.model = ModelConfig(model="sd15", test_tiny=True,
                                    dtype="float32")
         config.scheduler = SchedulerConfig(use_mixed_resolution=False)
         config.cache = CacheConfig(enabled=True, mode="deep",
-                                   deep_interval=4, deep_warmup=1,
-                                   deep_compact_fraction=0.5,
+                                   deep_interval=interval, deep_warmup=1,
+                                   deep_compact_fraction=fraction,
                                    deep_row_warmup=True, min_level=0)
-        pipe = build_pipeline(config)
+        return build_pipeline(config)
+
+    def test_hybrid_admission_partial_with_row_carryover(self):
+        """Under deep_row_warmup the hybrid serves admissions on a PARTIAL
+        program with composition row CARRY-OVER — no anchoring full: the
+        new request's fresh rows (hits = max_hits) are force-selected by
+        the gates while incumbents ride their carried caches."""
+        pipe = self._hybrid_pipe()
+        reqs = make_reqs(3)
+        by_res = prep(pipe, reqs)
+        for _ in range(3):  # anchoring full + shallows
+            pipe.denoise_step(by_res)
+        ages_before = [r.deep_age for r in reqs]
+        new = make_reqs(n=4)[3:]
+        pipe.prepare(new)
+        new[0].stage = Stage.DENOISING
+        by_res[new[0].resolution].extend(new)
+        pipe.denoise_step(by_res)
+        assert any(k[:2] == ("denoise_deep_hybrid", "partial")
+                   for k in pipe._fns if isinstance(k, tuple)), \
+            sorted(k for k in pipe._fns if isinstance(k, tuple))
+        # incumbents were NOT dragged through a full (ages advanced)
+        assert [r.deep_age for r in reqs] == [a + 1 for a in ages_before]
+        assert new[0].deep_age == 0 and new[0].deep_state is not None
+        # the new request's row caches were written through on its first
+        # gated step (forced selection) — hits reset for both CFG halves
+        entry = list(pipe._comp_state.values())[-1]  # newest composition
+        key = next(iter(entry["state"]))
+        hits = np.asarray(entry["state"][key]["hits"])
+        bb = hits.shape[0] // 2
+        assert hits[3] == 0 and hits[bb + 3] == 0, hits
+
+    def test_hybrid_finish_shrinks_entry_for_carryover(self):
+        """A finish event shrinks the hybrid entry to the survivors'
+        rows (evict_finished_state) — the next composition rides it
+        without an anchoring full."""
+        pipe = self._hybrid_pipe()
         reqs = make_reqs(3)
         by_res = prep(pipe, reqs)
         for _ in range(3):
             pipe.denoise_step(by_res)
-        reqs[0].deep_age = 99
-        pipe.denoise_step(by_res)  # hybrid path: full, never partial
-        assert not any(k[:2] == ("denoise_deep", "partial")
+        pipe.evict_finished_state([reqs[2].request_id])
+        live = (reqs[0].request_id, reqs[1].request_id)
+        assert any(k[3] == live for k in pipe._comp_state), \
+            list(pipe._comp_state)
+        by_res[reqs[0].resolution] = reqs[:2]
+        ages_before = [r.deep_age for r in reqs[:2]]
+        pipe.denoise_step(by_res)
+        # no anchoring full: survivors stayed shallow on carried caches
+        assert [r.deep_age for r in reqs[:2]] == \
+            [a + 1 for a in ages_before]
+
+    def test_hybrid_admission_over_capacity_anchors_full(self):
+        """More fresh pairs than gate capacity -> forced selection is no
+        longer guaranteed -> the step anchors with a batch-wide full."""
+        pipe = self._hybrid_pipe(fraction=0.5)  # bucket 4 -> cap 2 pairs
+        reqs = make_reqs(1)
+        by_res = prep(pipe, reqs)
+        for _ in range(3):
+            pipe.denoise_step(by_res)
+        new = make_reqs(n=4)[1:]  # 3 fresh pairs > cap 2
+        pipe.prepare(new)
+        for r in new:
+            r.stage = Stage.DENOISING
+        by_res[new[0].resolution].extend(new)
+        pipe.denoise_step(by_res)
+        assert all(r.deep_age == 0 for r in reqs + new)  # full re-synced
+        assert not any(k[:2] == ("denoise_deep_hybrid", "partial")
                        for k in pipe._fns if isinstance(k, tuple))
-        assert all(r.deep_age == 0 for r in reqs)

@@ -196,7 +196,10 @@ class TestEngine:
         eng.add_requests([_req("late", steps=6)])
         while eng.has_unfinished_requests():
             outs.extend(eng.step())
-        assert len(outs) == 3 and all(o.error is None for o in outs)
+        # not o.aborted: SLO aborts also carry error=None, so error alone
+        # can't prove the requests actually denoised to completion
+        assert len(outs) == 3 and not any(o.aborted for o in outs)
+        assert all(o.error is None for o in outs)
 
     def test_prewarm_adaptive_mints_both_deep_programs(self):
         """Under adaptive refresh, prewarm must still compile BOTH the full
@@ -335,8 +338,12 @@ def test_engine_submesh_replicas():
     pipe2 = DiffusionPipeline(config=config2)
     outs2 = pipe2.generate(["a cat"], resolution=256, num_inference_steps=2,
                            seed=7)
+    # atol 4: conv-channel TP (sharding.py _CONV_COLUMN/_CONV_ROW) adds an
+    # all-reduce per resnet whose f32 partial-sum reassociation shifts a
+    # handful of pixels by up to 3/255 after two steps + decode (measured
+    # max diff 3 at 0.03% of pixels) — numerics, not a correctness gap.
     np.testing.assert_allclose(img_mesh.astype(np.int32),
-                               outs2[0].image.astype(np.int32), atol=2)
+                               outs2[0].image.astype(np.int32), atol=4)
 
 
 def test_engine_dp2_tp2():
