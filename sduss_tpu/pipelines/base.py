@@ -367,7 +367,8 @@ class BasePipeline:
         RESOURCE_EXHAUSTED at 1024^2 b8).  Post-release, the next step on
         any composition re-anchors (one full-capacity step), which serving
         pays on composition changes anyway."""
-        for attr in ("_comp_state", "_sd3_state", "_disp_state"):
+        for attr in ("_comp_state", "_sd3_state", "_disp_state",
+                     "_deep_carry"):
             store = getattr(self, attr, None)
             if store is not None:
                 store.clear()
@@ -386,6 +387,10 @@ class BasePipeline:
         if not ids:
             return
         row_warm = getattr(self.config.cache, "deep_row_warmup", False)
+        carry = getattr(self, "_deep_carry", None)
+        if carry:
+            for k in [k for k in carry if ids.intersection(k[2])]:
+                del carry[k]
         for attr in ("_comp_state", "_sd3_state", "_disp_state"):
             store = getattr(self, attr, None)
             if not store:
@@ -564,21 +569,28 @@ class BasePipeline:
                 c += [c[-1]] * pad
             args += [jnp.concatenate(u + c, axis=0), jnp.int32(itv)]
         elif mode == "partial":
-            # zeros for rows awaiting their first refresh (sel[0] includes
-            # them, the in-graph scatter overwrites before any read)
-            want = self._deep_state_shape(res)
-            zero = self._deep_zeros_shape(want, self._latent_dtype())
-            states = [r.deep_state if r.deep_state is not None
-                      and tuple(r.deep_state.shape) == want else zero
-                      for r in ordered]
-            u = [s[0:1] for s in states]
-            c = [s[1:2] for s in states]
-            pad = bb - b
-            if pad:
-                u += [u[-1]] * pad
-                c += [c[-1]] * pad
-            args += [jnp.concatenate(u + c, axis=0),
-                     jnp.asarray(sel_plan[0]), jnp.asarray(sel_plan[1])]
+            cached = self._deep_carry_get(
+                (res, bb, tuple(r.request_id for r in ordered)), ordered)
+            if cached is not None:
+                carry = cached  # per-step path keeps it in sync
+            else:
+                # zeros for rows awaiting their first refresh (sel[0]
+                # includes them, the in-graph scatter overwrites them
+                # before any read)
+                want = self._deep_state_shape(res)
+                zero = self._deep_zeros_shape(want, self._latent_dtype())
+                states = [r.deep_state if r.deep_state is not None
+                          and tuple(r.deep_state.shape) == want else zero
+                          for r in ordered]
+                u = [s[0:1] for s in states]
+                c = [s[1:2] for s in states]
+                pad = bb - b
+                if pad:
+                    u += [u[-1]] * pad
+                    c += [c[-1]] * pad
+                carry = jnp.concatenate(u + c, axis=0)
+            args += [carry, jnp.asarray(sel_plan[0]),
+                     jnp.asarray(sel_plan[1])]
         if mode in ("hybrid", "compact"):
             row_valid = np.zeros((bb,), bool)
             row_valid[:b] = True
@@ -610,6 +622,12 @@ class BasePipeline:
             for _ in range(k):
                 r.sampler_table.advance()
             r.remain_steps -= k
+        if (mode in ("deep", "hybrid", "partial")
+                and getattr(cc, "deep_row_warmup", False)):
+            # post-update put: tokens = the freshly assigned deep states
+            self._deep_carry_put(
+                (res, bb, tuple(r.request_id for r in ordered)), deep_out,
+                ordered)
         return True
 
     def _make_unet_chunk_fn(self, mode: str, k: int, cache=None):
@@ -1124,7 +1142,26 @@ class BasePipeline:
                  else self._deep_zeros(tmpl) if i in need_set
                  else self._deep_predicted(r))
                 for i, r in enumerate(reqs)]
-        if mode != "full":
+        # Batch-form deep CARRY reuse (deep_row_warmup serving): rebuilding
+        # the carry from per-request slices costs ~4 device-op dispatches
+        # per request per step (33 at b8) — on the axon relay that is a
+        # measurable per-step tax (bs-proportional iteration deltas,
+        # exp/serving_sdxl_bdy1_i12_rowwarm_v5e_r4a.json schedule log).
+        # Every step's deep_out IS the next step's carry for a stable
+        # composition (shallow passes it through, partial scatters into it,
+        # full rebuilds it), so cache it composition-keyed; per-request
+        # r.deep_state stays authoritative for mode decisions and is
+        # updated on every refresh, and any externally-written state
+        # (patched-path layout flip) surfaces as a warm need whose scatter
+        # overwrites the stale carry row in the same step.
+        carry_key = (res, bb, tuple(r.request_id for r in reqs))
+        use_carry = (row_warm_ok and not cc.deep_predict)
+        cached = self._deep_carry_get(carry_key, reqs) if use_carry else None
+        if mode == "full":
+            deep = None
+        elif cached is not None:
+            deep = cached
+        else:
             u = [s[0:1] for s in states]
             c = [s[1:2] for s in states]
             pad = bb - len(reqs)
@@ -1132,8 +1169,6 @@ class BasePipeline:
                 u += [u[-1]] * pad
                 c += [c[-1]] * pad
             deep = jnp.concatenate(u + c, axis=0)
-        else:
-            deep = None
 
         sel = None
         if mode == "partial":
@@ -1173,7 +1208,41 @@ class BasePipeline:
                 self._note_drift(r, "full" if i in refreshed else "shallow",
                                  latents[i : i + 1] if i in refreshed
                                  else new_latents[i : i + 1])
+        if use_carry:
+            # post-update: the stored identity tokens must be the states
+            # the next step's mode decision will see
+            self._deep_carry_put(carry_key, deep_out, reqs)
         return new_latents
+
+    def _deep_carry_get(self, key, reqs):
+        """Cached batch-form deep carry for this exact composition — valid
+        only while every member's r.deep_state is the SAME OBJECT recorded
+        at put time (strong refs held, so identity comparison is exact): a
+        request refreshed in another composition meanwhile invalidates."""
+        store = getattr(self, "_deep_carry", None)
+        if store is None:
+            return None
+        v = store.get(key)
+        if v is None:
+            return None
+        carry, tokens = v
+        if len(tokens) != len(reqs) or any(
+                t is not r.deep_state for t, r in zip(tokens, reqs)):
+            del store[key]
+            return None
+        store.move_to_end(key)
+        return carry
+
+    def _deep_carry_put(self, key, carry, reqs) -> None:
+        import collections
+
+        store = getattr(self, "_deep_carry", None)
+        if store is None:
+            store = self._deep_carry = collections.OrderedDict()
+        store[key] = (carry, [r.deep_state for r in reqs])
+        store.move_to_end(key)
+        while len(store) > 2:  # current + one predecessor composition
+            store.popitem(last=False)
 
     def _deep_zeros(self, tmpl):
         """Cached zero deep-feature tensor matching ``tmpl``'s shape/dtype

@@ -243,6 +243,21 @@ class TestPartialPipeline:
         ages = [r.deep_age for r in reqs]
         assert ages == [0, 0, 0, 2, 2], ages
 
+    def test_deep_carry_reused_and_invalidated_by_identity(self):
+        """The batch-form deep carry is reused across steps for a stable
+        composition and dropped when any member's deep_state object was
+        replaced outside the carried path (strong-ref identity tokens)."""
+        pipe, reqs, by_res = self._warmed(True, n=2, steps_run=2)
+        key = next(iter(pipe._deep_carry))
+        carry0, _ = pipe._deep_carry[key]
+        pipe.denoise_step(by_res)  # shallow: passthrough keeps the carry
+        assert pipe._deep_carry_get(key, reqs) is not None
+        # external replacement (same values, new object) invalidates
+        reqs[0].deep_state = reqs[0].deep_state + 0
+        assert pipe._deep_carry_get(key, reqs) is None
+        pipe.denoise_step(by_res)  # rebuilds and re-caches
+        assert pipe._deep_carry_get(key, reqs) is not None
+
     def test_all_rows_expired_runs_full(self):
         pipe, reqs, by_res = self._warmed(True)
         for r in reqs:
