@@ -23,6 +23,17 @@ cd /root/repo
 export PYTHONPATH="/root/repo:$PYTHONPATH"
 until (exec 3<>/dev/tcp/127.0.0.1/8082) 2>/dev/null; do sleep 60; done
 sleep 10
+# Per-mode microbench FIRST (fast, warm keys): pins the dispatched cost of
+# shallow / partial(kb=1) / full for both hybrid and plain configs — the
+# r4d leg-1 pass implied a ~790 ms effective hybrid partial; attribute it.
+timeout 7200 python -u scripts/bench_step_modes.py --model sdxl \
+    --res 1024 --batch 8 --steps 12 --deep-interval 24 --deep-boundary 1 \
+    --deep-hybrid 0.3 --out exp/bench_step_modes_sdxl_hybrid_v5e.json \
+    > /tmp/bench_step_modes_hybrid.log 2>&1
+timeout 7200 python -u scripts/bench_step_modes.py --model sdxl \
+    --res 1024 --batch 8 --steps 12 --deep-interval 24 --deep-boundary 1 \
+    --out exp/bench_step_modes_sdxl_plain_v5e.json \
+    > /tmp/bench_step_modes_plain.log 2>&1
 timeout 21600 python -u scripts/serving_probe.py --qps 1.1,1.5 \
     --num 16 --steps 30 --deep-interval 24 --deep-hybrid 0.3 \
     --deep-boundary 1 --deep-row-warmup --resolutions 1024 \

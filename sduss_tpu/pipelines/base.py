@@ -423,8 +423,12 @@ class BasePipeline:
         pos = {rid: i for i, rid in enumerate(ids)}
         idx = [pos[live[min(j, len(live) - 1)]] for j in range(nb)]
         g = jnp.asarray(np.asarray(idx + [i + bb for i in idx]))
-        state = {k2: jax.tree.map(lambda a: a[g], leaves)
-                 for k2, leaves in entry["state"].items()}
+
+        def shrink_fn(old_state, gather):
+            return jax.tree.map(lambda a: a[gather], old_state)
+
+        state = self._jit(("hybrid_shrink", res, bb, nb, sig), shrink_fn,
+                          donate=(0,))(entry["state"], g)
         store[(kind, res, nb, tuple(live), sig)] = {"state": state,
                                                     "anchored": True}
         self._trim_comp_state()
@@ -1506,26 +1510,38 @@ class BasePipeline:
             if i is not None:
                 idx[j] = i
                 idx[bb + j] = old_bb + i
-        gather = jnp.asarray(np.maximum(idx, 0))
-        fresh_rows = jnp.asarray(idx < 0)
-        old_state = self._comp_state[parent]["state"]
-        init = mk_state(2 * bb)
-
-        def seed(init_leaf, old_leaf):
-            mask = fresh_rows.reshape((-1,) + (1,) * (init_leaf.ndim - 1))
-            return jnp.where(mask, init_leaf,
-                             old_leaf.astype(init_leaf.dtype)[gather])
-
-        state = {k: jax.tree.map(lambda i_, o_: seed(i_, o_),
-                                 init[k], old_state[k])
-                 for k in init}
+        parent_entry = self._comp_state.pop(parent)
+        # ONE jitted seed with the parent state DONATED: the eager version
+        # (~120 relay ops allocating init + gather + where copies next to
+        # the retained parent) spiked HBM past budget and stalled serving
+        # 13-18 s per composition change (r4d leg-1 schedule log).  Fresh
+        # rows get zero state with the forced hits boost; carried rows
+        # clamp hits to max-1 so only fresh rows are force-selected next.
         maxh = int(self.config.cache.max_hits)
-        for k in state:
-            h = state[k]["hits"]
-            state[k]["hits"] = jnp.where(fresh_rows, maxh,
-                                         jnp.minimum(h, maxh - 1))
+        seed_key = ("hybrid_carry_seed", res, old_bb, bb, sig)
+
+        def seed_fn(old_state, gather, fresh_rows):
+            def leaf(o):
+                g = o[gather]
+                mask = fresh_rows.reshape((-1,) + (1,) * (g.ndim - 1))
+                return jnp.where(mask, jnp.zeros((), g.dtype), g)
+
+            out = {}
+            for k, st in old_state.items():
+                out[k] = {k2: leaf(v) for k2, v in st.items()}
+                out[k]["hits"] = jnp.where(
+                    fresh_rows, maxh,
+                    jnp.minimum(st["hits"][gather], maxh - 1))
+                if "seen" in st:  # predict extras: fresh rows unseen
+                    out[k]["seen"] = jnp.where(fresh_rows, False,
+                                               st["seen"][gather])
+            return out
+
+        state = self._jit(seed_key, seed_fn, donate=(0,))(
+            parent_entry["state"], jnp.asarray(np.maximum(idx, 0)),
+            jnp.asarray(idx < 0))
         entry = {"state": state,
-                 "anchored": self._comp_state[parent].get("anchored", False)}
+                 "anchored": parent_entry.get("anchored", False)}
         self._comp_state[key] = entry
         self._trim_comp_state()
         return entry, len(fresh)
