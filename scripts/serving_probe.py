@@ -212,28 +212,13 @@ async def _run(args):
         print(f"# warm {probe_batch}x{max(resolutions)} steady step "
               f"({n_timed}-step window): {out['warm_step_ms']} ms",
               flush=True)
-        if row_warm:
-            # ROLLING-ADMISSION window: every few steps one rotating
-            # request's deep state is dropped (what a fresh admission looks
-            # like to the batch) — the aligned window above never exercises
-            # the partial program, and staggering every row's age measures
-            # a schedule that loses to aligned fulls (r4a i24: staggered
-            # 201.2 vs aligned 177.3 ms; small-k tails run ~1.8x/row less
-            # efficiently).  This window times the policy serving actually
-            # runs: shallow steps + kb=1 admission partials + the aligned
-            # interval fulls.
-            gap = max(2, interval // max(probe_batch, 1))
-            t0 = time.perf_counter()
-            for j in range(n_timed):
-                if j % gap == 0:
-                    probe_reqs[j // gap % probe_batch].deep_state = None
-                step(by_res)
-            np.asarray(probe_reqs[0].latents)
-            out["warm_step_admission_ms"] = round(
-                (time.perf_counter() - t0) / n_timed * 1e3, 1)
-            print(f"# warm rolling-admission step ({n_timed}-step window, "
-                  f"one synthetic admission per {gap} steps): "
-                  f"{out['warm_step_admission_ms']} ms", flush=True)
+        # (A synthetic per-step admission window was tried here and removed:
+        # dropping deep_state mid-batch invalidates the composition deep
+        # carry by design, so the window measured a constant
+        # rebuild+alloc-churn path real rolling admissions never take —
+        # real admissions are composition changes whose carry re-seeds
+        # once.  The measured passes below are the admission evidence; the
+        # per-program costs come from scripts/bench_step_modes.py.)
 
         # -- measured passes -------------------------------------------------
         for qps in [float(q) for q in args.qps.split(",")]:
