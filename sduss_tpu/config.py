@@ -422,17 +422,20 @@ class CacheConfig:
         - sdxl/sd15: deep reuse x compact CFG-pair rows (fraction 0.3) at
           BOUNDARY 1 (conv-only shallow steps).  Serving keeps a FIXED
           interval — drift-adaptive refresh loses under rolling
-          admissions (exp/sim_adaptive_serving.json) — at interval 12
-          for SDXL: chip-clean at qps 0.7 AND 1.1 (100% machine SLO,
-          zero aborts, warm step 184.1 ms => 1.45 img/s/chip under load
-          = 3.22x the H100 anchor,
-          exp/serving_sdxl_bdy1_i12_v5e_r3t.json; full-size quality at
-          the fixed-12 cadence 6.64e-5,
-          exp/cache_quality_sdxl_bdy1_fixed12_full_v5e.json; interval-6,
-          interval-3 and bdy-default controls
-          exp/serving_sdxl_bdy1_i6_v5e_r3n.json + _sat_v5e_r3q.json,
-          exp/serving_sdxl_bdy1_v5e_r3h.json,
-          exp/serving_sdxl_hybrid_sat_v5e_r3c.json).
+          admissions (exp/sim_adaptive_serving.json) — with ROW-GRANULAR
+          warmup (deep_row_warmup: admissions/finishes refresh only
+          their own rows via partial programs + composition row
+          carry-over) at interval 24 for SDXL: chip-clean at qps 1.1
+          (100% machine SLO, zero aborts, warm step 143.9 ms =>
+          1.85 img/s/chip under load = 4.1x the H100 anchor,
+          exp/serving_sdxl_hybrid_i24_rowwarm_v5e_r4d.json; per-program
+          costs exp/bench_step_modes_sdxl_hybrid_v5e.json; full-size
+          quality at the fixed-24 cadence 7-9e-5,
+          exp/cache_quality_sdxl_bdy1_fixed24_full_v5e.json; round-3
+          batch-wide-warmup controls: 184.1 ms at interval 12
+          exp/serving_sdxl_bdy1_i12_v5e_r3t.json, interval-6/3 and
+          bdy-default ladder exp/serving_sdxl_bdy1_i6_v5e_r3n.json +
+          _sat_v5e_r3q.json, _v5e_r3h.json, _sat_v5e_r3c.json).
           Offline/aligned batches get the adaptive schedule (threshold
           0.3/cap 30/warmup 1: ONE full step per 30 — 2.7849 img/s =
           6.19x the H100 SDXL anchor on one v5e,
@@ -454,6 +457,11 @@ class CacheConfig:
         cfg = cls(enabled=True, mode="deep", deep_interval=12,
                   deep_warmup=3, deep_compact_fraction=0.3,
                   deep_compact_pairwise=True, deep_boundary=1)
+        if serving and family == "sdxl":
+            # round-4 preset: row-granular warmup lets the interval
+            # stretch to 24 (admissions no longer floor realized fulls)
+            cfg.deep_interval = 24
+            cfg.deep_row_warmup = True
         if serving and family == "sd15":
             # SD1.5 serving: boundary 1 at interval 12 — chip-clean at
             # qps 4.0 (warm step 77.9 ms => 3.42 img/s/chip under load;

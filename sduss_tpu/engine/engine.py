@@ -320,19 +320,6 @@ class Engine:
                     r.deep_state = None
                 r.deep_age = 0
             pipe.denoise_step(by_res)
-        if cc.deep_compact_fraction is not None and len(reqs) > 1:
-            # mint the same-bucket carry-SEED program (an admission at a
-            # stable bucket is the common composition change; the jitted
-            # seed would otherwise compile on the first mid-serving change)
-            import types as _types
-
-            fake = [_types.SimpleNamespace(request_id=r.request_id)
-                    for r in reqs[:-1]]
-            fake.append(_types.SimpleNamespace(
-                request_id=f"prewarm-carryseed-{res}-{b}"))
-            _, mk_state = pipe._hybrid_state_builder(res)
-            pipe._hybrid_entry_carry(res, fake, b, pipe._hybrid_sig(),
-                                     mk_state, pipe._latent_dtype())
         pipe.release_serving_state()
         logger.info("prewarm: partial deep programs (res %d bucket %d "
                     "kb %s) done%s", res, b, kbs, self._hbm_note())
@@ -486,6 +473,13 @@ class Engine:
                     n += b
                     logger.info("prewarm: res %d bucket %d done%s",
                                 res, b, self._hbm_note())
+                if hasattr(pipe, "prewarm_carry_seeds"):
+                    # row-warm x hybrid: mint every carry-seed / shrink
+                    # program the bucket ladder reaches (cold composition-
+                    # change compiles mid-serving caused the r4d sd15
+                    # pass-1 aborts)
+                    pipe.prewarm_carry_seeds(
+                        res, [x for x in bks if x <= sc.max_batch_size])
                 logger.info("prewarm: rank %d res %d done (%.1fs elapsed)",
                             worker.rank, res, time.time() - t0)
         for comp in compositions or ():

@@ -413,6 +413,61 @@ class BasePipeline:
                     if live:
                         self._shrink_hybrid_entry(store, k, entry, live)
 
+    def prewarm_carry_seeds(self, res: int, buckets) -> None:
+        """Mint every composition-change program the bucket ladder can
+        reach under deep_row_warmup x hybrid — carry SEEDS for same-bucket
+        and adjacent-bucket transitions plus the finish SHRINK gathers — so
+        no mid-serving composition change hits a cold compile (the r4d
+        sd15 leg aborted 12.5% of its first pass on exactly that)."""
+        import types as _types
+
+        cc = self.config.cache
+        if not (cc.enabled and cc.mode == "deep"
+                and getattr(cc, "deep_row_warmup", False)
+                and cc.deep_compact_fraction is not None
+                and hasattr(self.bundle.denoiser, "_deep_tail")):
+            return
+        _, mk_state = self._hybrid_state_builder(res)
+        sig = self._hybrid_sig()
+        dtype = self._latent_dtype()
+        bks = sorted(set(buckets))
+        pairs = {(b, b) for b in bks}
+        for p, b in zip(bks, bks[1:]):
+            pairs.add((p, b))
+            pairs.add((b, p))
+        for old_b, new_b in sorted(pairs):
+            ids = [f"seedmint-{res}-{old_b}-{new_b}-{i}"
+                   for i in range(old_b)]
+            self._comp_state_entry(
+                "unet_hybrid", res,
+                [_types.SimpleNamespace(request_id=i) for i in ids],
+                old_b, sig, mk_state)
+            keep = ids[: max(min(old_b, new_b) - 1, 1)]
+            reqs2 = [_types.SimpleNamespace(request_id=i)
+                     for i in (keep + [f"seedmint-fresh-{j}" for j in
+                                       range(new_b - len(keep))])[:new_b]]
+            self._hybrid_entry_carry(res, reqs2, new_b, sig, mk_state,
+                                     dtype)
+            self.release_serving_state()
+        for b in bks:
+            nb_targets = {bucket_for(m, tuple(bks))
+                          for m in range(1, b)} if b > 1 else set()
+            for nb in sorted(nb_targets):
+                ids = tuple(f"shrinkmint-{res}-{b}-{nb}-{i}"
+                            for i in range(b))
+                if not hasattr(self, "_comp_state"):
+                    import collections
+
+                    self._comp_state = collections.OrderedDict()
+                key = ("unet_hybrid", res, b, ids, sig)
+                self._comp_state[key] = {"state": mk_state(2 * b),
+                                         "anchored": True}
+                live = list(ids[:nb])  # bucket_for(nb) == nb
+                self._shrink_hybrid_entry(self._comp_state,
+                                          key, self._comp_state.pop(key),
+                                          live)
+                self.release_serving_state()
+
     def _shrink_hybrid_entry(self, store, key, entry, live) -> None:
         """Gather the surviving requests' CFG-doubled rows into a
         smaller-bucket hybrid entry (padding repeats the last live row;
