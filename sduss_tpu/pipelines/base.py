@@ -529,17 +529,33 @@ class BasePipeline:
                     or float(getattr(cc, "deep_predict", 0.0) or 0.0)):
                 return False
             row_warm = (getattr(cc, "deep_row_warmup", False)
-                        and cc.deep_compact_fraction is None
                         and hasattr(self.bundle.denoiser, "_deep_tail"))
             if row_warm and itv > 1:
                 # PARTIAL chunk: every in-chunk step refreshes a
-                # host-scheduled kb-row selection — no full-boundary or
-                # no-warmup-rows eligibility left, so chunks stay engaged
-                # under rolling admissions (the r3r regression's fix).
+                # host-scheduled kb-row selection (act=1), interval
+                # expiries run aligned fulls in-graph (act=2) — no
+                # full-boundary or no-warmup-rows eligibility left, so
+                # chunks stay engaged under rolling admissions (the r3r
+                # regression's fix).  The hybrid variant threads the
+                # composition row caches through the same 3-way switch.
                 sel_plan = self._plan_partial_chunk(ordered, k, itv, bb)
                 if sel_plan is None:
                     return False
-                mode = "partial"
+                if cc.deep_compact_fraction is not None:
+                    mode = "hybrid_partial"
+                    _, mk_state = self._hybrid_state_builder(res)
+                    entry, fresh_pairs = self._hybrid_entry_carry(
+                        res, ordered, bb, self._hybrid_sig(), mk_state,
+                        self._latent_dtype())
+                    if cc.deep_compact_pairwise:
+                        cap = max(1, round(bb * cc.deep_compact_fraction))
+                    else:
+                        cap = max(1, round(2 * bb
+                                           * cc.deep_compact_fraction)) // 2
+                    if not entry["anchored"] or fresh_pairs > cap:
+                        return False  # per-step anchoring full runs first
+                else:
+                    mode = "partial"
             else:
                 if any(r.sampler_table.step < cc.deep_warmup
                        for r in ordered):
@@ -590,8 +606,8 @@ class BasePipeline:
             if mode == "compact" and not entry["anchored"]:
                 return False  # the anchoring sync program runs per-step
 
-        if mode == "partial":
-            chunk_key = ("unet_chunk", "partial", res, bb, k, sel_plan[3])
+        if mode in ("partial", "hybrid_partial"):
+            chunk_key = ("unet_chunk", mode, res, bb, k, sel_plan[3])
         else:
             chunk_key = ("unet_chunk", mode, res, bb, k)
         if not allow_cold and chunk_key not in self._executed_keys:
@@ -627,7 +643,7 @@ class BasePipeline:
                 u += [u[-1]] * pad
                 c += [c[-1]] * pad
             args += [jnp.concatenate(u + c, axis=0), jnp.int32(itv)]
-        elif mode == "partial":
+        elif mode in ("partial", "hybrid_partial"):
             cached = self._deep_carry_get(
                 (res, bb, tuple(r.request_id for r in ordered)), ordered)
             if cached is not None:
@@ -648,8 +664,13 @@ class BasePipeline:
                     u += [u[-1]] * pad
                     c += [c[-1]] * pad
                 carry = jnp.concatenate(u + c, axis=0)
-            args += [carry, jnp.asarray(sel_plan[0]),
-                     jnp.asarray(sel_plan[1])]
+            args.append(carry)
+            if mode == "hybrid_partial":
+                row_valid = np.zeros((bb,), bool)
+                row_valid[:b] = True
+                donate = (len(args),)  # entry state: multi-GB at b8
+                args += [entry["state"], jnp.asarray(row_valid)]
+            args += [jnp.asarray(sel_plan[0]), jnp.asarray(sel_plan[1])]
         if mode in ("hybrid", "compact"):
             row_valid = np.zeros((bb,), bool)
             row_valid[:b] = True
@@ -663,26 +684,27 @@ class BasePipeline:
         out = fn(*args)
         new_latents = out[0]
         pos = 1
-        if mode in ("deep", "hybrid", "partial"):
+        deep_modes = ("deep", "hybrid", "partial", "hybrid_partial")
+        if mode in deep_modes:
             deep_out = out[pos]
             pos += 1
-        if mode in ("hybrid", "compact"):
+        if mode in ("hybrid", "compact", "hybrid_partial"):
             entry["state"] = out[pos]
             entry["anchored"] = True
         self._executed_keys.add(chunk_key)
         for i, r in enumerate(ordered):
             r.latents = new_latents[i : i + 1]
-            if mode in ("deep", "hybrid", "partial"):
+            if mode in deep_modes:
                 r.deep_state = jnp.stack([deep_out[i], deep_out[bb + i]],
                                          axis=0)
-                r.deep_age = (sel_plan[2][i] if mode == "partial"
+                r.deep_age = (sel_plan[2][i]
+                              if mode in ("partial", "hybrid_partial")
                               else (k - 1) % itv)
                 r.deep_slope = None
             for _ in range(k):
                 r.sampler_table.advance()
             r.remain_steps -= k
-        if (mode in ("deep", "hybrid", "partial")
-                and getattr(cc, "deep_row_warmup", False)):
+        if mode in deep_modes and getattr(cc, "deep_row_warmup", False):
             # post-update put: tokens = the freshly assigned deep states
             self._deep_carry_put(
                 (res, bb, tuple(r.request_id for r in ordered)), deep_out,
@@ -717,6 +739,31 @@ class BasePipeline:
                         (lat, dp))
 
                 return jax.lax.fori_loop(0, k, body, (lat, deep0))
+
+            return fn
+        if mode == "hybrid_partial":
+            hp_f = self._make_deep_hybrid_partial_fn()
+            hs_f = self._make_deep_hybrid_fn("shallow")
+            hf_f = self._make_deep_hybrid_fn("full")
+
+            def fn(params, lat, ts, cs, guidance, cond, deep0, state0,
+                   row_valid, sel_arr, act_arr):
+                def body(j, carry):
+                    lat, dp, st = carry
+                    return jax.lax.switch(
+                        act_arr[j],
+                        [lambda a: hs_f(params, a[0], ts[j], cs[j],
+                                        guidance, cond, a[1], a[2],
+                                        row_valid),
+                         lambda a: hp_f(params, a[0], ts[j], cs[j],
+                                        guidance, cond, a[1], a[2],
+                                        row_valid, sel_arr[j]),
+                         lambda a: hf_f(params, a[0], ts[j], cs[j],
+                                        guidance, cond, a[1], a[2],
+                                        row_valid)],
+                        (lat, dp, st))
+
+                return jax.lax.fori_loop(0, k, body, (lat, deep0, state0))
 
             return fn
         if mode == "deep":

@@ -368,6 +368,33 @@ class TestPartialPipeline:
         assert [r.deep_age for r in reqs[:2]] == \
             [a + 1 for a in ages_before]
 
+    def test_hybrid_partial_chunk_matches_per_step(self):
+        """The hybrid partial CHUNK (3-way switch threading the row-cache
+        state) equals per-step dispatch: admission partial at j0, aligned
+        in-graph full at the expiry, shallows elsewhere."""
+        pa = self._hybrid_pipe(interval=4)
+        pb = self._hybrid_pipe(interval=4)
+        ra, rb = make_reqs(2), make_reqs(2)
+        by_a, by_b = prep(pa, ra), prep(pb, rb)
+        for _ in range(3):
+            pa.denoise_step(by_a)
+            pb.denoise_step(by_b)
+        ra[0].deep_state = None
+        rb[0].deep_state = None
+        assert pa.denoise_chunk(by_a, 4), "hybrid partial chunk ineligible"
+        assert any(k[:2] == ("unet_chunk", "hybrid_partial")
+                   for k in pa._fns if isinstance(k, tuple))
+        for _ in range(4):
+            pb.denoise_step(by_b)
+        for x, y in zip(ra, rb):
+            assert x.deep_age == y.deep_age, (x.deep_age, y.deep_age)
+            np.testing.assert_allclose(np.asarray(x.latents, np.float32),
+                                       np.asarray(y.latents, np.float32),
+                                       atol=5e-4, rtol=5e-3)
+            np.testing.assert_allclose(np.asarray(x.deep_state, np.float32),
+                                       np.asarray(y.deep_state, np.float32),
+                                       atol=5e-4, rtol=5e-3)
+
     def test_hybrid_admission_over_capacity_anchors_full(self):
         """More fresh pairs than gate capacity -> forced selection is no
         longer guaranteed -> the step anchors with a batch-wide full."""
