@@ -121,11 +121,12 @@ class TestProductionPresets:
 
         s = CacheConfig.production("sdxl", serving=True)
         o = CacheConfig.production("sdxl", serving=False)
-        # serving: fixed interval 12 (adaptive loses under rolling
-        # admissions) at boundary 1 — chip-clean at qps 0.7+1.1, warm
-        # 184.1 ms => 1.45 img/s under load
-        # (exp/serving_sdxl_bdy1_i12_v5e_r3t.json)
-        assert not s.deep_adaptive and s.deep_interval == 12
+        # serving (round 4): fixed interval 24 (adaptive loses under
+        # rolling admissions) at boundary 1 with ROW-GRANULAR warmup —
+        # chip-clean at qps 1.1, warm 143.9 ms => 1.85 img/s under load
+        # (exp/serving_sdxl_hybrid_i24_rowwarm_v5e_r4d.json)
+        assert not s.deep_adaptive and s.deep_interval == 24
+        assert s.deep_row_warmup
         assert s.deep_compact_fraction == 0.3 and s.deep_compact_pairwise
         assert s.deep_boundary == 1
         # offline/aligned: boundary-1 + adaptive refresh + reuse-then-predict
