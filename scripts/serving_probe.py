@@ -236,7 +236,17 @@ async def _run(args):
             # reference's H100 e2e table (metrics.py:17-22); also score
             # against THIS machine's profiled standalone latencies x scale,
             # the reference's own deadline construction (esymred_utils.py).
-            prof = engine.engine.workers[0].scheduler.policy.profile
+            prof = getattr(engine.engine.workers[0].scheduler.policy,
+                           "profile", None)
+            if prof is None:
+                # baseline policies (FCFS/Orca) carry no profile; build
+                # the same machine-deadline table ESyMReD would use
+                from sduss_tpu.scheduler.profiles import get_profile
+
+                prof = get_profile(
+                    config.model.family,
+                    overrides=config.scheduler.stage_latency_overrides
+                    or None)
             m["slo_attainment_machine"] = compute_metrics(
                 records, config.model.family, slo=args.slo,
                 deadline_overrides={
