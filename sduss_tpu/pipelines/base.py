@@ -431,10 +431,11 @@ class BasePipeline:
         sig = self._hybrid_sig()
         dtype = self._latent_dtype()
         bks = sorted(set(buckets))
-        pairs = {(b, b) for b in bks}
-        for p, b in zip(bks, bks[1:]):
-            pairs.add((p, b))
-            pairs.add((b, p))
+        # the FULL pair product: rolling admissions jump buckets
+        # non-adjacently (a 2->8 seed compiled mid-pass in r4e and stalled
+        # 7-20 s under load); each seed program is small (~7 s compile,
+        # cached persistently)
+        pairs = {(o, n) for o in bks for n in bks}
         for old_b, new_b in sorted(pairs):
             ids = [f"seedmint-{res}-{old_b}-{new_b}-{i}"
                    for i in range(old_b)]
