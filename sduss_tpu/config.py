@@ -463,15 +463,15 @@ class CacheConfig:
             cfg.deep_interval = 24
             cfg.deep_row_warmup = True
         if serving and family == "sd15":
-            # SD1.5 serving: boundary 1 at interval 12 — chip-clean at
-            # qps 4.0 (warm step 77.9 ms => 3.42 img/s/chip under load;
-            # 100% machine SLO, zero aborts, 1.27 img/s DELIVERED through
-            # the relay and 0.81 e2e H100-table SLO — the short step beats
-            # the relay RTT bound under fused dispatch,
-            # exp/serving_sd15_bdy1_i12_v5e_r3u.json; full-size quality
-            # at the fixed-12 cadence 1.03e-4; interval-3 control
-            # exp/serving_sd15_bdy1_v5e_r3s.json).
-            pass  # inherits interval 12 + boundary 1 from the base cfg
+            # SD1.5 serving: boundary 1 at interval 12 with ROW-GRANULAR
+            # warmup — chip-clean at qps 4.0 (warm step 65.7 ms, was 77.9
+            # batch-wide; 100% machine SLO, zero aborts, 0.99 img/s
+            # delivered per-step,
+            # exp/serving_sd15_hybrid_i12_rowwarm_v5e_r4d.json; round-3
+            # batch-wide control exp/serving_sd15_bdy1_i12_v5e_r3u.json;
+            # full-size quality at the fixed-12 cadence 1.03e-4;
+            # interval-3 control exp/serving_sd15_bdy1_v5e_r3s.json).
+            cfg.deep_row_warmup = True
         if not serving:
             cfg.deep_adaptive = True
             cfg.deep_drift_threshold = 0.3
