@@ -5,6 +5,9 @@
 # never touch a queue script bash is still executing.)
 set -x
 cd /root/repo
+# The baked packages live in /opt/venv — a bare shell's `python` is the
+# package-less interpreter (cost one dead queue launch this session).
+export PATH="/opt/venv/bin:$PATH"
 export PYTHONPATH="/root/repo:$PYTHONPATH"
 if [ -f /tmp/queue_r4f.pid ]; then
   while kill -0 "$(cat /tmp/queue_r4f.pid)" 2>/dev/null; do sleep 60; done

@@ -4,6 +4,9 @@
 # r4b qps 0.2 (e2e SLO 1.0) and 0.3 (past the b<=2 knee) passes.
 set -x
 cd /root/repo
+# The baked packages live in /opt/venv — a bare shell's `python` is the
+# package-less interpreter (cost one dead queue launch this session).
+export PATH="/opt/venv/bin:$PATH"
 export PYTHONPATH="/root/repo:$PYTHONPATH"
 if [ -f /tmp/queue_r4g.pid ]; then
   while kill -0 "$(cat /tmp/queue_r4g.pid)" 2>/dev/null; do sleep 60; done

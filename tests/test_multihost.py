@@ -6,8 +6,10 @@ The reference's equivalent is the NCCL world init its model runner performs
 runs in its serving path; until now ``initialize`` was untested anywhere.
 This spawns two python processes, each calling
 ``multihost.initialize(coordinator, 2, i)`` on the CPU platform with 2
-local devices, and runs a psum over the 4-device global mesh — asserting
-cross-process collectives actually work through our init path.
+local devices, and runs (1) a psum over the 4-device global mesh and
+(2) the REAL tiny-UNet forward GSPMD-sharded dp=2 (across hosts) x tp=2
+(within each host) against the single-device reference — asserting the
+engine's model path, not just a collective, works across processes.
 """
 
 from __future__ import annotations
@@ -58,6 +60,48 @@ def total(x):
 got = float(total(garr))
 assert got == 6.0, got
 print(f"proc {pid} OK total={got}")
+
+# Engine-relevant leg: the REAL denoiser forward over the cross-process
+# mesh (dp=2 across hosts x tp=2 within each host — the pod DP layout
+# multihost.local_replica_devices documents: replicas never span hosts).
+# Each process seeds identical params (replicated over the cross-host dp
+# axis; tp-sharded within its own devices) and contributes its own batch
+# rows; the sharded forward must match the single-device reference.
+from sduss_tpu.models.unet import TINY_UNET, UNet2DConditionModel
+from sduss_tpu.parallel.mesh import make_mesh
+from sduss_tpu.parallel.sharding import unet_param_shardings
+
+unet = UNet2DConditionModel(TINY_UNET)
+params = unet.init(jax.random.key(0))
+rng = np.random.default_rng(7)
+xs = rng.standard_normal((4, 16, 16, 4)).astype(np.float32)
+ehs = rng.standard_normal((4, 7, 32)).astype(np.float32)
+ts = np.full((4,), 500.0, np.float32)
+
+ref = unet.apply(params, jnp.asarray(xs), jnp.asarray(ts), jnp.asarray(ehs))
+want = float(jnp.sum(ref * ref))  # sum of squares: no cancellation
+
+mmesh = make_mesh(dp=2, tp=2)
+psh = unet_param_shardings(params, mmesh)
+gparams = jax.tree.map(
+    lambda a, s: jax.make_array_from_process_local_data(s, np.asarray(a)),
+    params, psh)
+bsh = NamedSharding(mmesh, P("dp"))
+gx = jax.make_array_from_process_local_data(bsh, xs[pid * 2:(pid + 1) * 2],
+                                            (4, 16, 16, 4))
+ge = jax.make_array_from_process_local_data(bsh, ehs[pid * 2:(pid + 1) * 2],
+                                            (4, 7, 32))
+gt = jax.make_array_from_process_local_data(bsh, ts[pid * 2:(pid + 1) * 2],
+                                            (4,))
+
+@jax.jit
+def fwd_ss(p, x, t, e):
+    out = unet.apply(p, x, t, e)
+    return jnp.sum(out * out)
+
+got_ss = float(fwd_ss(gparams, gx, gt, ge))
+assert abs(got_ss - want) <= 2e-3 * abs(want) + 1e-4, (got_ss, want)
+print(f"proc {pid} MODEL OK ss={got_ss:.5f}")
 """
 
 
@@ -90,3 +134,4 @@ def test_two_process_psum(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK total=6.0" in out, out[-2000:]
+        assert f"proc {i} MODEL OK" in out, out[-2000:]
