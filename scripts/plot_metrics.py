@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--out", default="figure.png")
     ap.add_argument("--machine", action="store_true",
                     help="plot machine-true SLO/goodput panels")
+    ap.add_argument("--model", default=None,
+                    help="only plot series for this model (e.g. sdxl)")
     args = ap.parse_args()
     metrics = MACHINE_METRICS if args.machine else METRICS
 
@@ -53,6 +55,8 @@ def main():
         m = pat.search(os.path.basename(path))
         if not m:
             continue
+        if args.model and m.group("model") != args.model:
+            continue
         with open(path) as f:
             data = json.load(f)
         try:
@@ -65,17 +69,33 @@ def main():
         raise SystemExit(f"no metrics_*.json / sim_*.json under {args.dir}")
 
     fig, axes = plt.subplots(1, len(metrics), figsize=(5 * len(metrics), 4))
+    has_modeled = False
     for (model, policy), rows in sorted(series.items()):
         rows.sort(key=lambda r: (isinstance(r[0], str), r[0]))
         xs = [r[0] for r in rows]
+        # The distrifusion arm is simulator-only (cost model from the
+        # reference's per-res batch caps + warmup sync steps; its value is
+        # multi-GPU, unmeasurable on one chip) — label it as modeled so the
+        # figure never reads as a hardware measurement.
+        name = f"{model}/{policy}"
+        style = {}
+        if policy == "distrifusion":
+            name += " (modeled)"
+            style = {"linestyle": "--"}
+            has_modeled = True
         for ax, metric in zip(axes, metrics):
             ys = [r[1].get(metric) for r in rows]
-            ax.plot(xs, ys, marker="o", label=f"{model}/{policy}")
+            ax.plot(xs, ys, marker="o", label=name, **style)
     for ax, metric in zip(axes, metrics):
         ax.set_xlabel(args.x)
         ax.set_ylabel(metric)
         ax.grid(alpha=0.3)
     axes[0].legend(fontsize=8)
+    if has_modeled:
+        fig.suptitle(
+            "dashed = modeled arm (DistriFuser cost model: reference per-res "
+            "batch caps + 4 warmup sync steps; not a chip measurement)",
+            fontsize=8, y=1.02)
     fig.tight_layout()
     fig.savefig(args.out, dpi=120)
     print(f"wrote {args.out}")
