@@ -42,7 +42,13 @@ class Engine:
         from sduss_tpu.parallel.replica import build_placements
 
         if devices is None:
-            devices = jax.devices()
+            # Local (addressable) devices, not the global list: in a
+            # multi-host world (jax.distributed initialized; one engine
+            # process per host) jax.devices() spans the pod, but a replica
+            # can only place data on THIS process's devices — DP replicas
+            # never span hosts (parallel/multihost.py).  Single-process,
+            # local_devices() == devices().
+            devices = jax.local_devices()
             sel = config.parallel.devices
             if sel is not None:
                 devices = [devices[i] for i in sel]
@@ -199,7 +205,7 @@ class Engine:
         try:
             import jax
 
-            ms = jax.devices()[0].memory_stats() or {}
+            ms = jax.local_devices()[0].memory_stats() or {}
             used, lim = ms.get("bytes_in_use"), ms.get("bytes_limit")
             if used is not None and lim:
                 return f" (HBM {used / 1e9:.1f}/{lim / 1e9:.1f} GB)"
@@ -213,7 +219,7 @@ class Engine:
         try:
             import jax
 
-            ms = jax.devices()[0].memory_stats() or {}
+            ms = jax.local_devices()[0].memory_stats() or {}
             if ms.get("bytes_limit"):
                 return float(ms["bytes_limit"])
         except Exception:

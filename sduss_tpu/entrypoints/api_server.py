@@ -49,7 +49,9 @@ def device_stats() -> list:
     import jax
 
     out = []
-    for d in jax.devices():
+    # local devices: in a multi-host world each host's server reports the
+    # devices its own engine process can address
+    for d in jax.local_devices():
         row = {"id": d.id, "platform": d.platform}
         try:
             ms = d.memory_stats() or {}

@@ -36,7 +36,7 @@ def _resolve_encoders_on_host(config: Config) -> bool:
     """
     import jax
 
-    dev = jax.devices()[0]
+    dev = jax.local_devices()[0]
     if dev.platform == "cpu" or config.model.test_tiny:
         return False
     try:

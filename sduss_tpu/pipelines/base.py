@@ -2342,7 +2342,7 @@ class BasePipeline:
             import jax
 
             ec = self.config.engine
-            ms = jax.devices()[0].memory_stats() or {}
+            ms = jax.local_devices()[0].memory_stats() or {}
             lim = float(ms.get("bytes_limit") or ec.hbm_bytes_fallback)
             live = sum(
                 _state_nbytes(e.get("state")) + _state_nbytes(e.get("kv"))
