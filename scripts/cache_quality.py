@@ -377,6 +377,78 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int,
         return run
 
     @functools.lru_cache(maxsize=None)
+    def run_hybrid_rowphase(fraction: float, interval: int,
+                            pairwise: bool = False):
+        """Serving row-carry cadence at request phase ``phase`` (TRACED — one
+        compile sweeps every phase): full at i == 0 (the admission row
+        refresh: partial program / anchoring full), then at
+        i == phase + m*interval.  Under composition row CARRY-OVER
+        (CacheConfig.deep_row_warmup) interval expiry is BATCH-aligned, so a
+        request admitted mid-interval sees its refreshes at an arbitrary
+        phase of its own step clock — a row-age pattern the offline
+        fixed-cadence ladder (phase 0) never measured.  Hybrid row gating
+        runs on every non-full step exactly like the serving preset (fixed
+        interval, no drift trigger)."""
+        from sduss_tpu.cache.manager import BlockCache
+        from sduss_tpu.config import CacheConfig
+
+        cache = BlockCache(CacheConfig(enabled=True, mode="deep",
+                                       deep_compact_fraction=fraction,
+                                       deep_compact_pairwise=pairwise,
+                                       max_hits=4))
+        layout = unet.shallow_cache_layout(hw, bdy)
+        state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, dtype)
+                  for key, (s, cin, cout) in layout.items()}
+        hw_deep, c_deep = _deep_shapes()
+
+        @jax.jit
+        def run(params, lat, g, ehs, pooled, tid, phase):
+            deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
+
+            def step_mode(mode):
+                def f(args):
+                    lat, deep, st, i = args
+                    c0 = jnp.full((b,), cs[i, 0])
+                    c1 = jnp.full((b,), cs[i, 1])
+                    t2 = jnp.full((2 * b,), ts[i], jnp.float32)
+                    lat_in = sampler.scale_model_input(
+                        jnp.concatenate([lat, lat]),
+                        jnp.concatenate([c0, c0]))
+                    added = {"text_embeds": pooled, "time_ids": tid}
+                    out, d2, st2 = unet.apply(
+                        params, lat_in, t2, ehs, added_cond=added,
+                        deep_mode=mode, deep_boundary=bdy,
+                        deep_state=deep if mode == "shallow" else None,
+                        cache=cache, cache_state=st)
+                    u, c = jnp.split(out, 2)
+                    eps = u + g.reshape(-1, 1, 1, 1) * (c - u)
+                    return sampler.step(lat, eps, c0, c1), d2, st2
+
+                return f
+
+            full_f = step_mode("full")
+            shallow_f = step_mode("shallow")
+
+            def body(i, carry):
+                lat, deep, st, n_full, mask = carry
+                full = (i == 0) | ((i >= phase)
+                                   & (((i - phase) % interval) == 0))
+                lat2, deep2, st2 = jax.lax.cond(full, full_f, shallow_f,
+                                                (lat, deep, st, i))
+                deep_next = jnp.where(full, deep2, deep)
+                return (lat2, deep_next, st2,
+                        n_full + full.astype(jnp.int32),
+                        mask.at[i].set(full.astype(jnp.int32)))
+
+            lat, _, _, n_full, mask = jax.lax.fori_loop(
+                0, n_steps, body,
+                (lat, deep0, state0, jnp.int32(0),
+                 jnp.zeros((n_steps,), jnp.int32)))
+            return lat, n_full, mask
+
+        return run
+
+    @functools.lru_cache(maxsize=None)
     def run_compact(fraction: float):
         from sduss_tpu.cache.manager import BlockCache
         from sduss_tpu.config import CacheConfig
@@ -451,7 +523,7 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int,
 
     return (run_plain, run_deep, run_compact, make_inputs, params,
             run_drift, run_deep_adaptive, run_deep_hybrid, None,
-            run_cfg_reuse, run_deep_predict)
+            run_cfg_reuse, run_deep_predict, run_hybrid_rowphase)
 
 
 def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
@@ -725,7 +797,7 @@ def build_mmdit_runs(tiny: bool, batch: int, res: int, n_steps: int,
         return run
 
     return (run_plain, None, run_compact, make_inputs, params, run_drift,
-            None, None, run_deep_span, None, None)
+            None, None, run_deep_span, None, None, None)
 
 
 def main():
@@ -756,6 +828,19 @@ def main():
     ap.add_argument("--hybrid-pairwise", action="store_true",
                     help="CFG-pair-symmetric row selection for the hybrid "
                          "rows (gate_compact_pairs)")
+    ap.add_argument("--rowwarm-phases", default="",
+                    help="comma phases for the serving row-carry cadence "
+                         "check (hybrid fixed interval; full at step 0 then "
+                         "at phase + m*interval — batch-aligned expiry "
+                         "lands at arbitrary request phase under row "
+                         "carry-over).  Phase is a traced scalar: one "
+                         "compile sweeps all phases.")
+    ap.add_argument("--rowwarm-fraction", type=float, default=0.3,
+                    help="hybrid row fraction for --rowwarm-phases "
+                         "(serving preset: 0.3)")
+    ap.add_argument("--rowwarm-interval", type=int, default=24,
+                    help="fixed deep interval for --rowwarm-phases "
+                         "(serving preset: 24)")
     ap.add_argument("--hybrid-predict", type=float, default=0.0,
                     help="reuse-then-predict momentum for the hybrid's "
                          "shallow-step deep features (0 = plain reuse)")
@@ -826,8 +911,8 @@ def main():
                  "families (--family sdxl/sd15)")
     (run_plain, run_deep, run_compact, make_inputs, params,
      run_drift, run_deep_adaptive, run_deep_hybrid, run_deep_span,
-     run_cfg_reuse, run_deep_predict) = build(args.tiny, args.batch, res,
-                                              args.steps, **build_kw)
+     run_cfg_reuse, run_deep_predict, run_hybrid_rowphase) = build(
+         args.tiny, args.batch, res, args.steps, **build_kw)
 
     configs = []
     if run_deep is not None:
@@ -845,6 +930,9 @@ def main():
     if run_cfg_reuse is not None:
         configs += [("cfg_reuse", int(v))
                     for v in args.cfg_reuse.split(",") if v]
+    if run_hybrid_rowphase is not None:
+        configs += [("hybrid_rowphase", int(v))
+                    for v in args.rowwarm_phases.split(",") if v]
     if run_deep_predict is not None:
         for spec in (s for s in args.deep_predict.split(",") if s):
             itv, m = spec.split(":")
@@ -910,6 +998,12 @@ def main():
                                       args.hybrid_predict)
             elif kind == "cfg_reuse":
                 run = run_cfg_reuse(param)
+            elif kind == "hybrid_rowphase":
+                base_run = run_hybrid_rowphase(args.rowwarm_fraction,
+                                               args.rowwarm_interval,
+                                               args.hybrid_pairwise)
+                run = (lambda p, *ins, _r=base_run, _ph=param:
+                       _r(p, *ins, np.int32(_ph)))
             elif kind == "deep_predict":
                 # warmup 3 to match the deep_warmup / adaptive rows
                 run = run_deep_predict(param[0], param[1], 3)
@@ -921,7 +1015,7 @@ def main():
                 run = run_compact(param)
             got = run(params, *inputs)
             pattern = None
-            if kind in ("deep_adaptive", "deep_hybrid"):
+            if kind in ("deep_adaptive", "deep_hybrid", "hybrid_rowphase"):
                 got, n_full, mask = got
                 full_frac = float(np.asarray(n_full)) / args.steps
                 pattern = np.asarray(mask).astype(int).tolist()
@@ -973,6 +1067,11 @@ def main():
             row.update(param=f"{itv}:{m}", interval=itv, momentum=m,
                        full_fraction=round(
                            (w + (n - w + itv - 1) // itv) / n, 4))
+        elif kind == "hybrid_rowphase":
+            row.update(full_fraction=round(full_frac, 4), phase=param,
+                       interval=args.rowwarm_interval,
+                       fraction=args.rowwarm_fraction,
+                       pairwise=args.hybrid_pairwise)
         elif kind in ("deep_adaptive", "deep_hybrid"):
             row["full_fraction"] = round(full_frac, 4)
             row["warmup"] = args.warmup

@@ -488,6 +488,9 @@ class Engine:
                         res, [x for x in bks if x <= sc.max_batch_size])
                 logger.info("prewarm: rank %d res %d done (%.1fs elapsed)",
                             worker.rank, res, time.time() - t0)
+        chunk_k = sc.steps_per_dispatch
+        mix_itv = max(cc.deep_interval, 1) if (cc.enabled
+                                               and cc.mode == "deep") else 1
         for comp in compositions or ():
             for worker in self.workers:
                 pipe = worker.pipeline
@@ -496,7 +499,8 @@ class Engine:
                 for res, count in sorted(comp.items()):
                     rs = [Request(f"prewarm-mix-{res}-{i}", SamplingParams(
                         prompt="", resolution=res,
-                        num_inference_steps=steps, seed=0))
+                        num_inference_steps=steps + mix_itv + chunk_k + 2,
+                        seed=0))
                         for i in range(count)]
                     reqs_by_res[res] = rs
                     flat.extend(rs)
@@ -505,6 +509,14 @@ class Engine:
                     r.stage = Stage.DENOISING
                 for _ in range(steps):
                     pipe.denoise_step_mixed(reqs_by_res)
+                if chunk_k > 1 and hasattr(pipe, "denoise_chunk_mixed"):
+                    # mint the composition's fused-chunk program too (deep
+                    # chunks need a full-boundary start — walk per-step up
+                    # to one interval to reach one)
+                    for _ in range(mix_itv + 1):
+                        if pipe.denoise_chunk_mixed(reqs_by_res, chunk_k):
+                            break
+                        pipe.denoise_step_mixed(reqs_by_res)
                 n += len(flat)
                 pipe.release_serving_state()
             logger.info("prewarm: mixed composition %s done (%.1fs elapsed)%s",

@@ -190,6 +190,15 @@ class Worker:
                 # chunk boundaries; ineligible configs returned False and
                 # fall through to per-step dispatch below.
                 steps_run = k
+            elif (k > 1 and batch.mixed
+                    and self.config.scheduler.use_mixed_resolution
+                    and hasattr(pipe, "denoise_chunk_mixed")
+                    and pipe.denoise_chunk_mixed(by_res, k,
+                                                 allow_cold=False)):
+                # mixed-composition fused dispatch: the composition is
+                # pinned for k steps inside one program (cold keys fall
+                # back to per-step below while the warm daemon mints them)
+                steps_run = k
             elif batch.mixed and self.config.scheduler.use_mixed_resolution \
                     and hasattr(pipe, "denoise_step_mixed"):
                 # allow_cold=False: a cold mixed compile key serves dense

@@ -1970,6 +1970,330 @@ class BasePipeline:
                 self._note_drift(r, deep_mode,
                                  prev if deep_mode == "full" else r.latents)
 
+    # -- fused multi-step dispatch on the MIXED patch path ---------------------
+
+    def denoise_chunk_mixed(self, reqs_by_res: Dict[int, List[Request]],
+                            k: int, allow_cold: bool = True) -> bool:
+        """Run ``k`` sampler steps for a MIXED-resolution patch batch inside
+        ONE jitted program (the mixed analog of :meth:`denoise_chunk`).
+
+        The mixed compile key is a pure function of the bucketed composition
+        (meta/meta2 compile keys), so the chunk simply PINS the composition
+        for ``k`` steps: the worker only calls this when the scheduled batch
+        is stable for the dispatch, and any composition change between
+        dispatches re-gathers exactly like the per-step path (all state is
+        per-request or per-composition-entry, shared with the per-step
+        programs).  Supported: dense, block/compact cache threading, plain
+        deep at fixed interval, and deep x compact hybrid — the serving
+        preset (the reference's whole eval is mixed, FCFS_Mixed.py:59-70,
+        and per-step mixed serving is relay-RTT-bound: ~145 ms/step
+        dispatch tax, exp/serving_sdxl_mixed_preset_v5e_r4c.json).
+
+        Deep chunks start at a step where the per-step path would run a
+        batch-wide FULL (mixed deep is batch-wide: _deep_mode_mixed), so
+        the in-graph ``j % itv == 0`` schedule reproduces per-step lockstep
+        ages; the j=0 full overwrites the whole deep carry, so it seeds as
+        zeros and never reads stale rows.  Returns False for ineligible
+        configurations (stateful samplers, adaptive/predict deep, warmup
+        rows, mid-interval starts, non-patchable resolutions) — the worker
+        falls back to per-step dispatch.
+
+        ``allow_cold=False``: a cold chunk key must never stall serving —
+        the composition's warm daemon also mints the chunk program
+        (_warm_composition), and this step serves per-step meanwhile.
+        """
+        from sduss_tpu.ops import patching
+        from sduss_tpu.ops.patch_ctx import ctx_arrays
+
+        ordered: List[Request] = []
+        for res in sorted(reqs_by_res):
+            ordered.extend(reqs_by_res[res])
+        if not ordered or k <= 1:
+            return False
+        if (self.sampler.needs_state
+                or any(r.remain_steps < k for r in ordered)
+                or getattr(self.config.parallel, "sp_mode", None)
+                == "displaced"):
+            return False
+        cells = self.config.scheduler.patch_size // self.vae_scale
+        sc = self.config.scheduler
+        grids = []
+        for r in ordered:
+            hw = r.latent_hw(self.vae_scale)
+            if hw % cells != 0:
+                return False
+            grids.append(hw // cells)
+        grids = tuple(grids)
+        cc = self.config.cache
+
+        cache = self._block_cache()
+        deep_active = self._deep_cache_active()
+        mode = "dense"
+        hybrid = False
+        itv = 1
+        need_full = False
+        a0 = 0
+        if deep_active:
+            if (getattr(cc, "deep_adaptive", 0.0)
+                    or float(getattr(cc, "deep_predict", 0.0) or 0.0)):
+                return False
+            interval, warmup, _ = self._deep_policy()
+            itv = max(interval, 1)
+            if any(r.sampler_table.step < warmup for r in ordered):
+                return False
+            # ANY-PHASE schedule (the SD3 span-chunk trick): fulls fire
+            # in-graph at (j + off) % itv == 0, with ``off`` a TRACED
+            # scalar — one program serves every interval phase, so
+            # shallow-only chunks fuse too (at interval 24 a boundary-only
+            # chunk would fire once per 24 steps).  Requires lockstep ages:
+            # either a batch-wide full is due NOW (j=0 full resets everyone
+            # — the carry seeds as zeros, never read before overwrite), or
+            # every request holds a valid state at the SAME age (the carry
+            # seeds from the real gathered states).
+            need_full = self._deep_mode_mixed(ordered, grids) == "full"
+            if need_full:
+                a0 = itv - 1  # schedule-equivalent: expired now
+            else:
+                ages = {r.deep_age for r in ordered}
+                if len(ages) != 1:
+                    return False
+                a0 = ages.pop()
+            hybrid = (cc.deep_compact_fraction is not None
+                      and hasattr(self.bundle.denoiser,
+                                  "shallow_cache_layout"))
+            mode = "hybrid" if hybrid else "deep"
+        elif cache is not None:
+            mode = "cached"
+        elif cc.enabled:
+            return False  # cache config this path can't thread in-graph
+
+        meta = patching.build_meta(grids, cells, tuple(sc.patch_buckets),
+                                   tuple(sc.batch_buckets))
+        meta2 = patching.double_meta(grids, cells, tuple(sc.patch_buckets),
+                                     tuple(sc.batch_buckets))
+        jit_key = (("mixed_chunk", mode, k)
+                   + meta.compile_key + meta2.compile_key)
+        if not allow_cold and jit_key not in self._executed_keys:
+            self._queue_mixed_warm(tuple(sorted(
+                (res, len(rs)) for res, rs in reqs_by_res.items())))
+            return False
+
+        hybrid_sig = None
+        entry = None
+        if hybrid:
+            hybrid_sig = (self._hybrid_sig() + ("mixed",)
+                          + meta.compile_key + meta2.compile_key)
+            # PEEK before create: materializing an un-anchored entry and
+            # then refusing would make the per-step path's peek-is-not-None
+            # shortcut skip its anchoring full and trip its anchored assert
+            peeked = self._comp_state_peek("unet_hybrid_mixed", 0, ordered,
+                                           meta.i_pad, hybrid_sig)
+            if not need_full and (peeked is None or not peeked["anchored"]):
+                # fresh row state with no full in sight: the per-step path
+                # runs the anchoring full first (peek-is-None forces it)
+                return False
+            from sduss_tpu.cache.manager import BlockCache
+
+            if not hasattr(self, "_cache_obj"):
+                self._cache_obj = BlockCache(cc)
+            hcache = self._cache_obj
+            layout = self.bundle.denoiser.shallow_cache_layout(
+                cells, cc.deep_boundary)
+            dtype = self._latent_dtype()
+
+            def mk_state(_n):
+                # rows = the CFG-DOUBLED patch batch (meta2.p_pad)
+                return {key: hcache.init_rows(key, meta2.p_pad, s, ci, co,
+                                              dtype)
+                        for key, (s, ci, co) in layout.items()}
+
+            entry = self._comp_state_entry("unet_hybrid_mixed", 0, ordered,
+                                           meta.i_pad, hybrid_sig, mk_state)
+
+        # -- batch gathers (once per chunk, identical to the per-step path)
+        parts = [patching.split_latent(r.latents, cells) for r in ordered]
+        x = jnp.concatenate(parts, axis=0)
+        if x.shape[0] < meta.p_pad:
+            pad = jnp.zeros((meta.p_pad - x.shape[0],) + x.shape[1:], x.dtype)
+            x = jnp.concatenate([x, pad], axis=0)
+        i_pad = meta.i_pad
+        ts = np.zeros((k, i_pad), np.float32)
+        cs = np.ones((k, i_pad, 2), np.float32)
+        for i, r in enumerate(ordered):
+            tbl = r.sampler_table
+            s0 = tbl.step
+            ts[:, i] = tbl.timesteps[s0 : s0 + k]
+            cs[:, i] = tbl.coeffs[s0 : s0 + k]
+        guidance = np.zeros((i_pad,), np.float32)
+        guidance[: len(ordered)] = [
+            r.params.guidance_scale if r.params.guidance_scale is not None
+            else self.spec.default_guidance for r in ordered]
+        cond = {}
+        for key in ordered[0].conditioning:
+            arr = np.concatenate([r.conditioning[key] for r in ordered],
+                                 axis=0)
+            pad = np.zeros((i_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)
+            cond[key] = jnp.asarray(np.concatenate([arr, pad], axis=0))
+        a1, a2 = ctx_arrays(meta), ctx_arrays(meta2)
+
+        args = [self.params, x, jnp.asarray(ts), jnp.asarray(cs),
+                jnp.asarray(guidance), cond, a1, a2]
+        donate = ()
+        if mode in ("deep", "hybrid"):
+            if need_full:
+                # zero carry: j=0 runs full and overwrites every row before
+                # any read; the row SHAPE comes from a cached eval_shape of
+                # the full program (patch rows are uniform across
+                # resolutions)
+                dp0 = self._mixed_chunk_deep_zeros(meta, meta2, hybrid,
+                                                   args, entry)
+            else:
+                _, dp0 = self._gather_deep_mixed(ordered, grids, meta,
+                                                 "shallow")
+            args.append(dp0)
+            if hybrid:
+                donate = (len(args),)  # entry state: multi-GB at full size
+                args.append(entry["state"])
+            # fulls at (j + off) % itv == 0; off = (a0 + 1) mod itv makes
+            # j=0 full exactly when the per-step path would run one
+            args += [jnp.int32(itv), jnp.int32((a0 + 1) % itv)]
+        elif mode == "cached":
+            _, cache_state = self._gather_cache_state(ordered, grids, meta,
+                                                      cells)
+            donate = (len(args),)
+            args.append(cache_state)
+
+        fn = self._jit(jit_key,
+                       self._make_mixed_chunk_fn(meta, meta2, mode, k,
+                                                 cache=cache),
+                       donate=donate)
+        out = fn(*args)
+        self._executed_keys.add(jit_key)
+        new_x = out[0]
+        if mode in ("deep", "hybrid"):
+            deep_out = out[1]
+            # host mirror of the in-graph schedule: final lockstep age
+            fulls = [j for j in range(k) if (j + a0 + 1) % itv == 0]
+            final_age = (k - 1 - fulls[-1]) if fulls else a0 + k
+            if hybrid and fulls:
+                entry["state"] = out[2]
+                entry["anchored"] = True
+            elif hybrid:
+                entry["state"] = out[2]
+        elif mode == "cached":
+            self._scatter_cache_state(ordered, grids, meta, out[1])
+
+        pos = 0
+        for r, g in zip(ordered, grids):
+            n = g * g
+            r.latents = patching.merge_patches(new_x[pos : pos + n], g)
+            if mode in ("deep", "hybrid"):
+                u = deep_out[pos : pos + n]
+                c = deep_out[meta.p_pad + pos : meta.p_pad + pos + n]
+                r.deep_state = jnp.concatenate([u, c], axis=0)
+                r.deep_age = final_age
+                r.deep_slope = None
+            pos += n
+            for _ in range(k):
+                r.sampler_table.advance()
+            r.remain_steps -= k
+        return True
+
+    def _mixed_chunk_deep_zeros(self, meta, meta2, hybrid: bool, args,
+                                entry):
+        """Zero deep-carry batch for the mixed chunk, shaped by a CACHED
+        eval_shape of the full-mode mixed program (tracing only — no
+        compile, no device work; ~seconds once per composition bucket)."""
+        import jax
+
+        if not hasattr(self, "_mixed_chunk_dp"):
+            self._mixed_chunk_dp = {}
+        key = (meta.compile_key + meta2.compile_key
+               + (hybrid, self.config.cache.deep_boundary))
+        got = self._mixed_chunk_dp.get(key)
+        if got is None:
+            full_f = self._make_mixed_fn(meta, meta2, deep_mode="full",
+                                         hybrid=hybrid)
+            extra = (None, entry["state"]) if hybrid else None
+            shapes = jax.eval_shape(
+                lambda p, xx, tt, co, gg, cd, A1, A2: full_f(
+                    p, xx, tt, co, gg, cd, A1, A2, extra),
+                args[0], args[1], args[2][0], args[3][0], args[4], args[5],
+                args[6], args[7])
+            got = (shapes[1].shape, shapes[1].dtype)
+            self._mixed_chunk_dp[key] = got
+        return jnp.zeros(got[0], got[1])
+
+    def _make_mixed_chunk_fn(self, meta, meta2, mode: str, k: int,
+                             cache=None):
+        """Traced k-step loop over the SAME per-step mixed builders
+        (_make_mixed_fn); deep modes select full/shallow in-graph by
+        ``j % itv == 0``, so the program contains each body once."""
+        import jax
+
+        if mode == "hybrid":
+            full_f = self._make_mixed_fn(meta, meta2, deep_mode="full",
+                                         hybrid=True)
+            sh_f = self._make_mixed_fn(meta, meta2, deep_mode="shallow",
+                                       hybrid=True)
+
+            def fn(params, x, ts, cs, guidance, cond, a1, a2, dp0, st0,
+                   itv, off):
+                def body(j, carry):
+                    return jax.lax.cond(
+                        (j + off) % itv == 0,
+                        lambda a: full_f(params, a[1], ts[a[0]], cs[a[0]],
+                                         guidance, cond, a1, a2,
+                                         (a[2], a[3])),
+                        lambda a: sh_f(params, a[1], ts[a[0]], cs[a[0]],
+                                       guidance, cond, a1, a2,
+                                       (a[2], a[3])),
+                        (j, carry[0], carry[1], carry[2]))
+
+                return jax.lax.fori_loop(0, k, body, (x, dp0, st0))
+
+            return fn
+        if mode == "deep":
+            full_f = self._make_mixed_fn(meta, meta2, deep_mode="full")
+            sh_f = self._make_mixed_fn(meta, meta2, deep_mode="shallow")
+
+            def fn(params, x, ts, cs, guidance, cond, a1, a2, dp0, itv,
+                   off):
+                def body(j, carry):
+                    return jax.lax.cond(
+                        (j + off) % itv == 0,
+                        lambda a: full_f(params, a[1], ts[a[0]], cs[a[0]],
+                                         guidance, cond, a1, a2, a[2]),
+                        lambda a: sh_f(params, a[1], ts[a[0]], cs[a[0]],
+                                       guidance, cond, a1, a2, a[2]),
+                        (j, carry[0], carry[1]))
+
+                return jax.lax.fori_loop(0, k, body, (x, dp0))
+
+            return fn
+        if mode == "cached":
+            step_f = self._make_mixed_fn(meta, meta2, cache=cache)
+
+            def fn(params, x, ts, cs, guidance, cond, a1, a2, st0):
+                def body(j, carry):
+                    return step_f(params, carry[0], ts[j], cs[j], guidance,
+                                  cond, a1, a2, carry[1])
+
+                return jax.lax.fori_loop(0, k, body, (x, st0))
+
+            return fn
+
+        step_f = self._make_mixed_fn(meta, meta2)
+
+        def fn(params, x, ts, cs, guidance, cond, a1, a2):
+            def body(j, x):
+                return step_f(params, x, ts[j], cs[j], guidance, cond,
+                              a1, a2)
+
+            return (jax.lax.fori_loop(0, k, body, x),)
+
+        return fn
+
     # -- background mixed-key warming (warm-key routing) -----------------------
 
     def _queue_mixed_warm(self, comp) -> None:
@@ -2020,12 +2344,15 @@ class BasePipeline:
             interval = max(cc.deep_max_interval if cc.deep_adaptive
                            else cc.deep_interval, 1)
             steps = cc.deep_warmup + interval + 1
+        chunk_k = max(self.config.scheduler.steps_per_dispatch, 1)
+        itv = max(cc.deep_interval, 1) if (cc.enabled and cc.mode == "deep") \
+            else 1
         reqs_by_res: Dict[int, List[Request]] = {}
         flat: List[Request] = []
         for res, count in comp:
             rs = [Request(f"mixwarm-{res}-{i}", SamplingParams(
                       prompt="", resolution=res,
-                      num_inference_steps=steps + 2, seed=0))
+                      num_inference_steps=steps + itv + chunk_k + 2, seed=0))
                   for i in range(count)]
             reqs_by_res[res] = rs
             flat.extend(rs)
@@ -2040,6 +2367,20 @@ class BasePipeline:
                 r.drift_pending.clear()
                 r.drift_last = 0.0
             self.denoise_step_mixed(reqs_by_res, allow_cold=True)
+        if chunk_k > 1:
+            # also mint the composition's fused-chunk program (the worker
+            # prefers it; a cold chunk key would otherwise fall back to
+            # per-step forever on this composition).  Deep chunks need a
+            # full-boundary start — walk per-step up to one interval to
+            # reach one (denoise_chunk_mixed returns False off-boundary).
+            for _ in range(itv + 1):
+                for r in flat:
+                    r.drift_pending.clear()
+                    r.drift_last = 0.0
+                if self.denoise_chunk_mixed(reqs_by_res, chunk_k,
+                                            allow_cold=True):
+                    break
+                self.denoise_step_mixed(reqs_by_res, allow_cold=True)
 
     # -- stateful sampler state on the patch path ------------------------------
 
