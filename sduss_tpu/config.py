@@ -504,6 +504,16 @@ class EngineConfig:
     # 75% aborts).  On-device encoders are milliseconds — those stay
     # synchronous and avoid concurrent dispatch entirely.
     async_prepare: Union[bool, str] = "auto"
+    # Run VAE decode + image fetch on a background host thread (the mirror
+    # of async_prepare for the OUTPUT side): a blocking b8 1024^2 decode is
+    # ~2.7 s of device work plus the image download, and it stalls the
+    # denoise loop between windows — measured 25-39% of serving makespan at
+    # the SDXL chunk6 preset (exp/serving_sdxl_preset_chunk6_v5e_r4g.json).
+    # Device-side the decode still serializes with denoise steps on the one
+    # compute stream (workspace peak is max, not sum — same as today's
+    # bounded-runahead overlap), so "auto" enables it everywhere; one
+    # background worker bounds decodes in flight at 1.
+    async_postprocess: Union[bool, str] = "auto"
     # Seconds between background engine-loop polls when idle.
     poll_interval_s: float = 0.01
     log_requests: bool = True

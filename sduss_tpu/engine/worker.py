@@ -77,6 +77,21 @@ class Worker:
                 max_workers=1, thread_name_prefix=f"prepare-{rank}")
             if self._async_prepare else None)
         self._preparing: collections.deque = collections.deque()
+        # Asynchronous postprocess (EngineConfig.async_postprocess): the
+        # OUTPUT mirror of async prepare.  A blocking VAE decode + image
+        # fetch stalls the denoise loop (~2.7 s device at b8 1024^2 plus
+        # the download; 25-39% of serving makespan measured at the SDXL
+        # chunk6 preset).  One background worker serializes decode groups
+        # (bounds decodes in flight at 1); device execution still
+        # serializes with denoise on the compute stream, so the HBM
+        # workspace peak is unchanged (max, not sum).
+        app = config.engine.async_postprocess
+        self._async_post = (True if app == "auto" else bool(app))
+        self._post_pool = (
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=f"post-{rank}")
+            if self._async_post else None)
+        self._posting: collections.deque = collections.deque()
 
     # -- request management --------------------------------------------------
 
@@ -107,14 +122,17 @@ class Worker:
     def step(self) -> List[Request]:
         """Run one scheduled iteration; return requests finished this step."""
         self._poll_prepared(block=False)
+        done_async = self._poll_posted(block=False)
         batch = self.scheduler.schedule()
         if batch is None or batch.empty:
-            # Nothing schedulable but prepares in flight: block briefly on
-            # the oldest so the engine loop doesn't spin — denoisable work
-            # appears the moment it completes.
+            # Nothing schedulable but prepares/decodes in flight: block
+            # briefly on the oldest so the engine loop doesn't spin —
+            # progress appears the moment it completes.
             if self._preparing:
                 self._poll_prepared(block=True)
-            return []
+            elif self._posting:
+                done_async += self._poll_posted(block=True)
+            return done_async
         self.iteration += 1
         now = time.time()
         for req in batch.requests:
@@ -134,11 +152,27 @@ class Worker:
                 "predicted_step_ms": batch.requests[0].predicted_step_ms
                 if batch.requests else 0.0,
             })
-        if batch.stage is Stage.PREPARE and self._prepare_pool is not None:
-            # _execute submitted the encode to the background thread; park
-            # the requests in PREPARING until the future completes.
-            self.scheduler.begin_prepare(batch)
-            return []
+        if (batch.stage is Stage.PREPARE and self._prepare_pool is not None) \
+                or (batch.stage is Stage.POSTPROCESSING
+                    and self._post_pool is not None):
+            # _execute submitted the encode / decode to a background thread;
+            # park the requests (PREPARING / DECODING) until the future
+            # completes.  Policy aborts attached to this batch still finish
+            # NOW — advance() is skipped, so handle them here (they were
+            # moved to ABORTED by schedule() but not yet removed/returned).
+            if batch.stage is Stage.PREPARE:
+                self.scheduler.begin_prepare(batch)
+            else:
+                self.scheduler.begin_postprocess(batch)
+            aborted = list(batch.aborts)
+            if aborted:
+                now2 = time.time()
+                for req in aborted:
+                    req.finish_time = now2
+                    self.scheduler.pool.remove(req.request_id)
+                self.pipeline.evict_finished_state(
+                    [r.request_id for r in aborted])
+            return done_async + aborted
         finished = self.scheduler.advance(batch)
         for req in finished:
             req.finish_time = time.time()
@@ -147,6 +181,28 @@ class Worker:
             # finished/aborted request are unreachable; free the HBM now
             self.pipeline.evict_finished_state(
                 [r.request_id for r in finished])
+        return done_async + finished
+
+    def _poll_posted(self, block: bool) -> List[Request]:
+        """Finish requests whose background decode completed; optionally
+        block briefly on the oldest in-flight one."""
+        finished: List[Request] = []
+        while self._posting:
+            fut, reqs = self._posting[0]
+            if not fut.done():
+                if not block:
+                    break
+                concurrent.futures.wait([fut], timeout=0.05)
+                if not fut.done():
+                    break
+            self._posting.popleft()
+            fut.result()  # propagate decode exceptions to the engine loop
+            done = self.scheduler.finish_postprocess(reqs)
+            now = time.time()
+            for req in done:
+                req.finish_time = now
+            finished.extend(done)
+            block = False  # drain further completed futures without waiting
         return finished
 
     def _poll_prepared(self, block: bool) -> None:
@@ -226,7 +282,11 @@ class Worker:
             by_res = {}
             for r in batch.requests:
                 by_res.setdefault(r.resolution, []).append(r)
-            pipe.postprocess(by_res)
+            if self._post_pool is not None:
+                fut = self._post_pool.submit(pipe.postprocess, by_res)
+                self._posting.append((fut, list(batch.requests)))
+            else:
+                pipe.postprocess(by_res)
         else:  # pragma: no cover
             raise ValueError(batch.stage)
 

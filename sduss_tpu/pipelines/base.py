@@ -389,17 +389,21 @@ class BasePipeline:
         row_warm = getattr(self.config.cache, "deep_row_warmup", False)
         carry = getattr(self, "_deep_carry", None)
         if carry:
-            for k in [k for k in carry if ids.intersection(k[2])]:
-                del carry[k]
+            # list() snapshots + tolerant pops: with async postprocess the
+            # decode thread evicts while the serving loop inserts entries
+            for k in [k for k in list(carry) if ids.intersection(k[2])]:
+                carry.pop(k, None)
         for attr in ("_comp_state", "_sd3_state", "_disp_state"):
             store = getattr(self, attr, None)
             if not store:
                 continue
-            dead = [k for k in store
+            dead = [k for k in list(store)
                     if any(isinstance(part, tuple) and ids.intersection(part)
                            for part in k)]
             for k in dead:
-                entry = store.pop(k)
+                entry = store.pop(k, None)
+                if entry is None:
+                    continue
                 if (attr == "_comp_state" and row_warm
                         and k[0] == "unet_hybrid"
                         and entry.get("anchored")):
@@ -2688,7 +2692,7 @@ class BasePipeline:
             live = sum(
                 _state_nbytes(e.get("state")) + _state_nbytes(e.get("kv"))
                 for attr in ("_comp_state", "_sd3_state", "_disp_state")
-                for e in (getattr(self, attr, None) or {}).values())
+                for e in list((getattr(self, attr, None) or {}).values()))
             head = lim - self.device_param_bytes() - live \
                 - float(ec.decode_hbm_margin)
             per_img = float(ec.decode_bytes_per_pixel) * res * res

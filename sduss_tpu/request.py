@@ -45,6 +45,7 @@ class Stage(enum.Enum):
     PREPARING = "preparing"      # prepare running on a background host thread
     DENOISING = "denoising"      # needs remain_steps more denoiser steps
     POSTPROCESSING = "post"      # needs VAE decode
+    DECODING = "decoding"        # decode running on a background host thread
     FINISHED = "finished"
     ABORTED = "aborted"
 

@@ -68,6 +68,25 @@ class WorkerScheduler:
             if req.stage is Stage.PREPARING:
                 self.pool.move(req, Stage.DENOISING)
 
+    def begin_postprocess(self, batch: ScheduledBatch) -> None:
+        """Park a scheduled POSTPROCESSING batch while its VAE decode +
+        image fetch run on a background host thread (the mirror of
+        begin_prepare): DECODING requests are invisible to every policy
+        but still count as unfinished/pending."""
+        for req in batch.requests:
+            self.pool.move(req, Stage.DECODING)
+
+    def finish_postprocess(self, reqs: List[Request]) -> List[Request]:
+        """Background decode completed: finish the requests.  Requests
+        aborted mid-decode have already left DECODING — skip."""
+        finished: List[Request] = []
+        for req in reqs:
+            if req.stage is Stage.DECODING:
+                self.pool.move(req, Stage.FINISHED)
+                self.pool.remove(req.request_id)
+                finished.append(req)
+        return finished
+
     def advance(self, batch: ScheduledBatch) -> List[Request]:
         """Update stages after the batch executed; return finished requests."""
         finished: List[Request] = []

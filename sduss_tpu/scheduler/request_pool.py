@@ -55,14 +55,14 @@ class RequestPool:
     def unfinished(self) -> int:
         return sum(self.count(s) for s in
                    (Stage.WAITING, Stage.PREPARE, Stage.PREPARING,
-                    Stage.DENOISING, Stage.POSTPROCESSING))
+                    Stage.DENOISING, Stage.POSTPROCESSING, Stage.DECODING))
 
     def pending_pixels(self) -> int:
         """Workload proxy: sum of resolution^2 over unfinished requests,
         matching the reference (dispatcher/request_pool.py:95-102)."""
         total = 0
         for s in (Stage.PREPARE, Stage.PREPARING, Stage.DENOISING,
-                  Stage.POSTPROCESSING):
+                  Stage.POSTPROCESSING, Stage.DECODING):
             for req in self.in_stage(s):
                 total += req.resolution * req.resolution
         return total
