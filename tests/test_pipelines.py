@@ -219,7 +219,9 @@ class TestAutoResidency:
             def memory_stats(self):
                 return {"bytes_limit": 16 * 1024**3}
 
-        monkeypatch.setattr("jax.devices", lambda *a: [FakeDev()])
+        # the resolver reads jax.local_devices() (multihost-correct: each
+        # engine process decides from ITS addressable device)
+        monkeypatch.setattr("jax.local_devices", lambda *a: [FakeDev()])
         config = Config()
         config.model = ModelConfig(model="sd3", test_tiny=False)
         monkeypatch.setattr(ModelBundle, "__init__",
