@@ -397,12 +397,14 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int,
                                        deep_compact_pairwise=pairwise,
                                        max_hits=4))
         layout = unet.shallow_cache_layout(hw, bdy)
-        state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, dtype)
-                  for key, (s, cin, cout) in layout.items()}
         hw_deep, c_deep = _deep_shapes()
 
+        # state0 threads as an ARGUMENT: closed over, the full-size zero
+        # row state lowered as 2.35 GB of captured CONSTANTS (the r2n
+        # broken-pipe class of relay failure; measured warning on the
+        # first r5b rowphase launch)
         @jax.jit
-        def run(params, lat, g, ehs, pooled, tid, phase):
+        def run(params, lat, g, ehs, pooled, tid, phase, state0):
             deep0 = jnp.zeros((2 * b, hw_deep, hw_deep, c_deep), dtype)
 
             def step_mode(mode):
@@ -446,7 +448,12 @@ def build_unet_runs(tiny: bool, batch: int, res: int, n_steps: int,
                  jnp.zeros((n_steps,), jnp.int32)))
             return lat, n_full, mask
 
-        return run
+        def run_wrap(params, lat, g, ehs, pooled, tid, phase):
+            state0 = {key: cache.init_rows(key, 2 * b, s, cin, cout, dtype)
+                      for key, (s, cin, cout) in layout.items()}
+            return run(params, lat, g, ehs, pooled, tid, phase, state0)
+
+        return run_wrap
 
     @functools.lru_cache(maxsize=None)
     def run_compact(fraction: float):

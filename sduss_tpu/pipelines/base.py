@@ -22,6 +22,7 @@ sampler coefficient rows (sduss_tpu/samplers/base.py).
 from __future__ import annotations
 
 import threading
+import time as _time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -132,6 +133,33 @@ class BasePipeline:
                 role: jax.device_put(self.bundle.params[role], host)}
         return self._host_encoder_params[role]
 
+    def _production_stamp(self) -> None:
+        """Record a production denoise dispatch (monotonic seconds).
+
+        The mixed warm DAEMON defers to this: its throwaway full-size
+        steps execute on the SAME device/host as production, and an
+        unthrottled warm drive at load collapses serving (measured, r5b
+        mixed qps-1.1: machine SLO 0.0 while the daemon warmed an
+        out-of-prewarm-cap composition mid-pass).  Calls from the warm
+        thread itself don't count as production."""
+        if threading.current_thread().name != "mixed-key-warm":
+            self._last_production = _time.monotonic()
+
+    def _warm_wait_idle(self, idle_s: float = 1.0) -> None:
+        """Block the warm daemon until production has been idle.
+
+        Unbounded by design: under sustained load the composition keeps
+        serving DENSE (the routing fallback) rather than letting warm
+        work contend for the device — warm completion is strictly lower
+        priority than serving.  No-op off the daemon thread (direct
+        _warm_composition calls from tests/prewarm stamp production with
+        their own steps and must not self-throttle)."""
+        if threading.current_thread().name != "mixed-key-warm":
+            return
+        while (_time.monotonic() - getattr(self, "_last_production", 0.0)
+               < idle_s):
+            _time.sleep(0.2)
+
     def _jit(self, name: str, fn: Callable,
              donate: Sequence[int] = ()) -> Callable:
         if name not in self._fns:
@@ -230,6 +258,7 @@ class BasePipeline:
         uniform batches onto a combinatorial-key path (SD3's token path)
         propagate it."""
         del allow_cold
+        self._production_stamp()
         for res in sorted(reqs_by_res):
             reqs = reqs_by_res[res]
             if not reqs:
@@ -511,6 +540,7 @@ class BasePipeline:
         tests/test_unet_chunk.py)."""
         import jax.numpy as jnp
 
+        self._production_stamp()
         ordered = [r for res in sorted(reqs_by_res) for r in reqs_by_res[res]]
         if not ordered or k <= 1:
             return False
@@ -1808,6 +1838,7 @@ class BasePipeline:
         """
         from sduss_tpu.ops import patching
 
+        self._production_stamp()
         if self.sampler.needs_state and self.config.cache.enabled:
             # Stateful samplers compose with the patch path (state is
             # element-wise; see _sampler_state_to_patches) but not with the
@@ -2009,6 +2040,7 @@ class BasePipeline:
         from sduss_tpu.ops import patching
         from sduss_tpu.ops.patch_ctx import ctx_arrays
 
+        self._production_stamp()
         ordered: List[Request] = []
         for res in sorted(reqs_by_res):
             ordered.extend(reqs_by_res[res])
@@ -2360,6 +2392,12 @@ class BasePipeline:
                   for i in range(count)]
             reqs_by_res[res] = rs
             flat.extend(rs)
+        # Defer to production before EVERY device-touching warm op: the
+        # throwaway steps run full-size on the serving device, and an
+        # unthrottled warm drive at load collapses serving (r5b mixed
+        # qps-1.1, machine SLO 0.0).  Dense serving is the designed
+        # fallback while the composition waits.
+        self._warm_wait_idle()
         self.prepare(flat)
         for r in flat:
             r.stage = Stage.DENOISING
@@ -2370,6 +2408,7 @@ class BasePipeline:
                 # Engine.prewarm's would corrupt concurrent production)
                 r.drift_pending.clear()
                 r.drift_last = 0.0
+            self._warm_wait_idle()
             self.denoise_step_mixed(reqs_by_res, allow_cold=True)
         if chunk_k > 1:
             # also mint the composition's fused-chunk program (the worker
@@ -2381,6 +2420,7 @@ class BasePipeline:
                 for r in flat:
                     r.drift_pending.clear()
                     r.drift_last = 0.0
+                self._warm_wait_idle()
                 if self.denoise_chunk_mixed(reqs_by_res, chunk_k,
                                             allow_cold=True):
                     break

@@ -189,6 +189,54 @@ class TestMixedChunkEligibility:
         assert pipe.denoise_chunk_mixed(by_res, 2, allow_cold=False) is False
 
 
+class TestWarmDaemonDefersToProduction:
+    def test_wait_idle_blocks_daemon_until_production_quiet(self):
+        """The warm daemon must not contend with production device work
+        (measured: an unthrottled warm drive at load collapsed the r5b
+        mixed qps-1.1 pass to machine SLO 0.0).  _warm_wait_idle blocks
+        the daemon thread while production dispatched within the last
+        second, and is a no-op off the daemon thread."""
+        import threading
+        import time
+
+        pipe = make_pipe()
+        # off-daemon: returns immediately even right after a stamp
+        pipe._production_stamp()
+        t0 = time.monotonic()
+        pipe._warm_wait_idle()
+        assert time.monotonic() - t0 < 0.05
+
+        released = threading.Event()
+
+        def daemon_body():
+            pipe._warm_wait_idle(idle_s=0.4)
+            released.set()
+
+        pipe._production_stamp()
+        th = threading.Thread(target=daemon_body, name="mixed-key-warm")
+        th.start()
+        assert not released.wait(0.15), "daemon did not defer to production"
+        th.join(3.0)
+        assert released.is_set(), "daemon never released after idle window"
+
+    def test_daemon_thread_does_not_stamp_production(self):
+        import threading
+        import time
+
+        pipe = make_pipe()
+        pipe._last_production = 0.0
+
+        def daemon_body():
+            pipe._production_stamp()
+
+        th = threading.Thread(target=daemon_body, name="mixed-key-warm")
+        th.start()
+        th.join(2.0)
+        assert pipe._last_production == 0.0
+        pipe._production_stamp()  # main thread DOES stamp
+        assert time.monotonic() - pipe._last_production < 1.0
+
+
 class TestMixedWarmMintsChunk:
     def test_warm_composition_mints_chunk_key(self):
         pipe = make_pipe("deep", interval=2, hybrid=0.5)
