@@ -92,6 +92,7 @@ class Worker:
                 max_workers=1, thread_name_prefix=f"post-{rank}")
             if self._async_post else None)
         self._posting: collections.deque = collections.deque()
+        self._posted_async = False  # set per POSTPROCESSING _execute
 
     # -- request management --------------------------------------------------
 
@@ -154,7 +155,7 @@ class Worker:
             })
         if (batch.stage is Stage.PREPARE and self._prepare_pool is not None) \
                 or (batch.stage is Stage.POSTPROCESSING
-                    and self._post_pool is not None):
+                    and getattr(self, "_posted_async", False)):
             # _execute submitted the encode / decode to a background thread;
             # park the requests (PREPARING / DECODING) until the future
             # completes.  Policy aborts attached to this batch still finish
@@ -282,7 +283,19 @@ class Worker:
             by_res = {}
             for r in batch.requests:
                 by_res.setdefault(r.resolution, []).append(r)
-            if self._post_pool is not None:
+            # Background the decode only when (a) no other decode group is
+            # already in flight (bound the overlapped live set to ONE) and
+            # (b) the pipeline's headroom estimate says the decode
+            # transient fits NEXT TO a running denoise step (measured
+            # failure without the gate: r5b scale-128 b8 1024^2 died
+            # RESOURCE_EXHAUSTED in a denoise step during an async
+            # decode).  Otherwise decode synchronously.
+            overlap = (self._post_pool is not None
+                       and not self._posting
+                       and getattr(pipe, "post_overlap_ok",
+                                   lambda b: True)(by_res))
+            self._posted_async = overlap
+            if overlap:
                 fut = self._post_pool.submit(pipe.postprocess, by_res)
                 self._posting.append((fut, list(batch.requests)))
             else:

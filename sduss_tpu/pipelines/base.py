@@ -2715,6 +2715,40 @@ class BasePipeline:
             for i in range(0, len(reqs), chunk):
                 self._decode_group(res, reqs[i : i + chunk])
 
+    def post_overlap_ok(self, reqs_by_res) -> bool:
+        """May this postprocess run on the background thread while the
+        serving loop keeps denoising?
+
+        Async overlap adds the decode transient NEXT TO a live denoise
+        step's workspace and any composition-state churn transient (carry
+        seeds) — live sets that never coexist under synchronous post.
+        Measured failure (r5b scale-128): a b8 1024^2 hybrid pass died
+        RESOURCE_EXHAUSTED in a denoise step while an async decode group
+        was in flight.  Overlap is allowed only when params + live state
+        + one decode group + the step-workspace margin fit the HBM
+        budget; otherwise the worker decodes synchronously (the decode
+        blocks the loop — the pre-overlap behavior)."""
+        try:
+            ec = self.config.engine
+            ms = jax.local_devices()[0].memory_stats() or {}
+            lim = float(ms.get("bytes_limit") or ec.hbm_bytes_fallback)
+            live = sum(
+                _state_nbytes(e.get("state")) + _state_nbytes(e.get("kv"))
+                for attr in ("_comp_state", "_sd3_state", "_disp_state")
+                for e in list((getattr(self, attr, None) or {}).values()))
+            need = 0.0
+            for res, reqs in reqs_by_res.items():
+                chunk = min(max(self.config.scheduler.decode_batch, 1),
+                            max(len(reqs), 1))
+                per_img = float(ec.decode_bytes_per_pixel) * res * res
+                need = max(need, per_img * chunk)
+            head = (lim - self.device_param_bytes() - live
+                    - float(ec.prewarm_hbm_margin)
+                    - float(ec.decode_hbm_margin))
+            return head >= need
+        except Exception:  # noqa: BLE001 — no estimate => stay safe, sync
+            return False
+
     def _decode_capacity_chunk(self, res: int) -> int:
         """Largest decode group that fits next to params + LIVE composition
         state.  Unlike prewarm (state released before its decode), serving

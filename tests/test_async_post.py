@@ -89,14 +89,15 @@ class TestAsyncPostprocess:
         finished = []
         steps_during_decode = 0
         denoise_mark = None
-        while not finished and time.time() - t0 < 3.0:
+        while "a" not in {r.request_id for r in finished} \
+                and time.time() - t0 < 4.0:
             finished += worker.step()
             if a.stage is Stage.DECODING:
                 if denoise_mark is None:
                     denoise_mark = pipe.denoise_calls
                 steps_during_decode = pipe.denoise_calls - denoise_mark
-        assert finished and finished[0].request_id == "a"
-        assert finished[0].finish_time > 0
+        done_a = [r for r in finished if r.request_id == "a"]
+        assert done_a and done_a[0].finish_time > 0
         assert steps_during_decode >= 3, \
             "denoising stalled behind the background decode"
 
@@ -147,18 +148,34 @@ class TestAsyncPostprocess:
             finished += worker.step()
         assert finished and finished[0].request_id == "a"
 
-    def test_decodes_serialize_on_one_thread(self):
-        """max_workers=1 bounds decodes in flight (HBM: one decode group at
-        a time)."""
-        worker, pipe = _worker(post_delay_s=0.05)
+    def test_second_group_decodes_sync_while_one_in_flight(self):
+        """Overlap is bounded to ONE background decode group (HBM: the
+        r5b scale-128 OOM); a second finishing batch decodes SYNC on the
+        main thread as natural backpressure."""
+        worker, pipe = _worker(post_delay_s=0.3)
         _add(worker, "a", steps=1)
-        _add(worker, "b", steps=1)
-        deadline = time.time() + 3.0
+        _add(worker, "b", steps=3)
+        deadline = time.time() + 4.0
         finished = []
         while len(finished) < 2 and time.time() < deadline:
             finished += worker.step()
         assert {r.request_id for r in finished} == {"a", "b"}
-        assert len(set(pipe.post_thread_ids)) == 1
+        assert pipe.post_thread_ids[0] != threading.get_ident()
+        assert threading.get_ident() in pipe.post_thread_ids, \
+            "second decode group did not fall back to sync"
+
+    def test_headroom_gate_forces_sync(self):
+        """post_overlap_ok=False (decode transient would not fit next to a
+        live denoise step) must route every decode synchronously."""
+        worker, pipe = _worker(post_delay_s=0.01)
+        pipe.post_overlap_ok = lambda by_res: False
+        _add(worker, "a", steps=1)
+        deadline = time.time() + 2.0
+        finished = []
+        while not finished and time.time() < deadline:
+            finished += worker.step()
+        assert finished[0].request_id == "a"
+        assert pipe.post_thread_ids == [threading.get_ident()]
 
 
 def test_engine_end_to_end_async_post():
